@@ -1,0 +1,155 @@
+"""Vectorized kernels vs a slow row-by-row oracle of the reference SQL
+semantics (NULL policy per rule pinned: NOT_NULL/RANGE/LENGTH fail NULL,
+ENUM/REGEX/DATE_FORMAT pass NULL)."""
+
+import re
+
+import pyarrow as pa
+import pytest
+
+from validatelite_ray.compiler.kernels import RuleKernelError, compile_rule
+from validatelite_ray.compiler.predicate import compile_predicate
+from validatelite_ray.rules import spec as S
+from validatelite_ray.rules.scalars import valid_date_format
+
+
+def masks(rule, table):
+    return compile_rule(rule).fail_mask(table).to_pylist()
+
+
+TBL = pa.table(
+    {
+        "id": [1, 2, None, 4, 5],
+        "name": ["al", None, "bobby", "", "charlemagne"],
+        "age": [25.0, -5.0, None, 150.0, 0.0],
+        "gender": [0, 1, 3, None, 1],
+        "email": ["a@x.com", "bad#x.com", None, "c@y.org", "d@x.com"],
+        "created": ["2023-12-25", "2023-02-31", None, "2023-1-5", ""],
+    }
+)
+
+
+class TestNotNull:
+    def test_mask(self):
+        assert masks(S.not_null("id"), TBL) == [False, False, True, False, False]
+
+
+class TestLength:
+    def test_null_fails(self):
+        # LENGTH: NULL counts as failed (reference SQL `... OR col IS NULL`)
+        assert masks(S.length("name", 2, 5), TBL) == [False, True, False, True, True]
+
+    def test_min_only(self):
+        assert masks(S.length("name", min_length=3), TBL) == [True, True, False, True, False]
+
+    def test_non_string_column_cast(self):
+        t = pa.table({"v": [1, 22, 333]})
+        assert masks(S.length("v", 1, 2), t) == [False, False, True]
+
+
+class TestRange:
+    def test_null_fails_and_zero_bound(self):
+        # bound 0 honoured; NULL fails; 0.0 itself passes min=0
+        assert masks(S.value_range("age", 0, 120), TBL) == [False, True, True, True, False]
+
+    def test_min_eq_max(self):
+        t = pa.table({"v": [1, 2, 1]})
+        assert masks(S.value_range("v", 1, 1), t) == [False, True, False]
+
+    def test_string_numeric_cast(self):
+        t = pa.table({"v": ["1", "250", None]})
+        assert masks(S.value_range("v", 0, 100), t) == [False, True, True]
+
+    def test_string_non_numeric_errors(self):
+        t = pa.table({"v": ["x"]})
+        with pytest.raises(RuleKernelError):
+            masks(S.value_range("v", 0, 100), t)
+
+
+class TestEnum:
+    def test_null_passes(self):
+        # ENUM: SQL NOT IN over NULL → NULL → not counted as failed
+        assert masks(S.enum("gender", [0, 1]), TBL) == [False, False, True, False, False]
+
+    def test_string_values(self):
+        t = pa.table({"s": ["a", "b", None, "c"]})
+        assert masks(S.enum("s", ["a", "b"]), t) == [False, False, False, True]
+
+    def test_type_coercion_fallback(self):
+        t = pa.table({"s": ["1", "2", "9"]})
+        assert masks(S.enum("s", [1, 2]), t) == [False, False, True]
+
+    def test_extract_domain(self):
+        t = pa.table({"e": ["a@ok.com", "b@bad.com", None]})
+        r = S.RuleSpec(
+            S.RuleType.ENUM,
+            "e",
+            {"allowed_values": ["ok.com"], "extract_domain": True},
+        )
+        assert masks(r, t) == [False, True, False]
+
+
+class TestRegex:
+    def test_null_passes_unanchored(self):
+        # MySQL REGEXP is an unanchored search
+        assert masks(S.regex("email", r"@[\w.]+\.(com|org)"), TBL) == [
+            False, True, False, False, False,
+        ]
+
+    def test_lookaround_fallback(self):
+        # RE2 lacks lookahead → python re fallback path
+        t = pa.table({"s": ["abc1", "abc", None]})
+        assert masks(S.regex("s", r"^(?=.*\d).+$"), t) == [False, True, False]
+
+
+class TestDateFormat:
+    def test_roundtrip_semantics(self):
+        # 2023-02-31 invalid; 2023-1-5 non-canonical; None and "" pass
+        assert masks(S.date_format("created", "YYYY-MM-DD"), TBL) == [
+            False, True, False, True, False,
+        ]
+
+    def test_integer_column(self):
+        t = pa.table({"d": [20231225, 20230231, None]})
+        assert masks(S.date_format("d", "YYYYMMDD"), t) == [False, True, False]
+
+    def test_matches_python_ground_truth(self):
+        values = [
+            "2023-12-25", "2023-02-31", "2024-02-29", "2023-02-29", "1999-01-01",
+            "2023-13-01", "2023-00-10", "2023-12-32", "23-12-25", "2023/12/25",
+            "2023-1-5", " 2023-12-25", "2023-12-25 ", "", "   ", "x",
+            "0001-01-01", "9999-12-31", "999-01-01", "0999-01-01",
+        ]
+        t = pa.table({"d": values})
+        kernel = masks(S.date_format("d", "YYYY-MM-DD"), t)
+        for v, failed in zip(values, kernel):
+            assert failed == (not valid_date_format(v, "YYYY-MM-DD")), v
+
+    def test_datetime_format_ground_truth(self):
+        values = ["2023-12-25 10:00:00", "2023-12-25 25:00:00", "2023-12-25", ""]
+        t = pa.table({"d": values})
+        kernel = masks(S.date_format("d", "YYYY-MM-DD HH:MI:SS"), t)
+        for v, failed in zip(values, kernel):
+            assert failed == (not valid_date_format(v, "YYYY-MM-DD HH:MI:SS")), v
+
+
+class TestFilterCondition:
+    def test_counts_with_filter(self):
+        rule = S.not_null("name", filter_condition="age >= 0")
+        total, failed = compile_rule(rule).counts(TBL)
+        # eligible rows: age 25, 150, 0 (NULL age and -5 excluded)
+        assert (total, failed) == (3, 0)
+
+    def test_predicate_forms(self):
+        p = compile_predicate("gender IN (0, 1) AND age > 0")
+        assert p(TBL).to_pylist() == [True, False, False, False, False]
+        p2 = compile_predicate("name IS NOT NULL")
+        assert p2(TBL).to_pylist() == [True, False, True, True, True]
+        p3 = compile_predicate("email != 'a@x.com'")
+        assert p3(TBL).to_pylist() == [False, True, False, True, True]
+
+
+class TestCounts:
+    def test_counts_no_filter(self):
+        total, failed = compile_rule(S.not_null("id")).counts(TBL)
+        assert (total, failed) == (5, 1)

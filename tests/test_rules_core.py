@@ -1,0 +1,166 @@
+"""RuleSpec validation, type parser and rule parsers (pure Python, no Ray)."""
+
+import json
+
+import pytest
+
+from validatelite_ray.rules import spec as S
+from validatelite_ray.rules.parser import RuleParseError, parse_inline_rule, parse_rules
+from validatelite_ray.rules.spec import RuleSpec, RuleValidationError
+from validatelite_ray.rules.type_parser import TypeParseError, parse_type
+from validatelite_ray.rules.types import RuleType
+
+
+class TestRuleSpec:
+    def test_range_requires_bound(self):
+        with pytest.raises(RuleValidationError):
+            RuleSpec(RuleType.RANGE, "age")
+
+    def test_range_zero_bound_honoured(self):
+        r = S.value_range("age", 0, None)
+        assert r.params["min_value"] == 0  # falsy bound kept
+
+    def test_range_min_le_max(self):
+        with pytest.raises(RuleValidationError):
+            S.value_range("age", 10, 1)
+
+    def test_length_bounds(self):
+        with pytest.raises(RuleValidationError):
+            S.length("name")
+        with pytest.raises(RuleValidationError):
+            S.length("name", -1, 5)
+        assert S.length("name", 0, 5).params == {"min_length": 0, "max_length": 5}
+
+    def test_enum_nonempty(self):
+        with pytest.raises(RuleValidationError):
+            S.enum("status", [])
+
+    def test_regex_compilable(self):
+        with pytest.raises(RuleValidationError):
+            S.regex("email", "([")
+
+    def test_threshold_range(self):
+        with pytest.raises(RuleValidationError):
+            S.not_null("x", threshold=1.5)
+
+    def test_column_required(self):
+        with pytest.raises(RuleValidationError):
+            RuleSpec(RuleType.NOT_NULL)
+
+
+class TestTypeParser:
+    @pytest.mark.parametrize(
+        "text,expected",
+        [
+            ("string", {"type": "STRING"}),
+            ("str", {"type": "STRING"}),
+            ("STRING(50)", {"type": "STRING", "max_length": 50}),
+            ("integer(10)", {"type": "INTEGER", "max_digits": 10}),
+            ("int", {"type": "INTEGER"}),
+            ("float(12,2)", {"type": "FLOAT", "precision": 12, "scale": 2}),
+            ("bool", {"type": "BOOLEAN"}),
+            ("datetime('yyyymmdd')", {"type": "DATETIME", "format": "yyyymmdd"}),
+            ("date('YYYY-MM-DD')", {"type": "DATE", "format": "YYYY-MM-DD"}),
+        ],
+    )
+    def test_sugar(self, text, expected):
+        assert parse_type(text) == expected
+
+    @pytest.mark.parametrize(
+        "text",
+        ["string(0)", "string(-5)", "float(2,3)", "float(0,0)", "wibble", "string()"],
+    )
+    def test_bad_sugar(self, text):
+        with pytest.raises(TypeParseError):
+            parse_type(text)
+
+    def test_detailed_dict(self):
+        assert parse_type({"type": "string", "max_length": 9}) == {
+            "type": "STRING",
+            "max_length": 9,
+        }
+        with pytest.raises(TypeParseError):
+            parse_type({"type": "integer", "max_length": 9})
+        with pytest.raises(TypeParseError):
+            parse_type({"type": "float", "precision": 2, "scale": 3})
+        # reference quirk: the detailed DATE form rejects formats with
+        # time-token characters (M/D), while the sugar form allows them
+        with pytest.raises(TypeParseError):
+            parse_type({"type": "date", "format": "YYYY-MM-DD"})
+
+
+class TestInlineParser:
+    def test_not_null(self):
+        r = parse_inline_rule("not_null(id)")
+        assert r.rule_type == RuleType.NOT_NULL and r.column == "id"
+
+    def test_length(self):
+        r = parse_inline_rule("length(name,2,50)")
+        assert r.params == {"min_length": 2, "max_length": 50}
+
+    def test_range(self):
+        r = parse_inline_rule("range(age,0,120)")
+        assert r.params == {"min_value": 0.0, "max_value": 120.0}
+
+    def test_enum_type_coercion(self):
+        r = parse_inline_rule("enum(status,active,1,-2,2.5)")
+        assert r.params["allowed_values"] == ["active", 1, -2, 2.5]
+
+    def test_regex_pattern_commas(self):
+        r = parse_inline_rule(r"regex(email,^[a-z]{2,10}@x\.com$)")
+        assert r.params["pattern"] == r"^[a-z]{2,10}@x\.com$"
+
+    def test_regex_shell_unescape(self):
+        r = parse_inline_rule(r"regex(email,^a\\.b$)")
+        assert r.params["pattern"] == r"^a\.b$"
+
+    def test_date_format(self):
+        r = parse_inline_rule("date_format(created,'YYYY-MM-DD')")
+        assert r.params["format"] == "YYYY-MM-DD"
+
+    def test_quoted_column(self):
+        assert parse_inline_rule("not_null('id')").column == "id"
+
+    @pytest.mark.parametrize(
+        "expr", ["frobnicate(x)", "not_null", "not_null()", "regex(col)"]
+    )
+    def test_bad(self, expr):
+        with pytest.raises(RuleParseError):
+            parse_inline_rule(expr)
+
+
+class TestRulesFile:
+    def test_file(self, tmp_path):
+        payload = {
+            "rules": [
+                {"type": "not_null", "column": "id"},
+                {"type": "range", "column": "age", "min": 0, "max": 120},
+                {"type": "enum", "column": "g", "values": [0, 1]},
+                {"type": "regex", "column": "e", "pattern": "^x$"},
+                {"type": "length", "column": "n", "min": 1, "max": 5},
+                {"type": "date_format", "column": "d", "format": "YYYY-MM-DD"},
+                {"type": "unique", "column": "id"},
+            ]
+        }
+        f = tmp_path / "rules.json"
+        f.write_text(json.dumps(payload))
+        rules = parse_rules(rules_file=f)
+        assert [r.rule_type for r in rules] == [
+            RuleType.NOT_NULL,
+            RuleType.RANGE,
+            RuleType.ENUM,
+            RuleType.REGEX,
+            RuleType.LENGTH,
+            RuleType.DATE_FORMAT,
+            RuleType.UNIQUE,
+        ]
+
+    def test_bad_file(self, tmp_path):
+        f = tmp_path / "rules.json"
+        f.write_text("[]")
+        with pytest.raises(RuleParseError):
+            parse_rules(rules_file=f)
+
+    def test_no_rules(self):
+        with pytest.raises(RuleParseError):
+            parse_rules()

@@ -1,0 +1,120 @@
+"""Scalar-validator semantics, pinned to the reference's documented behavior
+(reference: shared/database/sqlite_functions.py:11-244)."""
+
+import pytest
+from hypothesis import given, strategies as st
+
+from validatelite_ray.rules.scalars import (
+    valid_date_format,
+    valid_float_precision,
+    valid_integer_digits,
+    valid_string_length,
+    date_format_to_strftime,
+    date_format_to_regex,
+)
+
+
+class TestIntegerDigits:
+    @pytest.mark.parametrize(
+        "value,digits,expected",
+        [
+            (12345, 5, True),
+            (-23456, 5, True),   # sign not counted
+            (123456, 5, False),
+            ("abc", 5, False),
+            (12.34, 5, False),   # fractional part
+            (12.0, 5, True),     # integer-valued float
+            (None, 5, True),     # NULL passes
+            (0, 1, True),
+            ("00123", 5, True),  # leading zeros collapse: 123 → 3 digits
+        ],
+    )
+    def test_cases(self, value, digits, expected):
+        assert valid_integer_digits(value, digits) is expected
+
+
+class TestStringLength:
+    def test_basic(self):
+        assert valid_string_length("abc", 3)
+        assert not valid_string_length("abcd", 3)
+        assert valid_string_length(None, 1)
+        assert valid_string_length(12345, 5)
+        assert not valid_string_length(123456, 5)
+
+
+class TestFloatPrecision:
+    @pytest.mark.parametrize(
+        "value,p,s,expected",
+        [
+            (123.45, 5, 2, True),
+            (1234.56, 5, 2, False),
+            (123.456, 5, 2, False),
+            (None, 5, 2, True),
+            (-123.45, 5, 2, True),
+            (0.5, 1, 1, True),       # precision == scale: only 0.x allowed
+            (1.5, 2, 2, False),      # precision == scale but integer part != 0
+            (0.55, 2, 2, True),
+            (0.555, 2, 2, False),
+            (123, 5, 2, True),       # integer: 3 ≤ 5-2
+            (1234, 5, 2, False),
+            (1.50, 3, 2, True),      # trailing zeros stripped
+            (0, 1, 0, True),
+            ("xyz", 5, 2, False),
+        ],
+    )
+    def test_cases(self, value, p, s, expected):
+        assert valid_float_precision(value, p, s) is expected
+
+
+class TestDateFormat:
+    @pytest.mark.parametrize(
+        "value,fmt,expected",
+        [
+            ("2023-12-25", "YYYY-MM-DD", True),
+            ("2023-02-31", "YYYY-MM-DD", False),   # semantic error
+            ("2023-02-29", "YYYY-MM-DD", False),   # non-leap year
+            ("2024-02-29", "YYYY-MM-DD", True),    # leap year
+            ("not-a-date", "YYYY-MM-DD", False),
+            (20231225, "YYYYMMDD", True),
+            (20230231, "YYYYMMDD", False),
+            ("2023-1-5", "YYYY-MM-DD", False),     # padding round-trip
+            (None, "YYYY-MM-DD", True),            # NULL passes
+            ("", "YYYY-MM-DD", True),              # empty passes
+            ("   ", "YYYY-MM-DD", True),           # blank passes
+            ("2023-12-25 13:01:02", "YYYY-MM-DD HH:MI:SS", True),
+            ("2023-12-25 25:01:02", "YYYY-MM-DD HH:MI:SS", False),
+            ("20231225", "yyyymmdd", True),        # lowercase tokens
+        ],
+    )
+    def test_cases(self, value, fmt, expected):
+        assert valid_date_format(value, fmt) is expected
+
+    def test_format_conversion(self):
+        assert date_format_to_strftime("YYYY-MM-DD") == "%Y-%m-%d"
+        assert date_format_to_strftime("YYYYMMDD") == "%Y%m%d"
+        assert date_format_to_strftime("YYYY-MM-DD HH:MI:SS") == "%Y-%m-%d %H:%M:%S"
+
+    def test_prefilter_regex(self):
+        import re
+
+        rx = re.compile(date_format_to_regex("YYYY-MM-DD"))
+        assert rx.match("2023-12-25")
+        assert not rx.match("2023-1-5")
+        assert not rx.match("x2023-12-25")
+
+
+@given(st.integers(min_value=-(10**12), max_value=10**12), st.integers(1, 14))
+def test_integer_digits_property(value, max_digits):
+    expected = len(str(abs(value))) <= max_digits
+    assert valid_integer_digits(value, max_digits) is expected
+
+
+@given(
+    st.floats(allow_nan=False, allow_infinity=False, min_value=-1e6, max_value=1e6),
+    st.integers(1, 12),
+    st.integers(0, 12),
+)
+def test_float_precision_never_crashes(value, p, s):
+    if s > p:
+        s = p
+    assert valid_float_precision(value, p, s) in (True, False)

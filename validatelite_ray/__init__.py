@@ -1,0 +1,19 @@
+"""validatelite_ray — a Ray-Data-native data-quality / quality-filter engine.
+
+A from-scratch reimplementation of the rule semantics of
+litedatum/validatelite (reference at /root/reference), re-expressed as
+Ray Data pipelines: rules compile to vectorized Arrow-compute kernels
+evaluated in a single fused ``map_batches`` pass, uniqueness/dedup are
+explicit hash shuffles, and the north-rule quality-filter pipeline
+(language-ID, perplexity, heuristics, PII scrub, dedup) runs as
+actor-pool ``map_batches`` stages over zero-copy Arrow batches.
+
+Nothing here calls ``ray.init()`` — the caller owns the Ray session.
+"""
+
+from validatelite_ray.rules.types import DataType, RuleType, RuleStatus
+from validatelite_ray.rules.spec import RuleSpec
+from validatelite_ray.engine.engine import RuleEngine
+
+__all__ = ["DataType", "RuleType", "RuleStatus", "RuleSpec", "RuleEngine"]
+__version__ = "0.1.0"

@@ -1,0 +1,4 @@
+from validatelite_ray.compiler.kernels import CompiledRule, RuleKernelError, compile_rule
+from validatelite_ray.compiler.predicate import compile_predicate
+
+__all__ = ["CompiledRule", "RuleKernelError", "compile_rule", "compile_predicate"]

@@ -1,0 +1,296 @@
+"""Rule → vectorized Arrow kernel compiler.
+
+This layer is the Ray-native collapse of the reference's executor +
+dialect stack (reference: core/executors/completeness_executor.py,
+validity_executor.py, shared/database/database_dialect.py): instead of
+generating per-dialect SQL ``COUNT(CASE WHEN <fail-cond> ...)``, each
+rule compiles ONCE (on the driver) into a function over a
+``pyarrow.Table`` batch returning a boolean *fail mask*. All compiled
+rules for a table are then evaluated in a single fused ``map_batches``
+pass — the always-on analogue of the reference's merged-SQL optimizer
+(core/engine/rule_merger.py:142-178).
+
+NULL-handling parity (pinned by tests against the reference semantics):
+
+* NOT_NULL / RANGE / LENGTH — NULL rows count as FAILED
+  (``... OR col IS NULL`` in the reference SQL).
+* ENUM / REGEX — NULL rows PASS (SQL ``NOT IN`` / ``NOT REGEXP`` on
+  NULL yields NULL, which a COUNT(CASE...) does not count).
+* DATE_FORMAT — NULL and empty/blank strings PASS
+  (sqlite_functions.py:194-195 semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from validatelite_ray.compiler.predicate import compile_predicate
+from validatelite_ray.rules.scalars import date_format_to_strftime, valid_date_format
+from validatelite_ray.rules.spec import RuleSpec
+from validatelite_ray.rules.types import RuleType
+
+
+class RuleKernelError(RuntimeError):
+    """A rule could not be evaluated on a batch (bad column/type/cast)."""
+
+
+MaskFn = Callable[[pa.Table], pa.BooleanArray]
+
+
+@dataclasses.dataclass(frozen=True)
+class CompiledRule:
+    """A rule compiled to a per-batch fail-mask function.
+
+    ``fail_mask(batch)`` returns a boolean array aligned with the batch:
+    True = the row violates the rule. ``eligible(batch)`` returns the
+    filter-condition mask (all-True when the rule has no filter); rows
+    outside it count toward neither total nor failed.
+    """
+
+    spec: RuleSpec
+    _mask_fn: MaskFn
+    _filter_fn: MaskFn | None
+
+    def fail_mask(self, batch: pa.Table) -> pa.BooleanArray:
+        try:
+            mask = self._mask_fn(batch)
+        except RuleKernelError:
+            raise
+        except Exception as exc:  # surface as a rule-level ERROR, not a crash
+            raise RuleKernelError(f"rule {self.spec.name}: {exc}") from exc
+        return pc.fill_null(mask, False)
+
+    def eligible(self, batch: pa.Table) -> pa.BooleanArray | None:
+        if self._filter_fn is None:
+            return None
+        try:
+            return self._filter_fn(batch)
+        except Exception as exc:
+            raise RuleKernelError(f"rule {self.spec.name} filter: {exc}") from exc
+
+    def counts(self, batch: pa.Table) -> tuple[int, int]:
+        """(total, failed) on this batch, honouring the filter_condition."""
+        fail = self.fail_mask(batch)
+        elig = self.eligible(batch)
+        if elig is None:
+            total = len(batch)
+        else:
+            fail = pc.and_(fail, elig)
+            total = pc.sum(elig).as_py() or 0
+        failed = pc.sum(pc.fill_null(fail, False)).as_py() or 0
+        return int(total), int(failed)
+
+
+def _column(batch: pa.Table, name: str) -> pa.ChunkedArray:
+    if name not in batch.column_names:
+        raise RuleKernelError(f"column {name!r} does not exist")
+    return batch[name]
+
+
+def _as_string(arr: pa.ChunkedArray) -> pa.ChunkedArray:
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return arr
+    return pc.cast(arr, pa.string())
+
+
+def _compile_not_null(rule: RuleSpec) -> MaskFn:
+    col = rule.column
+
+    def mask(batch: pa.Table) -> pa.BooleanArray:
+        return pc.is_null(_column(batch, col))
+
+    return mask
+
+
+def _compile_length(rule: RuleSpec) -> MaskFn:
+    col = rule.column
+    lo = rule.param("min_length")
+    hi = rule.param("max_length")
+
+    def mask(batch: pa.Table) -> pa.BooleanArray:
+        arr = _as_string(_column(batch, col))
+        n = pc.utf8_length(arr)
+        out = pc.is_null(arr)  # NULL counts as failed (reference LENGTH SQL)
+        if lo is not None:
+            out = pc.or_(out, pc.fill_null(pc.less(n, lo), False))
+        if hi is not None:
+            out = pc.or_(out, pc.fill_null(pc.greater(n, hi), False))
+        return out
+
+    return mask
+
+
+def _compile_range(rule: RuleSpec) -> MaskFn:
+    col = rule.column
+    lo = rule.param("min_value")
+    hi = rule.param("max_value")
+
+    def mask(batch: pa.Table) -> pa.BooleanArray:
+        arr = _column(batch, col)
+        if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+            # numeric bounds against a string column: cast column to float64
+            # (non-numeric strings become a kernel error, mirroring a SQL
+            # cast failure surfacing as a rule ERROR)
+            try:
+                arr = pc.cast(arr, pa.float64())
+            except pa.ArrowInvalid as exc:
+                raise RuleKernelError(
+                    f"RANGE on string column {col!r} with non-numeric values: {exc}"
+                )
+        out = pc.is_null(arr)  # NULL counts as failed (reference RANGE SQL)
+        if lo is not None:
+            out = pc.or_(out, pc.fill_null(pc.less(arr, lo), False))
+        if hi is not None:
+            out = pc.or_(out, pc.fill_null(pc.greater(arr, hi), False))
+        return out
+
+    return mask
+
+
+def _compile_enum(rule: RuleSpec) -> MaskFn:
+    col = rule.column
+    values = list(rule.param("allowed_values"))
+    extract_domain = bool(rule.param("extract_domain", False))
+
+    def mask(batch: pa.Table) -> pa.BooleanArray:
+        arr = _column(batch, col)
+        if extract_domain:
+            # email-domain mode: compare the substring after the last '@'
+            # (reference: validity_executor.py SUBSTRING_INDEX(col,'@',-1))
+            arr = pc.replace_substring_regex(
+                _as_string(arr), pattern=r"^.*@", replacement=""
+            )
+        try:
+            value_set = pa.array(values, type=arr.type)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            arr = _as_string(arr)
+            value_set = pa.array([str(v) for v in values])
+        ok = pc.is_in(arr, value_set=value_set)
+        # NULL passes ENUM: SQL `NOT IN` over NULL is NULL → not counted
+        return pc.and_(pc.invert(ok), pc.is_valid(arr))
+
+    return mask
+
+
+def _re2_supports(pattern: str) -> bool:
+    try:
+        pc.match_substring_regex(pa.array([""]), pattern=pattern)
+        return True
+    except pa.ArrowInvalid:
+        return False
+
+
+def _compile_regex(rule: RuleSpec) -> MaskFn:
+    col = rule.column
+    pattern = rule.param("pattern")
+    if _re2_supports(pattern):
+        def mask(batch: pa.Table) -> pa.BooleanArray:
+            arr = _as_string(_column(batch, col))
+            ok = pc.match_substring_regex(arr, pattern=pattern)
+            # NULL passes REGEX (SQL NOT REGEXP over NULL → NULL)
+            return pc.and_(pc.invert(ok), pc.is_valid(arr))
+        return mask
+
+    # RE2 rejects lookarounds/backrefs — fall back to Python re.search over
+    # the batch (still one compiled pattern per worker, unanchored search to
+    # match MySQL REGEXP semantics).
+    compiled = re.compile(pattern)
+
+    def mask_py(batch: pa.Table) -> pa.BooleanArray:
+        values = _as_string(_column(batch, col)).to_pylist()
+        out = np.zeros(len(values), dtype=bool)
+        search = compiled.search
+        for i, v in enumerate(values):
+            if v is not None and search(v) is None:
+                out[i] = True
+        return pa.array(out)
+
+    return mask_py
+
+
+def _compile_date_format(rule: RuleSpec) -> MaskFn:
+    col = rule.column
+    raw_fmt = rule.param("format")
+    fmt = date_format_to_strftime(raw_fmt)
+
+    # Memoized exact checker for suspect rows (date values repeat heavily,
+    # so the cache hit rate per worker is high).
+    cache: dict[str, bool] = {}
+
+    def _py_ok(value: str) -> bool:
+        hit = cache.get(value)
+        if hit is None:
+            hit = cache[value] = valid_date_format(value, raw_fmt)
+        return hit
+
+    def mask(batch: pa.Table) -> pa.BooleanArray:
+        arr = _as_string(_column(batch, col))
+        # Fast path: Arrow strptime is lenient (2023-02-31 parses to
+        # 2023-03-03), so validity REQUIRES the strftime round-trip to
+        # reproduce the exact input — same contract as the pure-Python
+        # ground truth (sqlite_functions.py:177-213), verified vectorized.
+        parsed = pc.strptime(arr, format=fmt, unit="s", error_is_null=True)
+        roundtrip = pc.strftime(parsed, format=fmt)
+        ok = pc.fill_null(pc.equal(roundtrip, arr), False)
+        blank = pc.fill_null(pc.equal(pc.utf8_trim_whitespace(arr), ""), False)
+        ok_np = np.asarray(pc.or_(ok, blank))        # empty/blank strings pass
+        valid_np = np.asarray(pc.is_valid(arr))
+
+        # Exact-parity recheck: glibc strftime("%Y") does not zero-pad years
+        # < 1000, so the Python ground truth disagrees with Arrow there
+        # (python fails "0999-01-01" but passes "999-01-01"). Recheck in
+        # Python (memoized) every non-blank row that either failed the Arrow
+        # round-trip or parsed to a pre-1000 year.
+        if "%Y" in fmt:
+            year_lt_1000 = np.asarray(
+                pc.fill_null(pc.less(pc.year(parsed), 1000), False)
+            )
+        else:
+            year_lt_1000 = np.zeros(len(arr), dtype=bool)
+        blank_np = np.asarray(blank)
+        suspect = valid_np & ~blank_np & (~ok_np | year_lt_1000)
+        if suspect.any():
+            idx = np.flatnonzero(suspect)
+            values = arr.take(pa.array(idx)).to_pylist()
+            ok_np = ok_np.copy()
+            for i, v in zip(idx, values):
+                ok_np[i] = _py_ok(v)
+        return pa.array(~ok_np & valid_np)           # NULL passes
+
+    return mask
+
+
+_COMPILERS: dict[RuleType, Callable[[RuleSpec], MaskFn]] = {
+    RuleType.NOT_NULL: _compile_not_null,
+    RuleType.LENGTH: _compile_length,
+    RuleType.RANGE: _compile_range,
+    RuleType.ENUM: _compile_enum,
+    RuleType.REGEX: _compile_regex,
+    RuleType.DATE_FORMAT: _compile_date_format,
+}
+
+
+def register_rule_compiler(rule_type: RuleType, fn: Callable[[RuleSpec], MaskFn]) -> None:
+    """Extension hook: register a batch-mask compiler for a rule type
+    (the Ray-native analogue of the reference's ExecutorRegistry,
+    core/executors/__init__.py:19-79)."""
+    _COMPILERS[rule_type] = fn
+
+
+def compile_rule(rule: RuleSpec) -> CompiledRule:
+    compiler = _COMPILERS.get(rule.rule_type)
+    if compiler is None:
+        raise RuleKernelError(
+            f"rule type {rule.rule_type.value} is not batch-compilable "
+            "(UNIQUE runs as a shuffle, SCHEMA as a metadata check)"
+        )
+    filter_fn = (
+        compile_predicate(rule.filter_condition) if rule.filter_condition else None
+    )
+    return CompiledRule(rule, compiler(rule), filter_fn)

@@ -1,0 +1,129 @@
+"""Restricted filter-condition predicate compiler.
+
+The reference accepts a free-form SQL predicate string AND-ed into every
+rule (reference: shared/schema/rule_schema.py:78-126 ``filter_condition``,
+applied e.g. at core/executors/completeness_executor.py:228-236). With no
+SQL engine underneath, we support a restricted, vectorizable grammar that
+covers the forms the reference test-suite uses:
+
+    term  := col IS [NOT] NULL
+           | col [NOT] IN ( lit [, lit]* )
+           | col OP lit            with OP in  = == != <> < <= > >=
+    expr  := term [AND term]*      (OR is not supported — keep filters simple)
+
+Literals: numbers, 'single' or "double" quoted strings. Compiles to a
+closure ``(pyarrow.Table) -> pyarrow.BooleanArray`` evaluated per batch
+with pyarrow.compute kernels (null comparisons follow SQL three-valued
+logic: a NULL comparison is not True, so the row is filtered out).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class PredicateError(ValueError):
+    pass
+
+
+_TERM = re.compile(
+    r"""^\s*(?P<col>[A-Za-z_][\w.]*)\s*
+     (?:
+        (?P<isnull>IS\s+(?P<isnot>NOT\s+)?NULL)
+      | (?P<notin>NOT\s+)?IN\s*\(\s*(?P<inlist>[^)]*)\)
+      | (?P<op>>=|<=|!=|<>|==|=|<|>)\s*(?P<lit>.+?)
+     )\s*$""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+_AND_SPLIT = re.compile(r"\s+AND\s+", re.IGNORECASE)
+
+
+def _parse_literal(text: str) -> Any:
+    text = text.strip()
+    if len(text) >= 2 and text[0] in "'\"" and text[-1] == text[0]:
+        return text[1:-1]
+    try:
+        return int(text)
+    except ValueError:
+        pass
+    try:
+        return float(text)
+    except ValueError:
+        pass
+    lowered = text.lower()
+    if lowered in ("true", "false"):
+        return lowered == "true"
+    raise PredicateError(f"cannot parse literal {text!r}")
+
+
+def _typed_scalar(value: Any, col_type: pa.DataType) -> pa.Scalar:
+    try:
+        return pa.scalar(value, type=col_type)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        return pa.scalar(value)
+
+
+def compile_predicate(expr: str) -> Callable[[pa.Table], pa.BooleanArray]:
+    """Compile ``expr`` into a per-batch boolean mask function."""
+    terms = []
+    for raw in _AND_SPLIT.split(expr.strip()):
+        m = _TERM.match(raw)
+        if not m:
+            raise PredicateError(f"cannot parse predicate term {raw!r}")
+        col = m.group("col")
+        if m.group("isnull"):
+            negate = bool(m.group("isnot"))
+            terms.append(("null", col, negate))
+        elif m.group("inlist") is not None:
+            values = [_parse_literal(v) for v in m.group("inlist").split(",") if v.strip()]
+            if not values:
+                raise PredicateError(f"empty IN list in {raw!r}")
+            terms.append(("in", col, values, bool(m.group("notin"))))
+        else:
+            op = m.group("op")
+            op = {"==": "=", "<>": "!="}.get(op, op)
+            terms.append(("cmp", col, op, _parse_literal(m.group("lit"))))
+
+    _CMP = {
+        "=": pc.equal,
+        "!=": pc.not_equal,
+        "<": pc.less,
+        "<=": pc.less_equal,
+        ">": pc.greater,
+        ">=": pc.greater_equal,
+    }
+
+    def evaluate(table: pa.Table) -> pa.BooleanArray:
+        mask = None
+        for term in terms:
+            kind, col = term[0], term[1]
+            if col not in table.column_names:
+                raise PredicateError(f"filter references unknown column {col!r}")
+            arr = table[col]
+            if kind == "null":
+                part = pc.is_valid(arr) if term[2] else pc.is_null(arr)
+            elif kind == "in":
+                values, negate = term[2], term[3]
+                try:
+                    value_set = pa.array(values, type=arr.type)
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    value_set = pa.array([str(v) for v in values])
+                    arr = pc.cast(arr, pa.string())
+                part = pc.is_in(arr, value_set=value_set)
+                if negate:
+                    part = pc.invert(part)
+            else:
+                op, lit = term[2], term[3]
+                part = _CMP[op](arr, _typed_scalar(lit, arr.type))
+            # SQL semantics: NULL comparisons do not satisfy the filter
+            part = pc.fill_null(part, False)
+            mask = part if mask is None else pc.and_(mask, part)
+        assert mask is not None
+        return pc.fill_null(mask, False)
+
+    return evaluate

@@ -1,0 +1,4 @@
+from validatelite_ray.engine.engine import RuleEngine
+from validatelite_ray.engine.results import ExecutionReport, RuleResult
+
+__all__ = ["RuleEngine", "ExecutionReport", "RuleResult"]

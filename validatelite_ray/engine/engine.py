@@ -1,0 +1,302 @@
+"""RuleEngine — fused, streaming rule execution over a ray.data.Dataset.
+
+Execution model (the Ray-native redesign of the reference's
+core/engine/rule_engine.py:554-680 pipeline):
+
+1. **Prevalidation** (driver-side, no scan): every referenced column is
+   checked against ``ds.schema()``; a missing column yields an ERROR
+   result for that rule and execution continues — the reference's
+   prevalidation stage (core/engine/prevalidation.py:83-173) without a
+   round-trip to information_schema. SCHEMA rules always run and report
+   missing fields themselves.
+2. **Fused batch pass**: ALL mask-compilable rules (NOT_NULL, RANGE,
+   ENUM, REGEX, LENGTH, DATE_FORMAT) evaluate in ONE
+   ``map_batches(batch_format="pyarrow", zero_copy_batch=True)`` stage
+   emitting a tiny partial-counts table per block, then a
+   ``groupby(rule_idx).sum()`` over partials. This is the reference's
+   merged ``COUNT(CASE WHEN ...)`` scan (rule_merger.py:142-178) as the
+   *default* physical plan — no merge thresholds needed, one scan
+   regardless of rule count. Per-rule kernel errors are isolated: the
+   rule degrades to ERROR, other rules keep running (mirrors
+   rule_engine.py:230-256 error classification).
+3. **UNIQUE pass(es)**: one hash-shuffle per distinct key column —
+   per-batch partial value counts (combiner) → ``groupby(value).sum``
+   → per-block duplicate stats → driver sum. NULLs are excluded and
+   ``failed_records = Σ (count-1)`` over duplicated groups, matching
+   uniqueness_executor.py:98-123. The per-batch pre-aggregation keeps
+   the shuffle payload at (#distinct-per-block) rows, not (#rows).
+4. **SCHEMA rules**: metadata-only check against the Arrow schema.
+
+At 100 TB this plan reads the input exactly once for all batch rules
+(streaming, zero-copy Arrow), shuffles only per-block-distinct values
+for UNIQUE, and moves O(#rules) rows in the final aggregate.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Iterable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from validatelite_ray.compiler.kernels import CompiledRule, RuleKernelError, compile_rule
+from validatelite_ray.engine.results import ExecutionReport, RuleResult
+from validatelite_ray.engine.schema_check import check_schema
+from validatelite_ray.rules.spec import RuleSpec
+from validatelite_ray.rules.types import RuleType
+
+
+def _base_schema(ds: "ray.data.Dataset") -> pa.Schema:  # noqa: F821
+    sch = ds.schema()
+    return getattr(sch, "base_schema", sch)
+
+
+class _FusedCounts:
+    """Per-batch evaluator for all compiled rules → partial-counts rows.
+
+    Emits one row per rule per batch: (rule_idx, total, failed, errors)
+    plus a sentinel row (rule_idx = n) carrying the raw batch row count,
+    so the engine gets table totals without a second pass.
+    """
+
+    def __init__(self, compiled: list[CompiledRule]):
+        self.compiled = compiled
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(self.compiled)
+        idx = np.arange(n + 1, dtype=np.int32)
+        totals = np.zeros(n + 1, dtype=np.int64)
+        failed = np.zeros(n + 1, dtype=np.int64)
+        errors = np.zeros(n + 1, dtype=np.int64)
+        for i, cr in enumerate(self.compiled):
+            try:
+                t, f = cr.counts(batch)
+                totals[i], failed[i] = t, f
+            except RuleKernelError:
+                errors[i] = 1
+        totals[n] = len(batch)
+        return pa.table(
+            {"rule_idx": idx, "total": totals, "failed": failed, "errors": errors}
+        )
+
+
+class RuleEngine:
+    """Execute a list of RuleSpecs against a Dataset.
+
+    Does NOT own a Ray session — callers (CLI, bench, tests, the
+    driver) initialise Ray.
+    """
+
+    def __init__(self, rules: Iterable[RuleSpec], batch_size: int | None = None):
+        self.rules = list(rules)
+        self.batch_size = batch_size
+
+    # ------------------------------------------------------------------
+    def execute(self, ds: "ray.data.Dataset") -> ExecutionReport:  # noqa: F821
+        started = time.time()
+        schema = _base_schema(ds)
+        colnames = set(schema.names)
+
+        batch_rules: list[RuleSpec] = []
+        unique_rules: list[RuleSpec] = []
+        schema_rules: list[RuleSpec] = []
+        results_by_rule: dict[str, RuleResult] = {}
+
+        for rule in self.rules:
+            if rule.rule_type == RuleType.SCHEMA:
+                schema_rules.append(rule)
+            elif rule.column not in colnames:
+                # prevalidation: missing column ⇒ ERROR, keep going
+                results_by_rule[rule.rule_id] = RuleResult.error(
+                    rule, f"column {rule.column!r} does not exist"
+                )
+            elif rule.rule_type == RuleType.UNIQUE:
+                unique_rules.append(rule)
+            else:
+                batch_rules.append(rule)
+
+        total_rows: int | None = None
+
+        if batch_rules:
+            compiled: list[CompiledRule] = []
+            for rule in batch_rules:
+                try:
+                    compiled.append(compile_rule(rule))
+                except (RuleKernelError, Exception) as exc:
+                    results_by_rule[rule.rule_id] = RuleResult.error(rule, str(exc))
+            if compiled:
+                t0 = time.time()
+                needed = sorted(
+                    {cr.spec.column for cr in compiled if cr.spec.column}
+                    | {
+                        c
+                        for cr in compiled
+                        if cr.spec.filter_condition
+                        for c in colnames
+                        if c in cr.spec.filter_condition
+                    }
+                )
+                sub = ds.select_columns(needed) if set(needed) != colnames else ds
+                kwargs: dict[str, Any] = {}
+                if self.batch_size is not None:
+                    kwargs["batch_size"] = self.batch_size
+                partials = sub.map_batches(
+                    _FusedCounts(compiled),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                    **kwargs,
+                )
+                from ray.data.aggregate import Sum
+
+                agg = partials.groupby("rule_idx").aggregate(
+                    Sum("total", alias_name="total"),
+                    Sum("failed", alias_name="failed"),
+                    Sum("errors", alias_name="errors"),
+                )
+                rows = {r["rule_idx"]: r for r in agg.take_all()}
+                elapsed = time.time() - t0
+                sentinel = rows.get(len(compiled))
+                if sentinel is not None:
+                    total_rows = int(sentinel["total"])
+                for i, cr in enumerate(compiled):
+                    row = rows.get(i)
+                    if row is None:
+                        results_by_rule[cr.spec.rule_id] = RuleResult.from_counts(
+                            cr.spec, 0, 0, elapsed=elapsed, message="empty dataset"
+                        )
+                    else:
+                        results_by_rule[cr.spec.rule_id] = RuleResult.from_counts(
+                            cr.spec,
+                            int(row["total"]),
+                            int(row["failed"]),
+                            errors=int(row["errors"]),
+                            elapsed=elapsed,
+                        )
+
+        for rule in unique_rules:
+            t0 = time.time()
+            try:
+                if total_rows is None:
+                    total_rows = ds.count()
+                dup_groups, extra = _unique_counts(ds, rule.column, self.batch_size)
+                results_by_rule[rule.rule_id] = RuleResult.from_counts(
+                    rule,
+                    total_rows,
+                    extra,
+                    elapsed=time.time() - t0,
+                    message=f"{dup_groups} duplicated value group(s)",
+                )
+            except Exception as exc:
+                results_by_rule[rule.rule_id] = RuleResult.error(rule, str(exc))
+
+        for rule in schema_rules:
+            try:
+                results_by_rule[rule.rule_id] = check_schema(rule, schema)
+            except Exception as exc:
+                results_by_rule[rule.rule_id] = RuleResult.error(rule, str(exc))
+
+        ordered = [results_by_rule[r.rule_id] for r in self.rules if r.rule_id in results_by_rule]
+        return ExecutionReport(ordered, started_at=started, ended_at=time.time())
+
+    # ------------------------------------------------------------------
+    def collect_failure_samples(
+        self, ds: "ray.data.Dataset", k: int = 5  # noqa: F821
+    ) -> dict[str, list[dict[str, Any]]]:
+        """Up to ``k`` failing rows per batch-compilable rule.
+
+        Ray-native analogue of the reference's sample rewrite
+        (base_executor.py:292-347: COUNT → SELECT * LIMIT k): each block
+        contributes its first ``k`` failing rows per rule, then a tiny
+        groupby keeps ``k`` per rule overall. Deterministic given
+        deterministic block order of the source.
+        """
+        schema = _base_schema(ds)
+        compiled = [
+            compile_rule(r)
+            for r in self.rules
+            if r.is_batch_rule and r.column in set(schema.names)
+        ]
+        if not compiled:
+            return {}
+
+        def per_batch(batch: pa.Table) -> pa.Table:
+            rule_ids: list[str] = []
+            payloads: list[str] = []
+            for cr in compiled:
+                try:
+                    fail = cr.fail_mask(batch)
+                    elig = cr.eligible(batch)
+                    if elig is not None:
+                        fail = pc.and_(fail, elig)
+                    idx = np.flatnonzero(np.asarray(fail))[:k]
+                except RuleKernelError:
+                    continue
+                if len(idx) == 0:
+                    continue
+                sub = batch.take(pa.array(idx)).to_pylist()
+                for row in sub:
+                    rule_ids.append(cr.spec.rule_id)
+                    payloads.append(json.dumps(row, default=str))
+            return pa.table(
+                {"rule_id": pa.array(rule_ids, pa.string()),
+                 "row_json": pa.array(payloads, pa.string())}
+            )
+
+        import pandas as pd
+
+        def head_k(group: "pd.DataFrame") -> "pd.DataFrame":
+            return group.head(k)
+
+        sampled = (
+            ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("rule_id")
+            .map_groups(head_k, batch_format="pandas")
+        )
+        out: dict[str, list[dict[str, Any]]] = {}
+        for row in sampled.take_all():
+            out.setdefault(row["rule_id"], []).append(json.loads(row["row_json"]))
+        return out
+
+
+def _unique_counts(
+    ds: "ray.data.Dataset", column: str, batch_size: int | None  # noqa: F821
+) -> tuple[int, int]:
+    """(duplicated_group_count, Σ(count-1)) for one column, NULLs excluded."""
+    from ray.data.aggregate import Sum
+
+    proj = ds.select_columns([column])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.is_valid(batch[column]))
+        vc = kept.group_by(column).aggregate([([], "count_all")])
+        return vc.rename_columns([column, "c"])
+
+    kwargs: dict[str, Any] = {}
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
+    per_value = (
+        proj.map_batches(
+            partial_counts, batch_format="pyarrow", zero_copy_batch=True, **kwargs
+        )
+        .groupby(column)
+        .aggregate(Sum("c", alias_name="cnt"))
+    )
+
+    def dup_stats(batch: pa.Table) -> pa.Table:
+        c = batch["cnt"]
+        dup_mask = pc.greater(c, 1)
+        dups = pc.sum(pc.cast(dup_mask, pa.int64())).as_py() or 0
+        extra = pc.sum(pc.subtract(c.filter(dup_mask), 1)).as_py() or 0
+        return pa.table(
+            {"dup_groups": pa.array([dups], pa.int64()),
+             "extra": pa.array([extra], pa.int64())}
+        )
+
+    totals = {"dup_groups": 0, "extra": 0}
+    for row in per_value.map_batches(dup_stats, batch_format="pyarrow").take_all():
+        totals["dup_groups"] += int(row["dup_groups"])
+        totals["extra"] += int(row["extra"])
+    return totals["dup_groups"], totals["extra"]

@@ -1,0 +1,181 @@
+"""Execution result records.
+
+Ray-native equivalent of the reference's ``ExecutionResultSchema`` /
+``DatasetMetrics`` (reference: shared/schema/base.py:242-326,
+shared/schema/result_schema.py:16-345): one record per rule with
+aggregate counts, status derived from failed_records vs threshold, and
+an optional small sample of failing rows. Convertible to an Arrow table
+so reports/lineage checkpoints are just Parquet writes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Any
+
+import pyarrow as pa
+
+from validatelite_ray.rules.spec import RuleSpec
+from validatelite_ray.rules.types import RuleStatus
+
+
+@dataclasses.dataclass
+class RuleResult:
+    rule_id: str
+    rule_name: str
+    rule_type: str
+    column: str | None
+    status: str
+    total_records: int
+    failed_records: int
+    error_records: int = 0
+    execution_time_s: float = 0.0
+    message: str = ""
+    sample_rows: list[dict[str, Any]] = dataclasses.field(default_factory=list)
+
+    @property
+    def success_rate(self) -> float:
+        if self.total_records <= 0:
+            return 1.0
+        return 1.0 - self.failed_records / self.total_records
+
+    @classmethod
+    def from_counts(
+        cls,
+        rule: RuleSpec,
+        total: int,
+        failed: int,
+        errors: int = 0,
+        elapsed: float = 0.0,
+        message: str = "",
+    ) -> "RuleResult":
+        if errors > 0:
+            status = RuleStatus.ERROR
+        elif failed <= rule.threshold * total:
+            status = RuleStatus.PASSED
+        else:
+            status = RuleStatus.FAILED
+        return cls(
+            rule_id=rule.rule_id,
+            rule_name=rule.name or "",
+            rule_type=rule.rule_type.value,
+            column=rule.column,
+            status=status.value,
+            total_records=int(total),
+            failed_records=int(failed),
+            error_records=int(errors),
+            execution_time_s=elapsed,
+            message=message,
+        )
+
+    @classmethod
+    def error(cls, rule: RuleSpec, message: str) -> "RuleResult":
+        return cls(
+            rule_id=rule.rule_id,
+            rule_name=rule.name or "",
+            rule_type=rule.rule_type.value,
+            column=rule.column,
+            status=RuleStatus.ERROR.value,
+            total_records=0,
+            failed_records=0,
+            error_records=1,
+            message=message,
+        )
+
+    @classmethod
+    def skipped(cls, rule: RuleSpec, message: str) -> "RuleResult":
+        return cls(
+            rule_id=rule.rule_id,
+            rule_name=rule.name or "",
+            rule_type=rule.rule_type.value,
+            column=rule.column,
+            status=RuleStatus.SKIPPED.value,
+            total_records=0,
+            failed_records=0,
+            message=message,
+        )
+
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("rule_id", pa.string()),
+        ("rule_name", pa.string()),
+        ("rule_type", pa.string()),
+        ("column", pa.string()),
+        ("status", pa.string()),
+        ("total_records", pa.int64()),
+        ("failed_records", pa.int64()),
+        ("error_records", pa.int64()),
+        ("execution_time_s", pa.float64()),
+        ("message", pa.string()),
+    ]
+)
+
+
+@dataclasses.dataclass
+class ExecutionReport:
+    """All rule results for one dataset run."""
+
+    results: list[RuleResult]
+    started_at: float = dataclasses.field(default_factory=time.time)
+    ended_at: float = dataclasses.field(default_factory=time.time)
+
+    def __iter__(self):
+        return iter(self.results)
+
+    def __getitem__(self, key: str) -> RuleResult:
+        for r in self.results:
+            if r.rule_name == key or r.rule_id == key:
+                return r
+        raise KeyError(key)
+
+    @property
+    def passed(self) -> bool:
+        return all(r.status != RuleStatus.FAILED.value for r in self.results)
+
+    def to_arrow(self) -> pa.Table:
+        cols: dict[str, list[Any]] = {name: [] for name in RESULT_SCHEMA.names}
+        for r in self.results:
+            cols["rule_id"].append(r.rule_id)
+            cols["rule_name"].append(r.rule_name)
+            cols["rule_type"].append(r.rule_type)
+            cols["column"].append(r.column)
+            cols["status"].append(r.status)
+            cols["total_records"].append(r.total_records)
+            cols["failed_records"].append(r.failed_records)
+            cols["error_records"].append(r.error_records)
+            cols["execution_time_s"].append(r.execution_time_s)
+            cols["message"].append(r.message)
+        return pa.table(cols, schema=RESULT_SCHEMA)
+
+    def summary(self) -> dict[str, Any]:
+        """JSON summary, same shape as the reference CLI's payload
+        (reference: cli/commands/schema.py:1678-1696)."""
+        statuses = [r.status for r in self.results]
+        return {
+            "total_rules": len(self.results),
+            "passed_rules": statuses.count(RuleStatus.PASSED.value),
+            "failed_rules": statuses.count(RuleStatus.FAILED.value),
+            "error_rules": statuses.count(RuleStatus.ERROR.value),
+            "skipped_rules": statuses.count(RuleStatus.SKIPPED.value),
+            "total_failed_records": sum(r.failed_records for r in self.results),
+            "execution_time_s": round(self.ended_at - self.started_at, 6),
+        }
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "summary": self.summary(),
+                "results": [
+                    {
+                        **dataclasses.asdict(r),
+                        "success_rate": r.success_rate,
+                    }
+                    for r in self.results
+                ],
+            },
+            default=str,
+            indent=2,
+        )

@@ -1,0 +1,112 @@
+"""SCHEMA rule — table-level metadata check, no data scan.
+
+Ray-native analogue of the reference's schema executor
+(reference: core/executors/schema_executor.py:59-458): each declared
+column is checked for existence and canonical-type equality against the
+dataset's **pyarrow schema** (the Arrow equivalent of
+information_schema introspection); ``strict_mode`` fails undeclared
+extra columns; ``case_insensitive`` matches names case-insensitively.
+
+Arrow storage carries no max_length/precision/scale, so declared
+metadata constraints are reported per-field as ``metadata_enforced:
+False`` rather than failed — the engine's desired-type planner
+(validatelite_ray.engine.desired_type) turns them into concrete
+data-scan rules instead, exactly like the reference's
+DesiredTypeRuleGenerator (cli/commands/schema.py:546-752).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+
+from validatelite_ray.engine.results import RuleResult
+from validatelite_ray.rules.spec import RuleSpec
+from validatelite_ray.rules.types import DataType, RuleStatus
+
+
+def arrow_to_canonical(t: pa.DataType) -> str | None:
+    """Map an Arrow type onto the closed 6-type canonical enum."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return DataType.STRING.value
+    if pa.types.is_integer(t):
+        return DataType.INTEGER.value
+    if pa.types.is_floating(t) or pa.types.is_decimal(t):
+        return DataType.FLOAT.value
+    if pa.types.is_boolean(t):
+        return DataType.BOOLEAN.value
+    if pa.types.is_date(t):
+        return DataType.DATE.value
+    if pa.types.is_timestamp(t):
+        return DataType.DATETIME.value
+    return None
+
+
+def check_schema(rule: RuleSpec, schema: pa.Schema) -> RuleResult:
+    """Evaluate one SCHEMA rule against a pyarrow schema.
+
+    failed_records = number of declared columns whose existence or type
+    check failed (+ extra columns in strict mode), matching the
+    reference's per-field accounting.
+    """
+    declared: dict[str, Any] = dict(rule.param("columns"))
+    strict = bool(rule.param("strict_mode", False))
+    case_insensitive = bool(rule.param("case_insensitive", False))
+
+    actual: dict[str, pa.DataType] = {f.name: f.type for f in schema}
+    lookup = (
+        {name.lower(): name for name in actual} if case_insensitive else None
+    )
+
+    field_results: list[dict[str, Any]] = []
+    failures = 0
+    for name, decl in declared.items():
+        expected = (decl.get("type") if isinstance(decl, dict) else str(decl)) or ""
+        expected = expected.upper()
+        real_name = (
+            lookup.get(name.lower()) if lookup is not None else (name if name in actual else None)
+        )
+        entry: dict[str, Any] = {"column": name, "expected_type": expected}
+        if real_name is None:
+            entry.update(exists=False, failure_code="FIELD_MISSING", status="FAILED")
+            failures += 1
+        else:
+            canonical = arrow_to_canonical(actual[real_name])
+            entry.update(
+                exists=True,
+                actual_type=canonical or str(actual[real_name]),
+                metadata_enforced=False,
+            )
+            if canonical == expected:
+                entry.update(status="PASSED")
+            else:
+                entry.update(failure_code="TYPE_MISMATCH", status="FAILED")
+                failures += 1
+        field_results.append(entry)
+
+    extras: list[str] = []
+    if strict:
+        declared_names = (
+            {n.lower() for n in declared} if case_insensitive else set(declared)
+        )
+        for name in actual:
+            key = name.lower() if case_insensitive else name
+            if key not in declared_names:
+                extras.append(name)
+        failures += len(extras)
+
+    result = RuleResult.from_counts(
+        rule,
+        total=len(declared) + (len(extras) if strict else 0),
+        failed=failures,
+        message="schema check",
+    )
+    # structured details, mirroring the reference's execution_plan.schema_details
+    result.sample_rows = [
+        {"field_results": field_results, "extras": extras, "strict_mode": strict}
+    ]
+    result.status = (
+        RuleStatus.PASSED.value if failures == 0 else RuleStatus.FAILED.value
+    )
+    return result

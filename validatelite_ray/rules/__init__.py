@@ -1,0 +1,4 @@
+from validatelite_ray.rules.types import DataType, RuleType, RuleStatus
+from validatelite_ray.rules.spec import RuleSpec
+
+__all__ = ["DataType", "RuleType", "RuleStatus", "RuleSpec"]

@@ -1,0 +1,205 @@
+"""Rule front-end parsers: inline expressions and the JSON rules file.
+
+Accepts the reference CLI's grammar (reference:
+cli/core/rule_parser.py:42-515):
+
+* inline — ``not_null(id)``, ``unique(email)``, ``length(name,2,50)``,
+  ``range(age,0,120)``, ``enum(status,active,inactive)``,
+  ``regex(email,^pattern$)`` (everything after the first comma is the
+  pattern), ``date_format(created,'YYYY-MM-DD')``. Quotes around
+  parameters are stripped; enum values are coerced int → float →
+  string; regex patterns get shell-escape normalisation (``\\\\``→``\\``,
+  ``\\n``/``\\t``/``\\r`` → control chars) and must compile.
+* file — ``{"rules": [{"type": ..., "column": ..., "min"/"max"/
+  "values"/"pattern"/"format": ...}, ...]}``.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Any, Union
+
+from validatelite_ray.rules import spec as S
+from validatelite_ray.rules.spec import RuleSpec, RuleValidationError
+from validatelite_ray.rules.types import RuleType
+
+
+class RuleParseError(ValueError):
+    pass
+
+
+_CALL = re.compile(r"^\s*(\w+)\s*\((.*)\)\s*$", re.DOTALL)
+
+_TYPE_NAMES = {
+    "not_null": RuleType.NOT_NULL,
+    "unique": RuleType.UNIQUE,
+    "length": RuleType.LENGTH,
+    "range": RuleType.RANGE,
+    "enum": RuleType.ENUM,
+    "regex": RuleType.REGEX,
+    "date_format": RuleType.DATE_FORMAT,
+}
+
+
+def _unquote(text: str) -> str:
+    text = text.strip()
+    if len(text) >= 2 and text[0] in "'\"" and text[-1] == text[0]:
+        return text[1:-1]
+    return text
+
+
+def _normalize_cli_regex(pattern: str) -> str:
+    """Undo one level of shell escaping, then require a compilable pattern."""
+    pattern = _unquote(pattern)
+    pattern = pattern.replace("\\\\", "\\")
+    pattern = pattern.replace("\\n", "\n").replace("\\t", "\t").replace("\\r", "\r")
+    try:
+        re.compile(pattern)
+    except re.error as exc:
+        raise RuleParseError(f"invalid regex pattern {pattern!r}: {exc}") from exc
+    return pattern
+
+
+def _coerce_enum_value(raw: str) -> Union[str, int, float]:
+    text = _unquote(raw)
+    body = text[1:] if text.startswith("-") else text
+    if body.isdigit():
+        return int(text)
+    if "." in text:
+        try:
+            return float(text)
+        except ValueError:
+            pass
+    return text
+
+
+def parse_inline_rule(expr: str) -> RuleSpec:
+    m = _CALL.match(expr)
+    if not m:
+        raise RuleParseError(f"invalid rule syntax: {expr!r}")
+    type_name, arg_str = m.group(1).lower(), m.group(2)
+    rule_type = _TYPE_NAMES.get(type_name)
+    if rule_type is None:
+        raise RuleParseError(f"unsupported rule type: {type_name!r}")
+
+    try:
+        if rule_type == RuleType.REGEX:
+            # everything after the FIRST comma is the pattern (it may
+            # itself contain commas/parens)
+            head, sep, tail = arg_str.partition(",")
+            if not sep:
+                raise RuleParseError("regex rule requires column and pattern")
+            column = _unquote(head)
+            return S.regex(column, _normalize_cli_regex(tail.strip()),
+                           description=f"CLI rule: {expr}")
+
+        args = [a.strip() for a in arg_str.split(",")]
+        if not args or not args[0]:
+            raise RuleParseError("rule must specify at least a column name")
+        column, rest = _unquote(args[0]), args[1:]
+
+        if rule_type == RuleType.NOT_NULL:
+            return S.not_null(column, description=f"CLI rule: {expr}")
+        if rule_type == RuleType.UNIQUE:
+            return S.unique(column, description=f"CLI rule: {expr}")
+        if rule_type == RuleType.LENGTH:
+            lo = int(_unquote(rest[0])) if len(rest) >= 1 else None
+            hi = int(_unquote(rest[1])) if len(rest) >= 2 else None
+            return S.length(column, lo, hi, description=f"CLI rule: {expr}")
+        if rule_type == RuleType.RANGE:
+            lo = float(_unquote(rest[0])) if len(rest) >= 1 else None
+            hi = float(_unquote(rest[1])) if len(rest) >= 2 else None
+            return S.value_range(column, lo, hi, description=f"CLI rule: {expr}")
+        if rule_type == RuleType.ENUM:
+            if not rest:
+                raise RuleParseError("enum rule requires at least one allowed value")
+            return S.enum(column, [_coerce_enum_value(v) for v in rest],
+                          description=f"CLI rule: {expr}")
+        if rule_type == RuleType.DATE_FORMAT:
+            if not rest or not rest[0]:
+                raise RuleParseError("date_format rule requires a format string")
+            return S.date_format(column, _unquote(rest[0]),
+                                 description=f"CLI rule: {expr}")
+    except (RuleValidationError, ValueError) as exc:
+        raise RuleParseError(f"invalid rule {expr!r}: {exc}") from exc
+    raise RuleParseError(f"unsupported rule type: {type_name!r}")
+
+
+def parse_file_rule(data: dict[str, Any]) -> RuleSpec:
+    if not isinstance(data, dict):
+        raise RuleParseError("rule must be a JSON object")
+    for field in ("type", "column"):
+        if field not in data:
+            raise RuleParseError(f"rule must have a {field!r} field")
+    rule_type = _TYPE_NAMES.get(str(data["type"]).lower())
+    if rule_type is None:
+        raise RuleParseError(f"unsupported rule type: {data['type']!r}")
+    column = data["column"]
+    desc = data.get("description", f"Rule for {column}")
+    filt = data.get("filter_condition")
+    kw: dict[str, Any] = {"description": desc}
+    if filt:
+        kw["filter_condition"] = filt
+
+    try:
+        if rule_type == RuleType.NOT_NULL:
+            return S.not_null(column, **kw)
+        if rule_type == RuleType.UNIQUE:
+            return S.unique(column, **kw)
+        if rule_type == RuleType.LENGTH:
+            lo = int(data["min"]) if "min" in data else None
+            hi = int(data["max"]) if "max" in data else None
+            if lo is not None and lo < 0:
+                raise RuleParseError("minimum length cannot be negative")
+            return S.length(column, lo, hi, **kw)
+        if rule_type == RuleType.RANGE:
+            lo = float(data["min"]) if "min" in data else None
+            hi = float(data["max"]) if "max" in data else None
+            return S.value_range(column, lo, hi, **kw)
+        if rule_type == RuleType.ENUM:
+            values = data.get("values", data.get("allowed_values"))
+            if not values:
+                raise RuleParseError("enum values cannot be empty")
+            return S.enum(column, list(values), **kw)
+        if rule_type == RuleType.REGEX:
+            pattern = data.get("pattern", data.get("regex_pattern"))
+            if not pattern:
+                raise RuleParseError("regex pattern cannot be empty")
+            return S.regex(column, _normalize_cli_regex(pattern), **kw)
+        if rule_type == RuleType.DATE_FORMAT:
+            fmt = data.get("format", data.get("format_pattern"))
+            if not fmt:
+                raise RuleParseError("date format cannot be empty")
+            return S.date_format(column, fmt, **kw)
+    except (RuleValidationError, ValueError) as exc:
+        raise RuleParseError(f"invalid rule {data!r}: {exc}") from exc
+    raise RuleParseError(f"unsupported rule type: {data['type']!r}")
+
+
+def parse_rules(
+    inline_rules: list[str] | None = None,
+    rules_file: str | Path | None = None,
+) -> list[RuleSpec]:
+    """Parse inline expressions and/or a JSON rules file into RuleSpecs."""
+    out: list[RuleSpec] = []
+    for expr in inline_rules or []:
+        out.append(parse_inline_rule(expr))
+    if rules_file is not None:
+        try:
+            payload = json.loads(Path(rules_file).read_text(encoding="utf-8"))
+        except json.JSONDecodeError as exc:
+            raise RuleParseError(f"invalid JSON in rules file: {exc}") from exc
+        if not isinstance(payload, dict) or "rules" not in payload:
+            raise RuleParseError("rules file must contain a 'rules' array")
+        if not isinstance(payload["rules"], list):
+            raise RuleParseError("'rules' must be an array")
+        for i, entry in enumerate(payload["rules"]):
+            try:
+                out.append(parse_file_rule(entry))
+            except RuleParseError as exc:
+                raise RuleParseError(f"error parsing rule {i + 1} in file: {exc}") from exc
+    if not out:
+        raise RuleParseError("no valid rules parsed")
+    return out

@@ -1,0 +1,165 @@
+"""Scalar validation semantics — the dialect-independent ground truth.
+
+Behavior-compatible with the reference's SQLite custom UDFs
+(reference: shared/database/sqlite_functions.py:11-244), which the
+reference treats as the canonical per-value semantics for integer
+digit counts, string length, float precision/scale and date-format
+validation.  Key invariants (pinned by tests):
+
+* ``None`` passes every scalar validator (NULL skips validation).
+* Integer digits: sign is not a digit; any fractional part fails.
+* Float precision: validated against ``str(float(v))`` round-trip with
+  trailing-zero stripping; when ``precision == scale`` only ``0.xxx``
+  shapes are legal and the leading 0 is not counted.
+* Date format: pattern tokens ``YYYY MM DD HH MI SS`` (case-insensitive
+  variants) map onto strftime codes; a value is valid iff strptime
+  succeeds AND formatting the parsed date back reproduces the exact
+  input string (catches ``2023-02-31`` and non-padded inputs).
+* Empty/whitespace-only strings pass DATE_FORMAT (not format errors).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from functools import lru_cache
+from typing import Any
+
+__all__ = [
+    "valid_integer_digits",
+    "valid_string_length",
+    "valid_float_precision",
+    "valid_date_format",
+    "date_format_to_strftime",
+    "date_format_to_regex",
+]
+
+
+def valid_integer_digits(value: Any, max_digits: int) -> bool:
+    """True iff ``value`` is an integer-valued number with ≤ max_digits digits.
+
+    The minus sign does not count as a digit; a fractional part fails.
+    """
+    if value is None:
+        return True
+    try:
+        as_float = float(value)
+        as_int = int(as_float)
+    except (TypeError, ValueError, OverflowError):
+        return False
+    if as_float != as_int:
+        return False
+    return len(str(abs(as_int))) <= max_digits
+
+
+def valid_string_length(value: Any, max_length: int) -> bool:
+    """True iff ``str(value)`` has length ≤ max_length (None passes)."""
+    if value is None:
+        return True
+    try:
+        return len(str(value)) <= max_length
+    except Exception:
+        return False
+
+
+def valid_float_precision(value: Any, precision: int, scale: int) -> bool:
+    """True iff ``value`` fits FLOAT(precision, scale).
+
+    Decimal digits are measured on ``str(float(value))`` with trailing
+    zeros stripped; integer digits may not exceed ``precision - scale``.
+    Special case ``precision == scale``: only ``0.xxxx`` is allowed and
+    the leading zero is not counted toward precision.
+    """
+    if value is None:
+        return True
+    try:
+        text = str(float(value)).lstrip("-")
+    except (TypeError, ValueError, OverflowError):
+        return False
+
+    int_budget = precision - scale
+    if "." not in text:
+        digits = 1 if text == "0" else len(text)
+        return digits <= int_budget
+
+    whole, frac = text.split(".", 1)
+    frac = frac.rstrip("0")
+    if precision == scale:
+        if whole != "0":
+            return False
+        whole_digits = 0
+    else:
+        whole_digits = 1 if whole == "0" else len(whole)
+    return whole_digits <= int_budget and len(frac) <= scale
+
+
+# Longest tokens first so e.g. YYYY is consumed before a bare 'YY' could be.
+_FORMAT_TOKENS = [
+    ("YYYY", "%Y"),
+    ("yyyy", "%Y"),
+    ("MM", "%m"),
+    ("mm", "%m"),
+    ("DD", "%d"),
+    ("dd", "%d"),
+    ("HH", "%H"),
+    ("hh", "%H"),
+    ("MI", "%M"),
+    ("mi", "%M"),
+    ("SS", "%S"),
+    ("ss", "%S"),
+]
+
+
+@lru_cache(maxsize=256)
+def date_format_to_strftime(pattern: str) -> str:
+    """Translate a ``YYYY-MM-DD``-style pattern into a strftime format."""
+    out = pattern
+    for token, code in _FORMAT_TOKENS:
+        out = out.replace(token, code)
+    return out
+
+
+@lru_cache(maxsize=256)
+def date_format_to_regex(pattern: str) -> str:
+    """Anchored regex a value must match to be a *candidate* for the format.
+
+    Used as a cheap vectorized prefilter before the strptime round-trip
+    (the reference's PostgreSQL two-stage strategy,
+    database_dialect.py:635-700, collapsed to a local prefilter).
+    """
+    import re as _re
+
+    digit_widths = {"%Y": 4, "%m": 2, "%d": 2, "%H": 2, "%M": 2, "%S": 2}
+    fmt = date_format_to_strftime(pattern)
+    parts: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            code = fmt[i : i + 2]
+            width = digit_widths.get(code)
+            parts.append(rf"\d{{{width}}}" if width else _re.escape(code))
+            i += 2
+        else:
+            parts.append(_re.escape(fmt[i]))
+            i += 1
+    return "^" + "".join(parts) + "$"
+
+
+def valid_date_format(value: Any, pattern: str) -> bool:
+    """True iff ``str(value)`` parses under ``pattern`` AND round-trips exactly.
+
+    None and empty/whitespace-only strings pass (they are completeness
+    problems, not format problems). The round-trip equality catches
+    semantically invalid dates (2023-02-31) and non-canonical padding
+    (2023-1-5 under YYYY-MM-DD).
+    """
+    if value is None:
+        return True
+    if isinstance(value, str) and value.strip() == "":
+        return True
+    fmt = date_format_to_strftime(pattern)
+    text = str(value)
+    try:
+        parsed = datetime.strptime(text, fmt)
+    except (TypeError, ValueError):
+        return False
+    return parsed.strftime(fmt) == text

@@ -1,0 +1,194 @@
+"""RuleSpec — the engine's query language.
+
+A frozen, validated description of one rule, mirroring the semantic
+contract of the reference's ``RuleSchema`` parameter validation
+(reference: shared/schema/rule_schema.py:24-351) without its pydantic
+machinery: each spec is validated eagerly at construction and then
+compiled exactly once into a vectorized Arrow kernel
+(validatelite_ray.compiler.kernels).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+import uuid
+from typing import Any, Mapping
+
+from validatelite_ray.rules.types import BATCH_RULE_TYPES, RuleType
+
+
+class RuleValidationError(ValueError):
+    """A rule's parameters are inconsistent or incomplete."""
+
+
+@dataclasses.dataclass(frozen=True)
+class RuleSpec:
+    """One validation rule over one column (or the table, for SCHEMA).
+
+    ``params`` per rule type (validated in ``__post_init__``):
+
+    * NOT_NULL — none.
+    * UNIQUE   — none.
+    * LENGTH   — ``min_length`` and/or ``max_length`` (ints ≥ 0, min ≤ max).
+    * RANGE    — ``min_value`` and/or ``max_value`` (numbers, min ≤ max;
+      the bound value 0 is honoured — presence is keyed on the dict, not
+      truthiness, matching the reference's falsy-value fix,
+      validity_executor.py:411-432).
+    * ENUM     — non-empty ``allowed_values`` list. NULL rows pass
+      (SQL ``NOT IN`` never matches NULL).
+    * REGEX    — non-empty, compilable ``pattern``; matching is
+      *unanchored search* (MySQL REGEXP semantics).
+    * DATE_FORMAT — non-empty ``format`` (YYYY-MM-DD style tokens).
+    * SCHEMA   — ``columns``: mapping column → parsed type dict (see
+      validatelite_ray.rules.type_parser), optional ``strict_mode`` and
+      ``case_insensitive`` booleans.
+
+    ``filter_condition`` is an optional restricted SQL-ish predicate
+    (see validatelite_ray.compiler.predicate) AND-ed into the rule: rows
+    not matching the filter count toward neither total nor failed.
+
+    ``threshold`` is the tolerated failure *rate* in [0, 1]; status is
+    PASSED iff ``failed_records <= threshold * total_records`` (0.0 —
+    the default — reproduces the reference's exact "PASSED iff zero
+    failures" contract).
+    """
+
+    rule_type: RuleType
+    column: str | None = None
+    params: Mapping[str, Any] = dataclasses.field(default_factory=dict)
+    name: str | None = None
+    rule_id: str = dataclasses.field(default_factory=lambda: uuid.uuid4().hex[:12])
+    filter_condition: str | None = None
+    threshold: float = 0.0
+    severity: str = "MEDIUM"
+    description: str = ""
+
+    def __post_init__(self) -> None:
+        object.__setattr__(self, "rule_type", RuleType(self.rule_type))
+        object.__setattr__(self, "params", dict(self.params))
+        if self.name is None:
+            col = self.column or "table"
+            object.__setattr__(
+                self, "name", f"{self.rule_type.value.lower()}_{col}"
+            )
+        if self.rule_type != RuleType.SCHEMA and not self.column:
+            raise RuleValidationError(f"{self.rule_type.value} rule needs a column")
+        if not (0.0 <= float(self.threshold) <= 1.0):
+            raise RuleValidationError("threshold must be within [0, 1]")
+        validator = _PARAM_VALIDATORS.get(self.rule_type)
+        if validator is not None:
+            validator(dict(self.params))
+
+    # -- convenience accessors -------------------------------------------
+    @property
+    def is_batch_rule(self) -> bool:
+        return self.rule_type in BATCH_RULE_TYPES
+
+    def param(self, key: str, default: Any = None) -> Any:
+        return self.params.get(key, default)
+
+
+def _validate_length(p: dict[str, Any]) -> None:
+    lo, hi = p.get("min_length"), p.get("max_length")
+    if lo is None and hi is None:
+        raise RuleValidationError("LENGTH needs min_length and/or max_length")
+    for v in (lo, hi):
+        if v is not None and (not isinstance(v, int) or v < 0):
+            raise RuleValidationError("LENGTH bounds must be non-negative ints")
+    if lo is not None and hi is not None and hi < lo:
+        raise RuleValidationError("LENGTH max_length < min_length")
+
+
+def _validate_range(p: dict[str, Any]) -> None:
+    lo, hi = p.get("min_value"), p.get("max_value")
+    if "min_value" not in p and "max_value" not in p:
+        raise RuleValidationError("RANGE needs min_value and/or max_value")
+    for v in (lo, hi):
+        if v is not None and not isinstance(v, (int, float)):
+            raise RuleValidationError("RANGE bounds must be numbers")
+    if lo is not None and hi is not None and hi < lo:
+        raise RuleValidationError("RANGE max_value < min_value")
+
+
+def _validate_enum(p: dict[str, Any]) -> None:
+    values = p.get("allowed_values")
+    if not isinstance(values, (list, tuple)) or len(values) == 0:
+        raise RuleValidationError("ENUM needs a non-empty allowed_values list")
+
+
+def _validate_regex(p: dict[str, Any]) -> None:
+    pattern = p.get("pattern")
+    if not pattern or not isinstance(pattern, str):
+        raise RuleValidationError("REGEX needs a non-empty pattern")
+    try:
+        re.compile(pattern)
+    except re.error as exc:
+        raise RuleValidationError(f"invalid regex pattern: {exc}") from exc
+
+
+def _validate_date_format(p: dict[str, Any]) -> None:
+    fmt = p.get("format") or p.get("format_pattern")
+    if not fmt or not isinstance(fmt, str):
+        raise RuleValidationError("DATE_FORMAT needs a non-empty format")
+    p.setdefault("format", fmt)
+
+
+def _validate_schema(p: dict[str, Any]) -> None:
+    cols = p.get("columns")
+    if not isinstance(cols, Mapping) or not cols:
+        raise RuleValidationError("SCHEMA needs a non-empty columns mapping")
+
+
+_PARAM_VALIDATORS = {
+    RuleType.LENGTH: _validate_length,
+    RuleType.RANGE: _validate_range,
+    RuleType.ENUM: _validate_enum,
+    RuleType.REGEX: _validate_regex,
+    RuleType.DATE_FORMAT: _validate_date_format,
+    RuleType.SCHEMA: _validate_schema,
+}
+
+
+# -- terse constructors ---------------------------------------------------
+def not_null(column: str, **kw: Any) -> RuleSpec:
+    return RuleSpec(RuleType.NOT_NULL, column, **kw)
+
+
+def unique(column: str, **kw: Any) -> RuleSpec:
+    return RuleSpec(RuleType.UNIQUE, column, **kw)
+
+
+def length(column: str, min_length: int | None = None, max_length: int | None = None, **kw: Any) -> RuleSpec:
+    params = {k: v for k, v in (("min_length", min_length), ("max_length", max_length)) if v is not None}
+    return RuleSpec(RuleType.LENGTH, column, params, **kw)
+
+
+def value_range(column: str, min_value: float | None = None, max_value: float | None = None, **kw: Any) -> RuleSpec:
+    params: dict[str, Any] = {}
+    if min_value is not None:
+        params["min_value"] = min_value
+    if max_value is not None:
+        params["max_value"] = max_value
+    return RuleSpec(RuleType.RANGE, column, params, **kw)
+
+
+def enum(column: str, allowed_values: list[Any], **kw: Any) -> RuleSpec:
+    return RuleSpec(RuleType.ENUM, column, {"allowed_values": list(allowed_values)}, **kw)
+
+
+def regex(column: str, pattern: str, **kw: Any) -> RuleSpec:
+    return RuleSpec(RuleType.REGEX, column, {"pattern": pattern}, **kw)
+
+
+def date_format(column: str, fmt: str, **kw: Any) -> RuleSpec:
+    return RuleSpec(RuleType.DATE_FORMAT, column, {"format": fmt}, **kw)
+
+
+def schema_rule(columns: Mapping[str, Any], strict_mode: bool = False, case_insensitive: bool = False, **kw: Any) -> RuleSpec:
+    return RuleSpec(
+        RuleType.SCHEMA,
+        None,
+        {"columns": dict(columns), "strict_mode": strict_mode, "case_insensitive": case_insensitive},
+        **kw,
+    )

@@ -1,0 +1,152 @@
+"""Type-definition sugar parser.
+
+Accepts the reference's type grammar (reference:
+shared/utils/type_parser.py:27-239): bare names (``string``, ``int``,
+``float``, ``boolean``, ``date``, ``datetime``), parameterized sugar
+(``string(50)``, ``integer(10)``, ``float(12,2)``,
+``date('YYYY-MM-DD')``, ``datetime('yyyymmdd')``) and the detailed dict
+form ``{"type": ..., "max_length"/"precision"/"scale"/"format": ...}``.
+
+Returns ``{"type": <DataType value>, ...metadata}`` with the same
+consistency constraints: max_length only on STRING, max_digits only on
+INTEGER, precision/scale only on FLOAT (scale ≤ precision), format only
+on DATE/DATETIME, and DATE formats may not contain time tokens.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping, Union
+
+from validatelite_ray.rules.types import DataType
+
+
+class TypeParseError(ValueError):
+    pass
+
+
+_ALIASES = {
+    "string": DataType.STRING,
+    "str": DataType.STRING,
+    "integer": DataType.INTEGER,
+    "int": DataType.INTEGER,
+    "float": DataType.FLOAT,
+    "boolean": DataType.BOOLEAN,
+    "bool": DataType.BOOLEAN,
+    "date": DataType.DATE,
+    "datetime": DataType.DATETIME,
+}
+
+_SUGAR = re.compile(
+    r"""^(?P<base>[a-z]+)\s*
+        (?:\(\s*(?P<args>[^)]*)\s*\))?$""",
+    re.IGNORECASE | re.VERBOSE,
+)
+_TIME_TOKEN_CHARS = set("hHmMsSaApP")
+
+
+def parse_type(type_def: Union[str, Mapping[str, Any]]) -> dict[str, Any]:
+    if isinstance(type_def, Mapping):
+        return _parse_dict(type_def)
+    if isinstance(type_def, str):
+        return _parse_sugar(type_def.strip())
+    raise TypeParseError(f"type definition must be str or dict, got {type(type_def)}")
+
+
+def _parse_dict(d: Mapping[str, Any]) -> dict[str, Any]:
+    if "type" not in d:
+        raise TypeParseError("detailed type form requires a 'type' field")
+    base = _ALIASES.get(str(d["type"]).lower())
+    if base is None:
+        raise TypeParseError(f"unsupported type {d['type']!r}")
+    out: dict[str, Any] = {"type": base.value}
+    for key in ("max_length", "max_digits", "precision", "scale", "format"):
+        if key in d:
+            out[key] = d[key]
+    _check(out)
+    return out
+
+
+def _parse_sugar(text: str) -> dict[str, Any]:
+    m = _SUGAR.match(text)
+    if not m:
+        raise TypeParseError(f"cannot parse type definition {text!r}")
+    base = _ALIASES.get(m.group("base").lower())
+    if base is None:
+        raise TypeParseError(f"unsupported type {m.group('base')!r}")
+    args = m.group("args")
+    out: dict[str, Any] = {"type": base.value}
+    if args is None or args.strip() == "":
+        if args is not None:
+            raise TypeParseError(f"empty parameter list in {text!r}")
+        return out
+
+    parts = [a.strip() for a in args.split(",")]
+    if base is DataType.STRING and len(parts) == 1:
+        out["max_length"] = _positive_int(parts[0], "string length")
+    elif base is DataType.INTEGER and len(parts) == 1:
+        out["max_digits"] = _positive_int(parts[0], "integer digits")
+    elif base is DataType.FLOAT and len(parts) == 2:
+        precision = _positive_int(parts[0], "float precision")
+        scale = int(parts[1])
+        if scale < 0:
+            raise TypeParseError("float scale cannot be negative")
+        if scale > precision:
+            raise TypeParseError("float scale cannot exceed precision")
+        out.update(precision=precision, scale=scale)
+    elif base in (DataType.DATE, DataType.DATETIME) and len(parts) == 1:
+        fmt = parts[0]
+        if len(fmt) >= 2 and fmt[0] in "'\"" and fmt[-1] == fmt[0]:
+            fmt = fmt[1:-1]
+        else:
+            raise TypeParseError(f"format must be quoted in {text!r}")
+        out["format"] = fmt
+    else:
+        raise TypeParseError(f"cannot parse type definition {text!r}")
+    # NOTE: the sugar path deliberately skips _check() — mirroring the
+    # reference, where _validate_metadata runs only for the detailed dict
+    # form (type_parser.py:169-239). date('YYYY-MM-DD') is legal sugar even
+    # though the dict form {"type": "date", "format": "YYYY-MM-DD"} is
+    # rejected (its "M"/"D" characters trip the time-token check).
+    return out
+
+
+def _positive_int(text: str, what: str) -> int:
+    try:
+        value = int(text)
+    except ValueError as exc:
+        raise TypeParseError(f"{what} must be an integer") from exc
+    if value <= 0:
+        raise TypeParseError(f"{what} must be positive")
+    return value
+
+
+def _check(parsed: dict[str, Any]) -> None:
+    t = parsed["type"]
+    if "max_length" in parsed:
+        if t != DataType.STRING.value:
+            raise TypeParseError(f"max_length only applies to STRING, not {t}")
+        if not isinstance(parsed["max_length"], int) or parsed["max_length"] <= 0:
+            raise TypeParseError("max_length must be a positive integer")
+    if "max_digits" in parsed:
+        if t != DataType.INTEGER.value:
+            raise TypeParseError(f"max_digits only applies to INTEGER, not {t}")
+        if not isinstance(parsed["max_digits"], int) or parsed["max_digits"] <= 0:
+            raise TypeParseError("max_digits must be a positive integer")
+    if ("precision" in parsed or "scale" in parsed) and t != DataType.FLOAT.value:
+        raise TypeParseError(f"precision/scale only apply to FLOAT, not {t}")
+    if "precision" in parsed:
+        if not isinstance(parsed["precision"], int) or parsed["precision"] <= 0:
+            raise TypeParseError("precision must be a positive integer")
+    if "scale" in parsed:
+        if not isinstance(parsed["scale"], int) or parsed["scale"] < 0:
+            raise TypeParseError("scale must be a non-negative integer")
+        if "precision" in parsed and parsed["scale"] > parsed["precision"]:
+            raise TypeParseError("scale cannot exceed precision")
+    if "format" in parsed:
+        if t not in (DataType.DATE.value, DataType.DATETIME.value):
+            raise TypeParseError(f"format only applies to DATE/DATETIME, not {t}")
+        if t == DataType.DATE.value and any(
+            c in _TIME_TOKEN_CHARS for c in parsed["format"]
+        ):
+            raise TypeParseError("DATE format may not contain time tokens")

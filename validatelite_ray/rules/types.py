@@ -1,0 +1,67 @@
+"""Closed enums of the rule language.
+
+Mirrors the reference's type universe (reference:
+shared/enums/data_types.py:12-21 — a closed 6-element canonical type
+enum; shared/enums/rule_types.py:26-47 — the 8 rule types) without
+copying any code: these are the public contract of ValidateLite's rule
+language, re-declared for the Ray-native engine.
+"""
+
+from __future__ import annotations
+
+import enum
+
+
+class DataType(str, enum.Enum):
+    """Canonical column types (closed set, per reference data model)."""
+
+    STRING = "STRING"
+    INTEGER = "INTEGER"
+    FLOAT = "FLOAT"
+    BOOLEAN = "BOOLEAN"
+    DATE = "DATE"
+    DATETIME = "DATETIME"
+
+
+class RuleType(str, enum.Enum):
+    """The rule-operator universe (reference: shared/enums/rule_types.py:26-47)."""
+
+    NOT_NULL = "NOT_NULL"
+    UNIQUE = "UNIQUE"
+    REGEX = "REGEX"
+    DATE_FORMAT = "DATE_FORMAT"
+    RANGE = "RANGE"
+    LENGTH = "LENGTH"
+    ENUM = "ENUM"
+    SCHEMA = "SCHEMA"
+
+
+#: Rule types evaluable as a vectorized per-batch boolean mask — these all
+#: fuse into ONE map_batches pass (the Ray-native analogue of the
+#: reference's merged COUNT(CASE...) execution, rule_merger.py:142-178).
+BATCH_RULE_TYPES = frozenset(
+    {
+        RuleType.NOT_NULL,
+        RuleType.REGEX,
+        RuleType.DATE_FORMAT,
+        RuleType.RANGE,
+        RuleType.LENGTH,
+        RuleType.ENUM,
+    }
+)
+
+
+class RuleStatus(str, enum.Enum):
+    """Per-rule execution outcome (reference: shared/schema/result_schema.py)."""
+
+    PASSED = "PASSED"
+    FAILED = "FAILED"
+    ERROR = "ERROR"
+    SKIPPED = "SKIPPED"
+
+
+class SeverityLevel(str, enum.Enum):
+    LOW = "LOW"
+    MEDIUM = "MEDIUM"
+    HIGH = "HIGH"
+    CRITICAL = "CRITICAL"
