@@ -3,14 +3,10 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in validatelite_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,332 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _counts_table(report, names: list[str]) -> pa.Table:
+    if len(names) == 1:
+        r = report[names[0]]
+        return pa.table(
+            {
+                "total_records": pa.array([r.total_records], pa.int64()),
+                "failed_records": pa.array([r.failed_records], pa.int64()),
+            }
+        )
+    rows = [report[n] for n in names]
+    return pa.table(
+        {
+            "rule_name": pa.array([r.rule_name for r in rows], pa.string()),
+            "total_records": pa.array([r.total_records for r in rows], pa.int64()),
+            "failed_records": pa.array([r.failed_records for r in rows], pa.int64()),
+        }
+    )
+
+
+def _rule_query(table: str, columns: list[str] | None, rules) -> Callable[[str], pa.Table]:
+    from validatelite_ray.engine.engine import RuleEngine
+
+    def run(sf_dir: str) -> pa.Table:
+        ds = _read(sf_dir, table, columns)
+        report = RuleEngine(rules).execute(ds)
+        return _counts_table(report, [r.name for r in rules])
+
+    return run
+
+
+_DERIVED_DATE_NOTE = (
+    "derived column: d = '2023-02-' || lpad(doc_id % 31 + 1, 2, '0') — "
+    "days 29..31 are semantically invalid in 2023-02"
+)
+
+
+def _q_date_format(sf_dir: str) -> pa.Table:
+    """DATE_FORMAT rule over a deterministically derived date string."""
+    from validatelite_ray.engine.engine import RuleEngine
+    from validatelite_ray.rules import spec as S
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        day = (np.asarray(b["doc_id"]).astype(np.int64) % 31) + 1
+        d = np.char.add("2023-02-", np.char.zfill(day.astype("U2"), 2))
+        return pa.table({"d": pa.array(d.tolist(), pa.string())})
+
+    derived = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    rules = [S.date_format("d", "YYYY-MM-DD", name="df")]
+    report = RuleEngine(rules).execute(derived)
+    return _counts_table(report, ["df"])
+
+
+def _q_agg_lineitem(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-style grouped aggregate with exact integer accumulators."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def to_ints(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": pc.cast(pc.round(b["l_quantity"]), pa.int64()),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()
+                ),
+                "disc_pct": pc.cast(
+                    pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(to_ints, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Sum("disc_pct", alias_name="sum_disc_pct"),
+            Count(alias_name="n"),
+        )
+    )
+
+
+def _q_dedup_exact(sf_dir: str):
+    """Exact dedup on sha256(text): keep the minimum doc_id per group."""
+    from ray.data.aggregate import Min
+
+    from validatelite_ray.stages.fingerprint import add_sha256
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = ds.map_batches(
+        lambda b: add_sha256(b, "text", "sha256").select(["doc_id", "sha256"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return (
+        hashed.groupby("sha256")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+
+
+def _q_token_count(sf_dir: str):
+    from validatelite_ray.stages.text import token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "token_count": token_count(b["text"])}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q_quality(sf_dir: str):
+    from validatelite_ray.stages.text import alnum_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(b["text"]), pa.int64())
+        alnum = alnum_counts(b["text"])
+        keep = pc.and_(
+            pc.greater_equal(pc.multiply(alnum, 2), n),
+            pc.and_(pc.greater_equal(n, 50), pc.less_equal(n, 500)),
+        )
+        return pa.table(
+            {"doc_id": b["doc_id"], "n_chars_actual": n, "alnum_chars": alnum, "keep": keep}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_scrub_email(sf_dir: str):
+    from validatelite_ray.stages.scrub import scrub_email_only
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"], "scrubbed": scrub_email_only(b["text"])}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship slice on sf0.001: quality-stat + scrub + keep verdict over
+    ``documents`` (the full code-corpus pipeline lives in
+    validatelite_ray.pipelines.quality_filter and is exercised in tests)."""
+    sf_dir = "/root/testdata/sf0.001"
+    from validatelite_ray.stages.scrub import add_scrubbed
+    from validatelite_ray.stages.text import add_quality_stats
+
+    ds = _read(sf_dir, "documents")
+    out = ds.map_batches(
+        lambda b: add_scrubbed(add_quality_stats(b, "text"), "text"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from validatelite_ray.rules import spec as S
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rule_not_null_events": _rule_query(
+            "events", ["user_id"], [S.not_null("user_id", name="nn")]
+        ),
+        "rule_range_orders": _rule_query(
+            "orders", ["o_totalprice"],
+            [S.value_range("o_totalprice", 5000.0, 400000.0, name="rng")],
+        ),
+        "rule_enum_orders": _rule_query(
+            "orders", ["o_orderstatus"],
+            [S.enum("o_orderstatus", ["O", "F"], name="en")],
+        ),
+        "rule_enum_events": _rule_query(
+            "events", ["event_type"],
+            [S.enum("event_type", ["click", "view", "purchase", "signup"], name="en")],
+        ),
+        "rule_length_documents": _rule_query(
+            "documents", ["text"], [S.length("text", 100, 400, name="len")]
+        ),
+        "rule_regex_documents": _rule_query(
+            "documents", ["source"], [S.regex("source", r"^src[0-9]$", name="rx")]
+        ),
+        "rule_date_format_derived": _q_date_format,
+        "rule_unique_events": _rule_query(
+            "events", ["user_id"], [S.unique("user_id", name="u")]
+        ),
+        "rule_filtered_range_orders": _rule_query(
+            "orders", ["o_totalprice", "o_orderstatus"],
+            [
+                S.value_range(
+                    "o_totalprice", 0.0, 50000.0, name="f",
+                    filter_condition="o_orderstatus = 'O'",
+                )
+            ],
+        ),
+        "rule_merged_orders": _rule_query(
+            "orders", None,
+            [
+                S.not_null("o_custkey", name="nn_custkey"),
+                S.value_range("o_totalprice", 5000.0, 400000.0, name="range_totalprice"),
+                S.enum("o_orderstatus", ["O", "F"], name="enum_status"),
+                S.length("o_orderpriority", 6, 15, name="len_priority"),
+            ],
+        ),
+        "agg_lineitem_pricing": _q_agg_lineitem,
+        "dedup_exact_documents": _q_dedup_exact,
+        "text_token_count": _q_token_count,
+        "text_quality": _q_quality,
+        "scrub_email": _q_scrub_email,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fail = "count(CASE WHEN {cond} THEN 1 END) AS failed_records"
+    head = "SELECT count(*) AS total_records, "
+    return {
+        "rule_not_null_events": head + fail.format(cond="user_id IS NULL") + " FROM events",
+        "rule_range_orders": head
+        + fail.format(
+            cond="o_totalprice IS NULL OR o_totalprice < 5000 OR o_totalprice > 400000"
+        )
+        + " FROM orders",
+        "rule_enum_orders": head
+        + fail.format(cond="o_orderstatus NOT IN ('O','F')") + " FROM orders",
+        "rule_enum_events": head
+        + fail.format(
+            cond="event_type NOT IN ('click','view','purchase','signup')"
+        )
+        + " FROM events",
+        "rule_length_documents": head
+        + fail.format(cond="text IS NULL OR length(text) < 100 OR length(text) > 400")
+        + " FROM documents",
+        "rule_regex_documents": head
+        + fail.format(cond="NOT regexp_matches(source, '^src[0-9]$')")
+        + " FROM documents",
+        "rule_date_format_derived": (
+            "WITH t AS (SELECT '2023-02-' || lpad(CAST(doc_id % 31 + 1 AS VARCHAR), 2, '0') AS d "
+            "FROM documents) "
+            + head
+            + fail.format(
+                cond="NOT (try_strptime(d, '%Y-%m-%d') IS NOT NULL "
+                "AND strftime(try_strptime(d, '%Y-%m-%d'), '%Y-%m-%d') = d)"
+            )
+            + " FROM t"
+        ),
+        "rule_unique_events": (
+            "SELECT (SELECT count(*) FROM events) AS total_records, "
+            "CAST(coalesce((SELECT sum(c - 1) FROM ("
+            "SELECT count(*) AS c FROM events WHERE user_id IS NOT NULL "
+            "GROUP BY user_id HAVING count(*) > 1) g), 0) AS BIGINT) AS failed_records"
+        ),
+        "rule_filtered_range_orders": (
+            head
+            + fail.format(
+                cond="o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 50000"
+            )
+            + " FROM orders WHERE o_orderstatus = 'O'"
+        ),
+        "rule_merged_orders": (
+            "SELECT 'nn_custkey' AS rule_name, count(*) AS total_records, "
+            "count(CASE WHEN o_custkey IS NULL THEN 1 END) AS failed_records FROM orders "
+            "UNION ALL SELECT 'range_totalprice', count(*), "
+            "count(CASE WHEN o_totalprice IS NULL OR o_totalprice < 5000 OR o_totalprice > 400000 THEN 1 END) FROM orders "
+            "UNION ALL SELECT 'enum_status', count(*), "
+            "count(CASE WHEN o_orderstatus NOT IN ('O','F') THEN 1 END) FROM orders "
+            "UNION ALL SELECT 'len_priority', count(*), "
+            "count(CASE WHEN o_orderpriority IS NULL OR length(o_orderpriority) < 6 "
+            "OR length(o_orderpriority) > 15 THEN 1 END) FROM orders"
+        ),
+        "agg_lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
+            "CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_pct, "
+            "count(*) AS n "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "dedup_exact_documents": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "text_token_count": (
+            r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS token_count "
+            "FROM documents"
+        ),
+        "text_quality": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_actual, "
+            "CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS BIGINT) AS alnum_chars, "
+            "(2 * length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) >= length(text) "
+            "AND length(text) BETWEEN 50 AND 500) AS keep "
+            "FROM documents"
+        ),
+        "scrub_email": (
+            "SELECT doc_id, regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed "
+            "FROM documents"
+        ),
+    }

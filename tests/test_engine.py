@@ -1,0 +1,156 @@
+"""RuleEngine end-to-end over /root/testdata parquet, verified vs DuckDB."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from validatelite_ray.engine.engine import RuleEngine
+from validatelite_ray.rules import spec as S
+from validatelite_ray.rules.types import RuleStatus
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in ("orders", "customer", "events", "documents", "lineitem"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return c
+
+
+def test_fused_batch_rules_match_duckdb(ray_session, sf_dir, con):
+    rules = [
+        S.not_null("o_custkey", name="nn"),
+        S.value_range("o_totalprice", 1000.0, 150000.0, name="rng"),
+        S.enum("o_orderstatus", ["O", "F"], name="en"),
+        S.length("o_orderpriority", 6, 15, name="len"),
+        S.regex("o_orderpriority", r"^[0-9]-[A-Z]+$", name="rx"),
+    ]
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet")
+    report = RuleEngine(rules).execute(ds)
+
+    exp_total = con.execute("SELECT count(*) FROM orders").fetchone()[0]
+    exp = {
+        "nn": con.execute(
+            "SELECT count(CASE WHEN o_custkey IS NULL THEN 1 END) FROM orders"
+        ).fetchone()[0],
+        "rng": con.execute(
+            "SELECT count(CASE WHEN o_totalprice IS NULL OR o_totalprice < 1000 "
+            "OR o_totalprice > 150000 THEN 1 END) FROM orders"
+        ).fetchone()[0],
+        "en": con.execute(
+            "SELECT count(CASE WHEN o_orderstatus NOT IN ('O','F') THEN 1 END) FROM orders"
+        ).fetchone()[0],
+        "len": con.execute(
+            "SELECT count(CASE WHEN o_orderpriority IS NULL OR length(o_orderpriority) < 6 "
+            "OR length(o_orderpriority) > 15 THEN 1 END) FROM orders"
+        ).fetchone()[0],
+        "rx": con.execute(
+            "SELECT count(CASE WHEN NOT regexp_matches(o_orderpriority, '^[0-9]-[A-Z]+$') "
+            "THEN 1 END) FROM orders"
+        ).fetchone()[0],
+    }
+    for name, want in exp.items():
+        r = report[name]
+        assert r.total_records == exp_total, name
+        assert r.failed_records == want, (name, r.failed_records, want)
+        assert r.status == (
+            RuleStatus.PASSED.value if want == 0 else RuleStatus.FAILED.value
+        )
+
+
+def test_unique_rule_matches_duckdb(ray_session, sf_dir, con):
+    report = RuleEngine([S.unique("user_id", name="u")]).execute(
+        rd.read_parquet(f"{sf_dir}/events.parquet")
+    )
+    want = con.execute(
+        "SELECT coalesce(sum(c - 1), 0) FROM ("
+        " SELECT count(*) c FROM events WHERE user_id IS NOT NULL"
+        " GROUP BY user_id HAVING count(*) > 1)"
+    ).fetchone()[0]
+    total = con.execute("SELECT count(*) FROM events").fetchone()[0]
+    r = report["u"]
+    assert r.failed_records == want
+    assert r.total_records == total
+
+
+def test_unique_duplicate_counting_exact(ray_session):
+    # k copies of a value → failed = k-1; NULLs excluded entirely
+    ds = rd.from_arrow(pa.table({"v": ["a", "a", "a", "b", "b", None, None, "c"]}))
+    r = RuleEngine([S.unique("v", name="u")]).execute(ds)["u"]
+    assert r.failed_records == 3  # (3-1) + (2-1)
+    assert r.total_records == 8
+
+
+def test_filter_condition_engine(ray_session, sf_dir, con):
+    rules = [
+        S.value_range(
+            "o_totalprice", 0.0, 50000.0, name="f",
+            filter_condition="o_orderstatus = 'O'",
+        )
+    ]
+    r = RuleEngine(rules).execute(rd.read_parquet(f"{sf_dir}/orders.parquet"))["f"]
+    total, failed = con.execute(
+        "SELECT count(*), count(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0 "
+        "OR o_totalprice > 50000 THEN 1 END) FROM orders WHERE o_orderstatus = 'O'"
+    ).fetchone()
+    assert (r.total_records, r.failed_records) == (total, failed)
+
+
+def test_missing_column_is_error_not_crash(ray_session, sf_dir):
+    rules = [S.not_null("nope", name="bad"), S.not_null("o_custkey", name="good")]
+    report = RuleEngine(rules).execute(rd.read_parquet(f"{sf_dir}/orders.parquet"))
+    assert report["bad"].status == RuleStatus.ERROR.value
+    assert report["good"].status == RuleStatus.PASSED.value
+    assert "does not exist" in report["bad"].message
+
+
+def test_schema_rule(ray_session, sf_dir):
+    rule = S.schema_rule(
+        {
+            "o_orderkey": "integer",
+            "o_totalprice": "float",
+            "o_orderstatus": {"type": "string"},
+            "o_orderdate": "datetime",
+            "missing_col": "string",
+        },
+        name="schema",
+    )
+    report = RuleEngine([rule]).execute(rd.read_parquet(f"{sf_dir}/orders.parquet"))
+    r = report["schema"]
+    assert r.status == RuleStatus.FAILED.value
+    assert r.failed_records == 1  # only missing_col
+    details = r.sample_rows[0]["field_results"]
+    by_col = {d["column"]: d for d in details}
+    assert by_col["missing_col"]["failure_code"] == "FIELD_MISSING"
+    assert by_col["o_orderkey"]["status"] == "PASSED"
+
+
+def test_schema_strict_mode(ray_session, sf_dir):
+    rule = S.schema_rule({"o_orderkey": "integer"}, strict_mode=True, name="strict")
+    r = RuleEngine([rule]).execute(rd.read_parquet(f"{sf_dir}/orders.parquet"))["strict"]
+    assert r.status == RuleStatus.FAILED.value
+    assert len(r.sample_rows[0]["extras"]) == 5  # 6 cols - 1 declared
+
+
+def test_failure_samples(ray_session, sf_dir):
+    rules = [S.enum("o_orderstatus", ["O", "F"], name="en")]
+    engine = RuleEngine(rules)
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet")
+    samples = engine.collect_failure_samples(ds, k=5)
+    rows = samples[rules[0].rule_id]
+    assert 1 <= len(rows) <= 5
+    assert all(r["o_orderstatus"] == "P" for r in rows)
+
+
+def test_report_shapes(ray_session, sf_dir):
+    rules = [S.not_null("o_custkey", name="nn")]
+    report = RuleEngine(rules).execute(rd.read_parquet(f"{sf_dir}/orders.parquet"))
+    summary = report.summary()
+    assert summary["total_rules"] == 1 and summary["passed_rules"] == 1
+    tbl = report.to_arrow()
+    assert tbl.num_rows == 1
+    assert "rule_id" in tbl.column_names and "failed_records" in tbl.column_names
+    assert report.passed

@@ -1,0 +1,340 @@
+"""Deduplication operators — the UNIQUE rule generalized to corpus scale.
+
+* ``dedup_exact`` — keep-first per content-hash group: a hash-partitioned
+  shuffle on sha256(content) (the reference's UNIQUE semantics,
+  uniqueness_executor.py:53-200, turned into a data-reducing operator).
+  With ``salt_buckets`` the shuffle runs two-phase — first on
+  (key, salt) computing per-bucket minima, then on key — so a hot key
+  (an empty file duplicated across a mega-repo) never lands one giant
+  group on one reducer.
+* ``dedup_minhash_lsh`` — near-dup clustering: shingle → minhash →
+  banded LSH buckets (groupby) → Jaccard-verified candidate pairs →
+  min-label connected components; returns the set of doc ids to DROP.
+* ``dedup_simhash`` — 64-bit simhash with block-split candidate
+  generation and Hamming verification.
+
+Partitioning assumptions are documented per function — this is where
+an all-to-all exchange happens, so keys are always hashes (uniform) and
+hot keys are salted.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from validatelite_ray.stages.fingerprint import add_sha256
+
+
+def dedup_exact(
+    ds: "ray.data.Dataset",  # noqa: F821
+    key: str = "sha256",
+    order_col: str | None = None,
+    content_col: str = "content",
+    salt_buckets: int = 0,
+):
+    """Keep exactly one row per distinct ``key`` (keep-first).
+
+    ``order_col``: winner = row with the minimum value (deterministic);
+    None → arbitrary-but-single winner. If ``key`` is not present it is
+    derived as sha256 of ``content_col``.
+
+    Shuffle key = content hash → uniformly distributed; skew comes only
+    from *duplicate multiplicity* (one value repeated k times). With
+    ``salt_buckets = S > 0`` a two-phase reduction caps any group at
+    ~k/S rows before the final exchange.
+    """
+    cols = ds.schema().names if hasattr(ds.schema(), "names") else ds.schema().base_schema.names
+    if key not in cols:
+        ds = ds.map_batches(
+            lambda b: add_sha256(b, content_col, key),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
+        if order_col is not None:
+            return group.nsmallest(1, order_col)
+        return group.head(1)
+
+    if salt_buckets and order_col is not None:
+        def add_salt(b: pa.Table) -> pa.Table:
+            salt = np.remainder(
+                np.asarray(b[order_col]).astype(np.int64), salt_buckets
+            )
+            return b.append_column("__salt", pa.array(salt))
+
+        phase1 = (
+            ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby([key, "__salt"])
+            .map_groups(keep_min, batch_format="pandas")
+            .drop_columns(["__salt"])
+        )
+        return phase1.groupby(key).map_groups(keep_min, batch_format="pandas")
+
+    return ds.groupby(key).map_groups(keep_min, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _hash_shingles(tokens: list[str], k: int) -> np.ndarray:
+    """64-bit hashes of the k-token shingles of one document."""
+    n = len(tokens) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    joined = ["\x1f".join(tokens[i : i + k]) for i in range(n)]
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+            for s in joined
+        ),
+        dtype=np.uint64,
+        count=n,
+    )
+
+
+class MinHasher:
+    """Stateful minhash signature computer (actor-pool stage).
+
+    Permutation parameters are built once per actor in ``__init__``
+    (seeded → identical across actors); ``__call__`` emits one row per
+    (doc, band): (doc id, band index, band hash) ready for the LSH
+    groupby. num_perm minhashes split into ``bands`` bands of
+    ``num_perm // bands`` rows each.
+    """
+
+    def __init__(
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_perm: int = 64,
+        bands: int = 16,
+        shingle_k: int = 3,
+        seed: int = 42,
+    ):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, int(_MERSENNE) - 1, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, int(_MERSENNE) - 1, size=num_perm, dtype=np.uint64)
+        self.id_col, self.text_col = id_col, text_col
+        self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
+        self.rows_per_band = num_perm // bands
+        import re
+
+        self.tokenize = re.compile(r"\w+").findall
+
+    def signature(self, text: str) -> np.ndarray | None:
+        sh = _hash_shingles(self.tokenize(text.lower()), self.k)
+        if sh.size == 0:
+            return None
+        # (a*x + b) mod p, min per permutation — vectorized outer product
+        vals = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids: list = []
+        band_idx: list[int] = []
+        band_hash: list[int] = []
+        id_values = batch[self.id_col].to_pylist()
+        for doc_id, text in zip(id_values, batch[self.text_col].to_pylist()):
+            if text is None:
+                continue
+            sig = self.signature(text)
+            if sig is None:
+                continue
+            for band in range(self.bands):
+                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                ids.append(doc_id)
+                band_idx.append(band)
+                band_hash.append(int.from_bytes(h, "little") >> 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "band": pa.array(band_idx, pa.int32()),
+                "band_hash": pa.array(band_hash, pa.int64()),
+            }
+        )
+
+
+def _connected_components(edges: Iterable[tuple[int, int]]) -> dict[int, int]:
+    """Union-find on the (small, verified) candidate edge set → {doc: root}."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def dedup_minhash_lsh(
+    ds: "ray.data.Dataset",  # noqa: F821
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    concurrency: int = 4,
+    seed: int = 42,
+) -> "pd.DataFrame":
+    """Near-duplicate clusters via MinHash-LSH.
+
+    Plan: actor-pool minhash stage → (band, band_hash) groupby (the
+    all-to-all exchange; band hashes are uniform so no skew) → candidate
+    pairs per bucket → exact Jaccard verification on shingle sets of the
+    candidate docs only → union-find on the driver (candidate set is
+    orders of magnitude smaller than the corpus; for 100 TB runs the
+    verified edge set still fits the driver because only near-dup pairs
+    survive).
+
+    Returns a pandas DataFrame (doc_id, cluster_id) for docs in clusters
+    of size ≥ 2; keep-policy (e.g. keep min doc_id) is the caller's.
+    """
+    hasher_cls = MinHasher
+
+    bands_ds = ds.map_batches(
+        hasher_cls,
+        fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col, num_perm=num_perm,
+            bands=bands, shingle_k=shingle_k, seed=seed,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=1024,
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        docs = sorted(set(group["doc_id"]))
+        if len(docs) < 2:
+            return pd.DataFrame({"u": [], "v": []})
+        # pair every doc with the bucket's minimum — enough edges for
+        # connected components without quadratic blowup in huge buckets
+        u = docs[0]
+        return pd.DataFrame({"u": [u] * (len(docs) - 1), "v": docs[1:]})
+
+    pairs = (
+        bands_ds.groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    ).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({id_col: [], "cluster_id": []})
+    pairs = pairs.drop_duplicates()
+
+    # exact verification on the candidate docs only: push the candidate-id
+    # semi-join INTO the scan (broadcast id set, filter per batch) instead
+    # of iterating rows on the driver
+    candidate_ids = pa.array(sorted(set(pairs["u"]) | set(pairs["v"])))
+
+    def only_candidates(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b[id_col], value_set=candidate_ids)
+        return b.filter(mask).select([id_col, text_col])
+
+    rows = ds.map_batches(
+        only_candidates, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    texts = {r[id_col]: r[text_col] for r in rows}
+
+    import re
+
+    tokenize = re.compile(r"\w+").findall
+
+    def shingle_set(doc: int) -> set:
+        toks = tokenize((texts.get(doc) or "").lower())
+        return {tuple(toks[i : i + shingle_k]) for i in range(len(toks) - shingle_k + 1)}
+
+    cache: dict[int, set] = {}
+
+    def sset(doc: int) -> set:
+        if doc not in cache:
+            cache[doc] = shingle_set(doc)
+        return cache[doc]
+
+    verified = []
+    for u, v in zip(pairs["u"], pairs["v"]):
+        su, sv = sset(u), sset(v)
+        if not su or not sv:
+            continue
+        j = len(su & sv) / len(su | sv)
+        if j >= jaccard_threshold:
+            verified.append((u, v))
+
+    roots = _connected_components(verified)
+    if not roots:
+        return pd.DataFrame({id_col: [], "cluster_id": []})
+    out = pd.DataFrame(
+        {id_col: list(roots.keys()), "cluster_id": list(roots.values())}
+    ).sort_values(id_col)
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup
+# ---------------------------------------------------------------------------
+
+class SimHasher:
+    """64-bit simhash per document (actor-pool stage).
+
+    ``__call__`` appends a ``simhash`` int64 column plus ``simhash_block_i``
+    columns (the 4×16-bit band split) for LSH-style candidate grouping:
+    two docs within Hamming distance 3 share at least one of 4 blocks.
+    """
+
+    def __init__(self, text_col: str = "text", n_blocks: int = 4):
+        import re
+
+        self.text_col = text_col
+        self.n_blocks = n_blocks
+        self.tokenize = re.compile(r"\w+").findall
+
+    def simhash(self, text: str) -> int:
+        toks = self.tokenize(text.lower())
+        if not toks:
+            return 0
+        hashes = np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+                for t in set(toks)
+            ),
+            dtype=np.uint64,
+        )
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        vote = bits.sum(axis=0) * 2 - len(hashes)
+        return int(((vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        values = [
+            0 if t is None else self.simhash(t)
+            for t in batch[self.text_col].to_pylist()
+        ]
+        sh = np.array(values, dtype=np.uint64)
+        batch = batch.append_column("simhash", pa.array(sh.view(np.int64), pa.int64()))
+        width = 64 // self.n_blocks
+        mask = np.uint64((1 << width) - 1)
+        for i in range(self.n_blocks):
+            block = (sh >> np.uint64(i * width)) & mask
+            batch = batch.append_column(
+                f"simhash_block_{i}", pa.array(block.astype(np.int64), pa.int64())
+            )
+        return batch
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")

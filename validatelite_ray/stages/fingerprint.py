@@ -1,0 +1,92 @@
+"""Content fingerprinting stages.
+
+* ``add_sha256`` — hex sha256 of a string column; THE per-row invariant
+  the north rule pins against the reference (content sha256 equality for
+  every kept row), and the exact-dedup shuffle key (the reference's
+  UNIQUE semantics, uniqueness_executor.py:53-200, keyed on content).
+* ``add_poly_fingerprint`` — 64-bit polynomial rolling hash of the
+  whole document (vectorized numpy Horner evaluation), a cheap
+  order-sensitive fingerprint for grouping/sampling.
+
+Both are stateless ``map_batches`` stages over Arrow batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def sha256_hex_array(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Hex sha256 per element (None → None). UTF-8 bytes of the value."""
+    out: list[str | None] = []
+    for chunk in arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]:
+        buf = chunk.to_pylist()
+        out.extend(
+            None if v is None else hashlib.sha256(v.encode("utf-8")).hexdigest()
+            for v in buf
+        )
+    return pa.array(out, pa.string())
+
+
+def add_sha256(batch: pa.Table, column: str = "content", out: str = "sha256") -> pa.Table:
+    return batch.append_column(out, sha256_hex_array(batch[column]))
+
+
+_POLY_BASE = np.uint64(1099511628211)  # FNV prime as the radix
+
+
+def _utf8_buffer_and_offsets(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(concatenated utf8 bytes as uint8, int64 offsets) of a string array."""
+    arr = arr.cast(pa.large_string())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1)
+    data_buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8, count=int(offsets[-1]))
+        if data_buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return data, offsets
+
+
+def poly_fingerprints(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized 64-bit polynomial fingerprints: Σ byte_i · r^i (mod 2^64).
+
+    Order-sensitive whole-document hash computed with numpy wraparound
+    arithmetic over the *concatenated* byte buffer — no per-row Python.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    data, offsets = _utf8_buffer_and_offsets(arr)
+    n = len(offsets) - 1
+    if data.size == 0:
+        return np.zeros(n, dtype=np.uint64)
+    starts = offsets[:-1]
+    lens = np.diff(offsets)
+    # position of each byte within its own document
+    within = np.arange(offsets[-1], dtype=np.int64) - np.repeat(starts, lens)
+    max_len = int(lens.max())
+    powers = np.empty(max_len, dtype=np.uint64)
+    powers[0] = 1
+    if max_len > 1:
+        np.multiply.accumulate(
+            np.full(max_len - 1, _POLY_BASE, dtype=np.uint64), out=powers[1:]
+        )
+    terms = (data.astype(np.uint64) + np.uint64(1)) * powers[within]
+    # reduceat needs at least one index; empty docs contribute their next
+    # doc's first term, so fix them up after
+    fp = np.zeros(n, dtype=np.uint64)
+    nonempty = lens > 0
+    if nonempty.any():
+        fp[nonempty] = np.add.reduceat(terms, starts[nonempty].astype(np.int64))
+    return fp
+
+
+def add_poly_fingerprint(
+    batch: pa.Table, column: str = "content", out: str = "fingerprint"
+) -> pa.Table:
+    fp = poly_fingerprints(batch[column])
+    return batch.append_column(out, pa.array(fp.view(np.int64), pa.int64()))

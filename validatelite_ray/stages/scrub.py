@@ -1,0 +1,63 @@
+"""PII / secret scrubbing — compiled-regex replacement stages.
+
+Stateless ``map_batches`` transforms using RE2 via
+``pyarrow.compute.replace_substring_regex`` (patterns are module-level
+constants, so each worker process compiles them once on import — the
+north rule's "compile once per worker" contract). Emits a scrubbed
+content column plus per-row match counts so PII rules can be expressed
+as ordinary RANGE(max=0) rules over the counts.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# RE2-compatible patterns (no lookaround). Order matters: key/token
+# patterns run before the generic email pattern.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+AWS_KEY_PATTERN = r"\b(?:AKIA|ASIA|AGPA|AROA)[A-Z0-9]{16}\b"
+GENERIC_TOKEN_PATTERN = (
+    r"\b(?:api[_-]?key|token|secret|password|passwd|pwd)\b"
+    r"[\s:=\"']{1,5}[A-Za-z0-9_\-/+=.]{8,}"
+)
+PRIVATE_KEY_PATTERN = r"-----BEGIN [A-Z ]*PRIVATE KEY-----"
+
+SCRUB_RULES: list[tuple[str, str, str]] = [
+    # (name, pattern, replacement)
+    ("private_key", PRIVATE_KEY_PATTERN, "-----BEGIN SCRUBBED KEY-----"),
+    ("aws_key", AWS_KEY_PATTERN, "<AWS_KEY>"),
+    ("generic_token", GENERIC_TOKEN_PATTERN, "<SECRET>"),
+    ("email", EMAIL_PATTERN, "<EMAIL>"),
+]
+
+
+def scrub_text(arr: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, dict[str, pa.Array]]:
+    """(scrubbed_strings, {rule_name: per-row match counts})."""
+    counts: dict[str, pa.Array] = {}
+    out = arr
+    for name, pattern, replacement in SCRUB_RULES:
+        counts[name] = pc.cast(
+            pc.count_substring_regex(out, pattern=pattern), pa.int64()
+        )
+        out = pc.replace_substring_regex(out, pattern=pattern, replacement=replacement)
+    return out, counts
+
+
+def add_scrubbed(
+    batch: pa.Table, column: str = "content", out: str = "content_scrubbed",
+    with_counts: bool = True,
+) -> pa.Table:
+    scrubbed, counts = scrub_text(batch[column])
+    batch = batch.append_column(out, scrubbed)
+    if with_counts:
+        for name, arr in counts.items():
+            batch = batch.append_column(f"pii_{name}_count", arr)
+    return batch
+
+
+def scrub_email_only(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Email-only scrub (oracle-friendly single pattern)."""
+    return pc.replace_substring_regex(
+        arr, pattern=EMAIL_PATTERN, replacement="<EMAIL>"
+    )

@@ -1,0 +1,119 @@
+"""Text-analysis stages: token counting, quality stats, line heuristics.
+
+All stateless, fully vectorized ``map_batches`` transforms over Arrow
+batches (pyarrow.compute / numpy — no per-row Python in the hot path).
+These produce the heuristic score columns the north-rule quality filter
+thresholds with ordinary RANGE rules.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_PATTERN = r"\w+"  # RE2 ASCII word-chars; same class DuckDB's \w uses
+
+
+def token_count(arr: pa.ChunkedArray | pa.Array, pattern: str = TOKEN_PATTERN) -> pa.Array:
+    """Number of regex-token matches per string (BPE-ish whitespace/word split)."""
+    return pc.cast(pc.count_substring_regex(arr, pattern=pattern), pa.int64())
+
+
+def add_token_count(batch: pa.Table, column: str = "content", out: str = "token_count") -> pa.Table:
+    return batch.append_column(out, token_count(batch[column]))
+
+
+def _segmented_stats(values: np.ndarray, starts: np.ndarray, lens: np.ndarray):
+    """(max, mean) per segment of a flat value array (vectorized reduceat)."""
+    n = len(lens)
+    seg_max = np.zeros(n, dtype=np.int64)
+    seg_mean = np.zeros(n, dtype=np.float64)
+    nonempty = lens > 0
+    if nonempty.any():
+        idx = starts[nonempty].astype(np.int64)
+        seg_max[nonempty] = np.maximum.reduceat(values, idx)
+        seg_mean[nonempty] = np.add.reduceat(values, idx) / lens[nonempty]
+    return seg_max, seg_mean
+
+
+def line_stats(arr: pa.ChunkedArray | pa.Array) -> dict[str, np.ndarray]:
+    """Per-document line statistics: n_lines, max_line_len, mean_line_len.
+
+    Vectorized: split on newline → per-line utf8 lengths → segmented
+    max/mean by list offsets (numpy reduceat). NULL docs get zeros.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lines = pc.split_pattern(arr, pattern="\n")
+    n_lines = pc.fill_null(pc.list_value_length(lines), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lines)
+    line_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.zeros(len(n_lines), dtype=np.int64)
+    np.cumsum(n_lines[:-1], out=starts[1:])
+    max_len, mean_len = _segmented_stats(line_lens, starts, n_lines)
+    return {"n_lines": n_lines, "max_line_len": max_len, "mean_line_len": mean_len}
+
+
+def alnum_counts(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Count of [a-zA-Z0-9] characters per string."""
+    stripped = pc.replace_substring_regex(arr, pattern="[^a-zA-Z0-9]", replacement="")
+    return pc.cast(pc.utf8_length(stripped), pa.int64())
+
+
+def add_quality_stats(batch: pa.Table, column: str = "content") -> pa.Table:
+    """Append n_chars_actual, alnum_chars, token_count, n_lines,
+    max_line_len, mean_line_len, alnum_ratio columns."""
+    arr = batch[column]
+    n_chars = pc.cast(pc.utf8_length(arr), pa.int64())
+    alnum = alnum_counts(arr)
+    stats = line_stats(arr)
+    n_np = pc.fill_null(n_chars, 0).to_numpy(zero_copy_only=False).astype(np.float64)
+    a_np = pc.fill_null(alnum, 0).to_numpy(zero_copy_only=False).astype(np.float64)
+    ratio = np.divide(a_np, n_np, out=np.zeros_like(a_np), where=n_np > 0)
+    batch = batch.append_column("n_chars_actual", n_chars)
+    batch = batch.append_column("alnum_chars", alnum)
+    batch = batch.append_column("token_count", token_count(arr))
+    batch = batch.append_column("n_lines", pa.array(stats["n_lines"]))
+    batch = batch.append_column("max_line_len", pa.array(stats["max_line_len"]))
+    batch = batch.append_column("mean_line_len", pa.array(stats["mean_line_len"]))
+    batch = batch.append_column("alnum_ratio", pa.array(ratio))
+    return batch
+
+
+def shingle_dup_fraction(
+    arr: pa.ChunkedArray | pa.Array, k: int = 3
+) -> np.ndarray:
+    """Fraction of duplicated k-token shingles per document (repetition
+    heuristic, Gopher/RefinedWeb-style). Tokens come from a vectorized
+    regex split; shingle hashing is a rolling combine over token hashes.
+    Documents with < k tokens score 0.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    toks = pc.split_pattern_regex(arr, pattern=r"\W+")
+    out = np.zeros(len(arr), dtype=np.float64)
+    # per-doc set arithmetic over pre-split tokens (no regex work in loop)
+    for i, tl in enumerate(toks.to_pylist()):
+        if not tl:
+            continue
+        words = [t for t in tl if t]
+        n = len(words) - k + 1
+        if n <= 1:
+            continue
+        seen: set[tuple[str, ...]] = set()
+        dups = 0
+        for j in range(n):
+            sh = tuple(words[j : j + k])
+            if sh in seen:
+                dups += 1
+            else:
+                seen.add(sh)
+        out[i] = dups / n
+    return out
+
+
+def add_shingle_dup_fraction(
+    batch: pa.Table, column: str = "content", k: int = 3, out: str = "dup_shingle_frac"
+) -> pa.Table:
+    return batch.append_column(out, pa.array(shingle_dup_fraction(batch[column], k=k)))
