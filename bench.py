@@ -1,0 +1,181 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "corpus_files_per_sec": ...}
+
+``--scaling`` runs the harness twice in fresh processes (num_cpus=8 and
+32) on the same input and reports both throughputs plus scaling
+efficiency (the sandbox substitute for the N vs 4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_FILES = int(os.environ.get("VLRAY_BENCH_CORPUS_FILES", "24000"))
+CACHE = Path(os.environ.get("VLRAY_BENCH_CACHE", "/tmp/vlray_bench_cache"))
+
+
+def _sf_label(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _ensure_corpus() -> list[str]:
+    """Deterministic synthetic code corpus (cached across runs so both
+    scaling levels and repeated benches see identical input)."""
+    from validatelite_ray.testing.codegen import write_corpus_shards
+
+    tag = CACHE / f"corpus_{CORPUS_FILES}"
+    marker = tag / "_READY"
+    if marker.exists():
+        return sorted(str(p) for p in tag.glob("*.parquet"))
+    if tag.exists():
+        shutil.rmtree(tag)
+    paths = write_corpus_shards(str(tag), n_files=CORPUS_FILES, n_shards=16, seed=42)
+    marker.write_text("ok")
+    return paths
+
+
+def bench_once() -> dict:
+    import ray
+    import ray.data as rd
+
+    corpus_paths = _ensure_corpus()  # build cache BEFORE timing
+    # warm OS page cache so we measure compute + shuffle, not cold disk
+    for p in corpus_paths:
+        Path(p).read_bytes()
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from validatelite_ray.engine.engine import RuleEngine
+    from validatelite_ray.pipelines.quality_filter import (
+        QualityFilterConfig,
+        run_streaming,
+    )
+    from validatelite_ray.rules import spec as S
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- flagship: quality filter over the code corpus -----------------
+    out_dir = Path("/tmp/vlray_bench_out")
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+    cfg = QualityFilterConfig(
+        batch_size=1024,
+        scorer_concurrency=max(2, NUM_CPUS // 2),
+        scorer_num_cpus=0.5,
+    )
+    t0 = time.time()
+    summary = run_streaming(corpus_paths, str(out_dir), cfg)
+    timings["qf_corpus"] = round(time.time() - t0, 3)
+    extras["corpus_files"] = summary["total_rows"]
+    extras["corpus_files_per_sec"] = round(
+        summary["total_rows"] / timings["qf_corpus"], 1
+    )
+
+    # --- fused rule suite over lineitem --------------------------------
+    rules = [
+        S.not_null("l_orderkey", name="nn"),
+        S.value_range("l_quantity", 1.0, 45.0, name="qty"),
+        S.value_range("l_extendedprice", 0.0, 80000.0, name="price"),
+        S.enum("l_returnflag", ["A", "N", "R"], name="rf"),
+        S.enum("l_linestatus", ["O"], name="ls"),
+        S.length("l_returnflag", 1, 1, name="len"),
+        S.regex("l_returnflag", "^[A-Z]$", name="rx"),
+    ]
+    t0 = time.time()
+    RuleEngine(rules).execute(
+        rd.read_parquet(
+            f"{SF_DIR}/lineitem.parquet",
+            columns=["l_orderkey", "l_quantity", "l_extendedprice",
+                     "l_returnflag", "l_linestatus"],
+        )
+    )
+    timings["rules_lineitem"] = round(time.time() - t0, 3)
+
+    # --- UNIQUE shuffle over events ------------------------------------
+    t0 = time.time()
+    RuleEngine([S.unique("user_id", name="u")]).execute(
+        rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id"])
+    )
+    timings["unique_events"] = round(time.time() - t0, 3)
+
+    # --- grouped aggregate (Q1-style) ----------------------------------
+    import __ray_entry__ as entrymod
+
+    t0 = time.time()
+    entrymod._q_agg_lineitem(SF_DIR).materialize()
+    timings["agg_lineitem"] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "end-to-end wall time: quality-filter corpus + rule suites",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+
+
+def scaling() -> dict:
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_n, hi_n = 8, 32
+    _ensure_corpus()
+    lo = run_at(lo_n)
+    hi = run_at(hi_n)
+    # throughput scaling on the flagship pipeline (files/sec)
+    tp_lo = lo["corpus_files_per_sec"]
+    tp_hi = hi["corpus_files_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi_n / lo_n)
+    return {
+        "metric": "scaling efficiency (flagship files/sec, 8 -> 32 cpus)",
+        "num_cpus_lo": lo_n,
+        "num_cpus_hi": hi_n,
+        "sec_lo": lo["queries"]["qf_corpus"],
+        "sec_hi": hi["queries"]["qf_corpus"],
+        "files_per_sec_lo": tp_lo,
+        "files_per_sec_hi": tp_hi,
+        "scaling_efficiency": round(eff, 3),
+        "total_sec_lo": lo["value"],
+        "total_sec_hi": hi["value"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(scaling()))
+    else:
+        print(json.dumps(bench_once()))

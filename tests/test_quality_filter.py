@@ -1,0 +1,169 @@
+"""Flagship pipeline e2e: keep/drop F1 vs golden labels, sha256 invariant,
+scrub parity, resumable checkpointing."""
+
+import json
+import shutil
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from validatelite_ray.pipelines import checkpoint as ckpt
+from validatelite_ray.pipelines.quality_filter import (
+    QualityFilterConfig,
+    featurize,
+    label,
+    run,
+)
+from validatelite_ray.testing.codegen import generate_corpus, write_corpus_shards
+from validatelite_ray.testing.golden import golden_labels
+
+N_FILES = 600
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = tmp_path_factory.mktemp("corpus")
+    paths = write_corpus_shards(str(out), n_files=N_FILES, n_shards=3, seed=SEED)
+    table = generate_corpus(n_files=N_FILES, seed=SEED)
+    return paths, table
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(ray_session, corpus, tmp_path_factory):
+    paths, _ = corpus
+    out = tmp_path_factory.mktemp("qf_out")
+    summary = run(paths, str(out), files_per_shard=1)
+    return out, summary
+
+
+def _pipeline_labels(out: Path) -> dict[str, dict]:
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from validatelite_ray.pipelines.quality_filter import finalize_keep
+    import ray
+
+    label_files = ckpt.shard_output_files(out / "labels")
+    slim = rd.read_parquet(label_files, columns=["sha256", "uid", "keep_rules"])
+    from validatelite_ray.pipelines.quality_filter import compute_drop_list
+
+    drops = compute_drop_list(slim)
+    final = finalize_keep(rd.read_parquet(label_files), ray.put(drops))
+    rows = final.take_all()
+    return {r["uid"]: r for r in rows}
+
+
+def test_keep_drop_f1_vs_golden(pipeline_out, corpus):
+    out, summary = pipeline_out
+    _, table = corpus
+    golden = {g["uid"]: g for g in golden_labels(table)}
+    got = _pipeline_labels(out)
+    assert set(got) == set(golden)
+
+    tp = fp = fn = tn = 0
+    mismatches = []
+    for uid, g in golden.items():
+        p = got[uid]["keep"]
+        if p and g["keep"]:
+            tp += 1
+        elif p and not g["keep"]:
+            fp += 1
+            mismatches.append(uid)
+        elif not p and g["keep"]:
+            fn += 1
+            mismatches.append(uid)
+        else:
+            tn += 1
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    assert f1 >= 0.99, (f1, mismatches[:10])
+    assert tp > 0 and tn > 0  # both classes exercised
+
+
+def test_sha256_invariant_and_scrub(pipeline_out, corpus):
+    out, _ = pipeline_out
+    _, table = corpus
+    golden = {g["uid"]: g for g in golden_labels(table)}
+    got = _pipeline_labels(out)
+    for uid, row in got.items():
+        g = golden[uid]
+        assert row["sha256"] == g["sha256"], uid
+        assert row["content_scrubbed"] == g["content_scrubbed"], uid
+
+
+def test_kept_output_unique_and_scrubbed(pipeline_out):
+    out, summary = pipeline_out
+    import ray.data as rd
+
+    kept = rd.read_parquet(str(out / "kept")).take_all()
+    assert len(kept) == summary["kept_rows"] > 0
+    shas = [r["sha256"] for r in kept]
+    assert len(shas) == len(set(shas))  # exact dedup held
+    assert all("AKIA" not in (r["content_scrubbed"] or "") for r in kept)
+    assert all("@example" not in (r["content_scrubbed"] or "") for r in kept)
+
+
+def test_defect_classes_dropped(pipeline_out, corpus):
+    out, summary = pipeline_out
+    paths, table = corpus
+    got = _pipeline_labels(out)
+    by_uid_defect = {}
+    from validatelite_ray.pipelines.quality_filter import UID_SEP
+
+    for r in table.to_pylist():
+        uid = UID_SEP.join([r["repo"], r["path"], r["commit"]])
+        by_uid_defect[uid] = r["defect"]
+    drop_rate = {}
+    for uid, row in got.items():
+        d = by_uid_defect[uid]
+        kept, tot = drop_rate.get(d, (0, 0))
+        drop_rate[d] = (kept + (1 if row["keep"] else 0), tot + 1)
+    # every seeded defect class is overwhelmingly dropped; clean is mostly kept
+    for defect in ("long_line", "low_alnum", "repetition", "non_english", "noise", "tiny"):
+        kept, tot = drop_rate[defect]
+        assert kept / tot < 0.1, (defect, drop_rate[defect])
+    kept, tot = drop_rate["clean"]
+    assert kept / tot > 0.9, drop_rate["clean"]
+    kept, tot = drop_rate["pii"]
+    assert kept / tot > 0.9, drop_rate["pii"]  # pii rows kept (but scrubbed)
+
+
+def test_metrics_written(pipeline_out):
+    out, summary = pipeline_out
+    metrics = pq.read_table(out / "metrics.parquet")
+    assert set(metrics.column_names) == {"rule_name", "total_records", "failed_records"}
+    rules = dict(
+        zip(metrics["rule_name"].to_pylist(), metrics["failed_records"].to_pylist())
+    )
+    assert rules["language"] > 0 and rules["repetition"] > 0
+    totals = set(metrics["total_records"].to_pylist())
+    assert totals == {N_FILES}
+
+
+def test_resume_skips_done_shards_and_identical_metrics(ray_session, corpus, tmp_path):
+    paths, _ = corpus
+    out = tmp_path / "resume_out"
+    s1 = run(paths, str(out), files_per_shard=1)
+    metrics1 = pq.read_table(out / "metrics.parquet").to_pylist()
+
+    # simulate a crash that lost one shard: delete it, then resume
+    victim = ckpt.shard_dir(out / "labels", 1)
+    shutil.rmtree(victim)
+    shutil.rmtree(out / "kept")
+    s2 = run(paths, str(out), files_per_shard=1)
+    assert s2["shards"]["processed"] == 1  # only the missing shard reran
+    assert s2["shards"]["skipped"] == 2
+    metrics2 = pq.read_table(out / "metrics.parquet").to_pylist()
+    assert sorted(metrics1, key=str) == sorted(metrics2, key=str)
+    assert s1["kept_rows"] == s2["kept_rows"]
+
+
+def test_manifest_contents(pipeline_out):
+    out, _ = pipeline_out
+    marker = ckpt.shard_dir(out / "labels", 0) / ckpt.DONE_MARKER
+    manifest = json.loads(marker.read_text())
+    assert manifest["shard_id"] == 0
+    assert manifest["input_files"]

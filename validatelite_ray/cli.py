@@ -1,0 +1,125 @@
+"""CLI front end — ``python -m validatelite_ray.cli check <source> ...``.
+
+Mirrors the reference's ``vlite check`` contract
+(reference: cli/commands/check.py:40-282, exit codes documented at
+docs/USAGE.md:1617-1625): parse source + rules, execute, render a
+table or JSON report, exit 0 when all rules pass, 1 when any rule
+FAILED, 2 on usage errors, 3 on source errors, 4 on engine errors.
+
+Owns the Ray session (the only library entry point allowed to).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+EXIT_OK = 0
+EXIT_RULE_FAILURES = 1
+EXIT_USAGE = 2
+EXIT_SOURCE_ERROR = 3
+EXIT_ENGINE_ERROR = 4
+
+
+def _render_table(report, samples) -> str:
+    lines = []
+    header = f"{'rule':<24} {'status':<8} {'failed':>10} {'total':>10}  message"
+    lines.append(header)
+    lines.append("-" * len(header))
+    for r in report:
+        lines.append(
+            f"{r.rule_name:<24} {r.status:<8} {r.failed_records:>10} "
+            f"{r.total_records:>10}  {r.message}"
+        )
+        for row in (samples or {}).get(r.rule_id, [])[:5]:
+            lines.append(f"    sample: {json.dumps(row, default=str)[:160]}")
+    s = report.summary()
+    lines.append(
+        f"\n{s['total_rules']} rules: {s['passed_rules']} passed, "
+        f"{s['failed_rules']} failed, {s['error_rules']} error, "
+        f"{s['skipped_rules']} skipped; "
+        f"{s['total_failed_records']} failing records; "
+        f"{s['execution_time_s']:.2f}s"
+    )
+    return "\n".join(lines)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="vlray")
+    sub = parser.add_subparsers(dest="command")
+    check = sub.add_parser("check", help="run validation rules against a source")
+    check.add_argument("source", help="csv/tsv/json/jsonl/parquet file or parquet dir")
+    check.add_argument("--rule", action="append", default=[],
+                       help="inline rule, e.g. 'not_null(id)' (repeatable)")
+    check.add_argument("--rules-file", default=None, help="JSON rules file")
+    check.add_argument("--json", dest="as_json", action="store_true",
+                       help="emit the JSON report payload")
+    check.add_argument("--samples", type=int, default=0,
+                       help="collect up to N failing sample rows per rule")
+    check.add_argument("--num-cpus", type=int, default=None)
+
+    try:
+        args = parser.parse_args(argv)
+    except SystemExit as exc:
+        return EXIT_USAGE if exc.code not in (0,) else 0
+    if args.command != "check":
+        parser.print_help()
+        return EXIT_USAGE
+
+    from validatelite_ray.rules.parser import RuleParseError, parse_rules
+    from validatelite_ray.sources.io import SourceError, open_source
+
+    try:
+        rules = parse_rules(args.rule or None, args.rules_file)
+    except (RuleParseError, FileNotFoundError) as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return EXIT_USAGE
+
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+            **({"num_cpus": args.num_cpus} if args.num_cpus else {}),
+        )
+    try:
+        import ray.data
+
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        try:
+            ds = open_source(args.source)
+        except SourceError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return EXIT_SOURCE_ERROR
+
+        from validatelite_ray.engine.engine import RuleEngine
+
+        engine = RuleEngine(rules)
+        try:
+            report = engine.execute(ds)
+            samples = (
+                engine.collect_failure_samples(ds, k=args.samples)
+                if args.samples
+                else {}
+            )
+        except Exception as exc:
+            print(f"engine error: {exc}", file=sys.stderr)
+            return EXIT_ENGINE_ERROR
+
+        if args.as_json:
+            print(report.to_json())
+        else:
+            print(_render_table(report, samples))
+        return EXIT_OK if report.passed else EXIT_RULE_FAILURES
+    finally:
+        if owns_ray:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

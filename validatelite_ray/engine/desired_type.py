@@ -1,0 +1,213 @@
+"""Desired-type compatibility analysis + validation-rule generation.
+
+Pure planning layer reproducing the reference's ``vlite schema``
+desired_type semantics (reference: cli/commands/schema.py:100-543
+CompatibilityAnalyzer, :546-752 DesiredTypeRuleGenerator):
+
+* COMPATIBLE / INCOMPATIBLE / CONFLICTING verdict per (native canonical
+  type, desired type) pair via the fixed matrix;
+* same-type constraint tightening (STRING length, INTEGER digits,
+  FLOAT precision/scale) downgrades COMPATIBLE → INCOMPATIBLE with a
+  concrete generated validation rule;
+* cross-type constraints (INTEGER → FLOAT(p,s), X → STRING(n));
+* INCOMPATIBLE conversions generate executable RuleSpecs (REGEX /
+  DATE_FORMAT / LENGTH) with the reference's documented patterns
+  (database_dialect.py:383-405: integer(N) ``^-?[0-9]{1,N}$``;
+  float(p,s) ``^-?[0-9]{1,p-s}(\\.[0-9]{1,s})?$``; integer-like float
+  ``^-?[0-9]+\\.0*$``; length tightening ``^.{0,N}$``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+from validatelite_ray.rules import spec as S
+from validatelite_ray.rules.spec import RuleSpec
+from validatelite_ray.rules.type_parser import TypeParseError, parse_type
+
+_CANONICAL = {"STRING", "INTEGER", "FLOAT", "BOOLEAN", "DATE", "DATETIME"}
+
+#: (native, desired) → verdict; pairs not listed are CONFLICTING.
+COMPATIBILITY_MATRIX: dict[tuple[str, str], str] = {
+    ("STRING", "STRING"): "COMPATIBLE",
+    ("STRING", "INTEGER"): "INCOMPATIBLE",
+    ("STRING", "FLOAT"): "INCOMPATIBLE",
+    ("STRING", "DATE"): "INCOMPATIBLE",
+    ("STRING", "DATETIME"): "INCOMPATIBLE",
+    ("INTEGER", "STRING"): "COMPATIBLE",
+    ("INTEGER", "INTEGER"): "COMPATIBLE",
+    ("INTEGER", "FLOAT"): "COMPATIBLE",
+    ("INTEGER", "DATE"): "INCOMPATIBLE",
+    ("INTEGER", "DATETIME"): "INCOMPATIBLE",
+    ("FLOAT", "STRING"): "COMPATIBLE",
+    ("FLOAT", "INTEGER"): "INCOMPATIBLE",
+    ("FLOAT", "FLOAT"): "COMPATIBLE",
+    ("FLOAT", "DATE"): "CONFLICTING",
+    ("FLOAT", "DATETIME"): "CONFLICTING",
+    ("DATE", "STRING"): "COMPATIBLE",
+    ("DATE", "INTEGER"): "CONFLICTING",
+    ("DATE", "FLOAT"): "CONFLICTING",
+    ("DATE", "DATE"): "COMPATIBLE",
+    ("DATE", "DATETIME"): "COMPATIBLE",
+    ("DATETIME", "STRING"): "COMPATIBLE",
+    ("DATETIME", "INTEGER"): "CONFLICTING",
+    ("DATETIME", "FLOAT"): "CONFLICTING",
+    ("DATETIME", "DATE"): "COMPATIBLE",
+    ("DATETIME", "DATETIME"): "COMPATIBLE",
+}
+
+
+def integer_regex(max_digits: int) -> str:
+    return rf"^-?[0-9]{{1,{max_digits}}}$"
+
+
+def float_regex(precision: int, scale: int) -> str:
+    int_digits = precision - scale
+    return rf"^-?[0-9]{{1,{int_digits}}}(\.[0-9]{{1,{scale}}})?$"
+
+
+BASIC_INTEGER_REGEX = r"^-?[0-9]+$"
+BASIC_FLOAT_REGEX = r"^-?[0-9]+(\.[0-9]+)?$"
+INTEGER_LIKE_FLOAT_REGEX = r"^-?[0-9]+\.0*$"
+
+
+def length_tightening_regex(max_length: int) -> str:
+    return rf"^.{{0,{max_length}}}$"
+
+
+class ConflictingTypeError(ValueError):
+    """CONFLICTING conversion — a usage error, aborts planning
+    (reference: schema.py:1854-1860)."""
+
+
+@dataclasses.dataclass
+class CompatibilityResult:
+    field_name: str
+    native_type: str
+    desired_type: str
+    compatibility: str                     # COMPATIBLE | INCOMPATIBLE | CONFLICTING
+    reason: str = ""
+    generated_rule: RuleSpec | None = None
+
+
+def _canonical_of(type_str: str) -> tuple[str, dict[str, Any]]:
+    text = str(type_str)
+    if text.upper() in _CANONICAL:
+        return text.upper(), {}
+    try:
+        parsed = parse_type(text)
+        return parsed["type"], parsed
+    except TypeParseError:
+        return text.upper(), {}
+
+
+def analyze(
+    field_name: str,
+    native_type: str,
+    desired_type: str,
+    native_metadata: dict[str, Any] | None = None,
+) -> CompatibilityResult:
+    """Verdict + (for INCOMPATIBLE) a concrete generated RuleSpec."""
+    native_metadata = native_metadata or {}
+    native, _ = _canonical_of(native_type)
+    desired, desired_meta = _canonical_of(desired_type)
+
+    def result(status: str, reason: str, rule: RuleSpec | None = None):
+        return CompatibilityResult(
+            field_name, native_type, desired_type, status, reason, rule
+        )
+
+    # same canonical type: tightening checks first
+    if native == desired:
+        if native == "STRING" and desired_meta.get("max_length") is not None:
+            want = desired_meta["max_length"]
+            have = native_metadata.get("max_length")
+            if have is None or have > want:
+                return result(
+                    "INCOMPATIBLE",
+                    f"length constraint tightening: {have or 'unlimited'} -> {want}",
+                    S.regex(
+                        field_name,
+                        length_tightening_regex(want),
+                        name=f"desired_len_{field_name}",
+                    ),
+                )
+        if native == "INTEGER" and desired_meta.get("max_digits") is not None:
+            digits = desired_meta["max_digits"]
+            return result(
+                "INCOMPATIBLE",
+                f"INTEGER digit constraint: unlimited -> {digits}",
+                S.regex(
+                    field_name, integer_regex(digits), name=f"desired_int_{field_name}"
+                ),
+            )
+        if native == "FLOAT" and desired_meta.get("precision") is not None:
+            p = desired_meta["precision"]
+            s = desired_meta.get("scale") or 0
+            return result(
+                "INCOMPATIBLE",
+                f"FLOAT precision/scale constraint ({p},{s})",
+                S.regex(
+                    field_name, float_regex(p, s), name=f"desired_float_{field_name}"
+                ),
+            )
+        return result("COMPATIBLE", "same canonical type")
+
+    status = COMPATIBILITY_MATRIX.get((native, desired), "CONFLICTING")
+    if status == "CONFLICTING":
+        return result("CONFLICTING", f"{native} to {desired} is not supported")
+
+    if status == "COMPATIBLE":
+        # cross-type precision: INTEGER → FLOAT(p,s)
+        if native == "INTEGER" and desired == "FLOAT" and desired_meta.get("precision"):
+            p = desired_meta["precision"]
+            s = desired_meta.get("scale") or 0
+            if p - s > 0:
+                return result(
+                    "INCOMPATIBLE",
+                    f"cross-type precision: INTEGER -> FLOAT({p},{s})",
+                    S.regex(
+                        field_name,
+                        integer_regex(p - s),
+                        name=f"desired_xfloat_{field_name}",
+                    ),
+                )
+        # cross-type length: X → STRING(n)
+        if desired == "STRING" and desired_meta.get("max_length") is not None:
+            want = desired_meta["max_length"]
+            return result(
+                "INCOMPATIBLE",
+                f"cross-type length: {native} -> STRING({want})",
+                S.length(field_name, None, want, name=f"desired_xlen_{field_name}"),
+            )
+        return result("COMPATIBLE", f"{native} converts safely to {desired}")
+
+    # INCOMPATIBLE conversions → concrete validation rules
+    rule: RuleSpec | None = None
+    if native == "STRING" and desired == "INTEGER":
+        pattern = (
+            integer_regex(desired_meta["max_digits"])
+            if desired_meta.get("max_digits")
+            else BASIC_INTEGER_REGEX
+        )
+        rule = S.regex(field_name, pattern, name=f"desired_int_{field_name}")
+    elif native == "STRING" and desired == "FLOAT":
+        pattern = (
+            float_regex(desired_meta["precision"], desired_meta.get("scale") or 0)
+            if desired_meta.get("precision")
+            else BASIC_FLOAT_REGEX
+        )
+        rule = S.regex(field_name, pattern, name=f"desired_float_{field_name}")
+    elif native in ("STRING", "INTEGER") and desired in ("DATE", "DATETIME"):
+        default_fmt = "YYYY-MM-DD" if native == "STRING" else "YYYYMMDD"
+        fmt = desired_meta.get("format", default_fmt)
+        rule = S.date_format(field_name, fmt, name=f"desired_date_{field_name}")
+    elif native == "FLOAT" and desired == "INTEGER":
+        if desired_meta.get("max_digits"):
+            pattern = rf"^-?[0-9]{{1,{desired_meta['max_digits']}}}\.0*$"
+        else:
+            pattern = INTEGER_LIKE_FLOAT_REGEX
+        rule = S.regex(field_name, pattern, name=f"desired_intlike_{field_name}")
+
+    return result("INCOMPATIBLE", f"{native} to {desired} requires validation", rule)

@@ -1,0 +1,369 @@
+"""The flagship north-rule pipeline: code-corpus quality filter.
+
+Input: Parquet table (repo, path, commit, lang, content). Stages:
+
+1. ``featurize`` — stateless ``map_batches`` (sha256, line/char/token
+   stats, shingle repetition, PII scrub) then two actor-pool stages
+   (LangIdScorer, PerplexityScorer). All zero-copy Arrow.
+2. ``label`` — ONE fused rule-mask pass: every quality rule is an
+   ordinary RuleSpec over the derived score columns, compiled to Arrow
+   kernels (the ValidateLite rule engine reused verbatim); emits
+   ``fail_<rule>`` bool columns and ``keep_rules``.
+3. **labels sink** — the full labeled table is written to partitioned
+   Parquet (one directory per input shard, atomic + ``_DONE`` manifest:
+   validatelite_ray.pipelines.checkpoint). This is the checkpoint: a
+   killed run redoes only missing shards.
+4. ``dedup`` — global exact dedup on sha256 over the labels output
+   (column-pruned read of (sha256, uid, keep_rules)): winner = lexical
+   min uid among rule-passing rows per hash; the much smaller
+   *drop list* (passing non-winners) is broadcast back (``ray.put``)
+   and anti-joined per batch. At larger scale the drop list becomes a
+   hash-partitioned parquet side input per shard — same semantics.
+5. ``metrics`` — per-rule (total, failed) aggregated from the labels
+   output exactly like ValidateLite's result records, plus per-shard
+   lineage manifests.
+
+Rule verdict accounting matches the reference contract: a rule's
+``failed_records`` counts rows violating it; ``keep`` requires passing
+ALL rules AND winning dedup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from validatelite_ray.compiler.kernels import compile_rule
+from validatelite_ray.pipelines import checkpoint as ckpt
+from validatelite_ray.rules import spec as S
+from validatelite_ray.rules.spec import RuleSpec
+from validatelite_ray.stages.fingerprint import add_sha256
+from validatelite_ray.stages.langid import LangIdScorer
+from validatelite_ray.stages.perplexity import PerplexityScorer
+from validatelite_ray.stages.scrub import add_scrubbed
+from validatelite_ray.stages.text import add_quality_stats, add_shingle_dup_fraction
+
+UID_SEP = "\x1f"
+
+
+@dataclasses.dataclass
+class QualityFilterConfig:
+    text_col: str = "content"
+    key_cols: tuple[str, ...] = ("repo", "path", "commit")
+    min_chars: int = 10
+    max_chars: int = 200_000
+    max_line_len: int = 400
+    max_mean_line_len: int = 120
+    min_alnum_ratio: float = 0.25
+    max_dup_shingle_frac: float = 0.30
+    min_ppl_bits: float = 1.0
+    max_ppl_bits: float = 7.0
+    langid_min_score: float = 0.5
+    target_langs: tuple[str, ...] = ("en", "und")
+    shingle_k: int = 3
+    batch_size: int = 512
+    scorer_concurrency: int = 2
+    scorer_num_cpus: float = 0.5
+
+    def rules(self) -> list[RuleSpec]:
+        """Quality thresholds expressed as ordinary ValidateLite rules
+        over the derived score columns."""
+        return [
+            S.not_null(self.text_col, name="content_present"),
+            S.value_range("n_chars_actual", self.min_chars, self.max_chars, name="size"),
+            S.value_range("max_line_len", None, float(self.max_line_len), name="line_len"),
+            S.value_range(
+                "mean_line_len", None, float(self.max_mean_line_len), name="mean_line_len"
+            ),
+            S.value_range("alnum_ratio", self.min_alnum_ratio, 1.0, name="alnum"),
+            S.value_range(
+                "dup_shingle_frac", 0.0, self.max_dup_shingle_frac, name="repetition"
+            ),
+            S.value_range("ppl_bits", self.min_ppl_bits, self.max_ppl_bits, name="perplexity"),
+            S.enum("lang_gate", list(self.target_langs), name="language"),
+        ]
+
+
+class ModelScorer:
+    """ONE actor-pool stage holding both stateful models (langid +
+    perplexity): models built once per actor in ``__init__``, one pass
+    per batch, plus the derived ``lang_gate`` column. A single pool
+    avoids reserving the whole node for actors (pool CPU budget =
+    scorer_concurrency × scorer_num_cpus; keep it well below the node
+    size so read/write tasks never starve)."""
+
+    def __init__(self, text_col: str, langid_min_score: float):
+        self.langid = LangIdScorer(text_col)
+        self.ppl = PerplexityScorer(text_col)
+        self.min_score = langid_min_score
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = self.ppl(self.langid(batch))
+        confident = pc.greater_equal(batch["langid_score"], self.min_score)
+        gate = pc.if_else(confident, batch["lang_pred"], pa.scalar("und"))
+        return batch.append_column("lang_gate", gate)
+
+
+def featurize(ds, cfg: QualityFilterConfig):
+    """Derive all score columns (stateless stats stage + one actor pool)."""
+    text = cfg.text_col
+
+    def stats(b: pa.Table) -> pa.Table:
+        b = add_sha256(b, text, "sha256")
+        b = add_quality_stats(b, text)
+        b = add_shingle_dup_fraction(b, text, k=cfg.shingle_k)
+        b = add_scrubbed(b, text, "content_scrubbed")
+        # stable dedup tiebreak key from the row identity columns
+        uid = None
+        for col in cfg.key_cols:
+            part = pc.cast(b[col], pa.string())
+            uid = part if uid is None else pc.binary_join_element_wise(uid, part, UID_SEP)
+        return b.append_column("uid", uid)
+
+    out = ds.map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True, batch_size=cfg.batch_size
+    )
+    return out.map_batches(
+        ModelScorer,
+        fn_constructor_kwargs={
+            "text_col": text,
+            "langid_min_score": cfg.langid_min_score,
+        },
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.scorer_concurrency,
+        num_cpus=cfg.scorer_num_cpus,
+    )
+
+
+def label(ds, cfg: QualityFilterConfig):
+    """Fused rule-mask evaluation → fail_<rule> columns + keep_rules."""
+    rules = cfg.rules()
+    compiled = [compile_rule(r) for r in rules]
+
+    def masks(b: pa.Table) -> pa.Table:
+        keep = np.ones(len(b), dtype=bool)
+        for cr in compiled:
+            fail = np.asarray(cr.fail_mask(b))
+            keep &= ~fail
+            b = b.append_column(f"fail_{cr.spec.name}", pa.array(fail))
+        return b.append_column("keep_rules", pa.array(keep))
+
+    return ds.map_batches(masks, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def compute_drop_list(labels_ds) -> pa.Array:
+    """uids of rule-passing rows that LOSE exact dedup (non-winners).
+
+    Shuffle payload: (sha256, uid) of passing rows only, pre-projected.
+    Winner = lexical min uid per sha256.
+    """
+    import pandas as pd
+
+    pairs = labels_ds.map_batches(
+        lambda b: b.filter(pc.equal(b["keep_rules"], True)).select(["sha256", "uid"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) <= 1:
+            return pd.DataFrame({"uid": pd.Series([], dtype="object")})
+        keep = g["uid"].min()
+        return pd.DataFrame({"uid": g.loc[g["uid"] != keep, "uid"]})
+
+    dropped = pairs.groupby("sha256").map_groups(losers, batch_format="pandas")
+    uids = [r["uid"] for r in dropped.take_all()]
+    return pa.array(sorted(uids), pa.string())
+
+
+def finalize_keep(labels_ds, drop_ref):
+    """keep = keep_rules AND uid not in (broadcast) drop list."""
+    import ray
+
+    def apply(b: pa.Table) -> pa.Table:
+        drops = ray.get(drop_ref) if drop_ref is not None else pa.array([], pa.string())
+        dup = (
+            pc.is_in(b["uid"], value_set=drops)
+            if len(drops)
+            else pa.array(np.zeros(len(b), dtype=bool))
+        )
+        keep = pc.and_(b["keep_rules"], pc.invert(dup))
+        b = b.append_column("is_duplicate", dup)
+        return b.append_column("keep", keep)
+
+    return labels_ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def metrics_from_labels(labels_ds, rule_names: Sequence[str]) -> pa.Table:
+    """Per-rule (total, failed) from the labels table — partial per-block
+    sums then a tiny final reduction (ValidateLite result-record shape)."""
+    fail_cols = [f"fail_{n}" for n in rule_names]
+
+    def partial(b: pa.Table) -> pa.Table:
+        names, totals, fails = [], [], []
+        for name, col in zip(rule_names, fail_cols):
+            names.append(name)
+            totals.append(len(b))
+            fails.append(pc.sum(pc.cast(b[col], pa.int64())).as_py() or 0)
+        return pa.table(
+            {
+                "rule_name": pa.array(names, pa.string()),
+                "total_records": pa.array(totals, pa.int64()),
+                "failed_records": pa.array(fails, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        labels_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("rule_name")
+        .aggregate(
+            Sum("total_records", alias_name="total_records"),
+            Sum("failed_records", alias_name="failed_records"),
+        )
+    )
+    rows = agg.take_all()
+    return pa.table(
+        {
+            "rule_name": pa.array([r["rule_name"] for r in rows], pa.string()),
+            "total_records": pa.array([r["total_records"] for r in rows], pa.int64()),
+            "failed_records": pa.array([r["failed_records"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def run_streaming(
+    input_files: Sequence[str],
+    out_dir: str,
+    cfg: QualityFilterConfig | None = None,
+) -> dict[str, Any]:
+    """One continuous streaming pipeline (no shard checkpoints) — the
+    bench/throughput path: read → featurize → label → labels parquet,
+    then dedup + final keep + kept parquet + metrics. Use ``run`` when
+    resumability matters; the physical plan is otherwise identical."""
+    import ray
+    import ray.data as rd
+
+    cfg = cfg or QualityFilterConfig()
+    out = Path(out_dir)
+    labels_dir = out / "labels_stream"
+    labeled = label(featurize(rd.read_parquet(list(input_files)), cfg), cfg)
+    labeled.write_parquet(str(labels_dir))
+
+    label_files = [str(p) for p in sorted(labels_dir.glob("*.parquet"))]
+    rule_names = [r.name for r in cfg.rules()]
+    slim = rd.read_parquet(label_files, columns=["sha256", "uid", "keep_rules"])
+    drops = compute_drop_list(slim)
+    final = finalize_keep(rd.read_parquet(label_files), ray.put(drops))
+    kept_dir = out / "kept"
+    kept_cols = list(dict.fromkeys([*cfg.key_cols, "lang", "sha256", "content_scrubbed"]))
+
+    def project_kept(b: pa.Table) -> pa.Table:
+        kept = b.filter(pc.equal(b["keep"], True))
+        return kept.select([c for c in kept_cols if c in kept.column_names])
+
+    final.map_batches(
+        project_kept, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(str(kept_dir))
+    metrics = metrics_from_labels(
+        rd.read_parquet(label_files, columns=[f"fail_{n}" for n in rule_names]),
+        rule_names,
+    )
+    n_total = int(pc.sum(metrics["total_records"]).as_py() or 0) // max(len(rule_names), 1)
+    kept_count = rd.read_parquet(str(kept_dir)).count()
+    return {
+        "total_rows": n_total,
+        "kept_rows": int(kept_count),
+        "dropped_duplicates": len(drops),
+        "rules": dict(
+            zip(metrics["rule_name"].to_pylist(), metrics["failed_records"].to_pylist())
+        ),
+    }
+
+
+def run(
+    input_files: Sequence[str],
+    out_dir: str,
+    cfg: QualityFilterConfig | None = None,
+    files_per_shard: int = 1,
+    resume: bool = True,
+) -> dict[str, Any]:
+    """End-to-end checkpointed run. Returns summary dict."""
+    import ray
+    import ray.data as rd
+
+    cfg = cfg or QualityFilterConfig()
+    out = Path(out_dir)
+    labels_base = out / "labels"
+
+    shards = [
+        list(input_files[i : i + files_per_shard])
+        for i in range(0, len(input_files), files_per_shard)
+    ]
+
+    def process(files: Sequence[str], tmp_dir: str) -> dict[str, Any]:
+        ds = rd.read_parquet(list(files))
+        labeled = label(featurize(ds, cfg), cfg)
+        labeled.write_parquet(tmp_dir)
+        return {}
+
+    stats = ckpt.run_sharded(shards, labels_base, process, resume=resume)
+
+    label_files = ckpt.shard_output_files(labels_base)
+    rule_names = [r.name for r in cfg.rules()]
+
+    # global dedup (phase B) — column-pruned read of the labels output
+    slim = rd.read_parquet(label_files, columns=["sha256", "uid", "keep_rules"])
+    drops = compute_drop_list(slim)
+    drop_ref = ray.put(drops)
+
+    # final keep + kept-rows output (phase C)
+    labels_full = rd.read_parquet(label_files)
+    final = finalize_keep(labels_full, drop_ref)
+    kept_dir = out / "kept"
+    kept_cols = list(dict.fromkeys([*cfg.key_cols, "lang", "sha256", "content_scrubbed"]))
+
+    def project_kept(b: pa.Table) -> pa.Table:
+        kept = b.filter(pc.equal(b["keep"], True))
+        return kept.select([c for c in kept_cols if c in kept.column_names])
+
+    final.map_batches(
+        project_kept, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(str(kept_dir))
+
+    # metrics (per-rule counts + dedup accounting)
+    metrics = metrics_from_labels(
+        rd.read_parquet(
+            label_files, columns=[f"fail_{n}" for n in rule_names]
+        ),
+        rule_names,
+    )
+    import pyarrow.parquet as pq
+
+    n_total = int(pc.sum(metrics["total_records"]).as_py() or 0) // max(len(rule_names), 1)
+    n_dropped_dup = len(drops)
+    pq.write_table(metrics, out / "metrics.parquet")
+
+    kept_count = rd.read_parquet(str(kept_dir)).count() if any(kept_dir.glob("*")) else 0
+    summary = {
+        "shards": stats,
+        "total_rows": n_total,
+        "kept_rows": int(kept_count),
+        "dropped_duplicates": n_dropped_dup,
+        "rules": {
+            name: int(failed)
+            for name, failed in zip(
+                metrics["rule_name"].to_pylist(),
+                metrics["failed_records"].to_pylist(),
+            )
+        },
+        "out_dir": str(out),
+    }
+    return summary

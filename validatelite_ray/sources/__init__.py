@@ -1,0 +1,3 @@
+from validatelite_ray.sources.io import open_source, SourceSpec
+
+__all__ = ["open_source", "SourceSpec"]

@@ -1,0 +1,76 @@
+"""Sources — file → Dataset, replacing the reference's staging sink.
+
+The reference ingests CSV/Excel/JSON by loading pandas and staging into
+a temp SQLite database (reference: cli/core/data_validator.py:326-740);
+here every format reads *directly* into Arrow blocks with
+``ray.data.read_*`` — no staging copy, streaming from the first block.
+
+``parse_source`` mirrors the reference CLI's source-string grammar
+(cli/core/source_parser.py:55-178): a path ending in .csv/.tsv/.json/
+.jsonl/.parquet (or a directory of parquet) — database URLs are out of
+scope for the Ray build (the corpus source is Parquet).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+
+class SourceError(ValueError):
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class SourceSpec:
+    path: str
+    fmt: str                      # csv | tsv | json | jsonl | parquet
+    table: str                    # logical table name (file stem)
+
+
+_SUFFIXES = {
+    ".csv": "csv",
+    ".tsv": "tsv",
+    ".json": "json",
+    ".jsonl": "jsonl",
+    ".ndjson": "jsonl",
+    ".parquet": "parquet",
+    ".pq": "parquet",
+}
+
+
+def parse_source(source: str) -> SourceSpec:
+    p = Path(source)
+    if p.is_dir():
+        if list(p.glob("*.parquet")):
+            return SourceSpec(str(p), "parquet", p.name)
+        raise SourceError(f"directory {source!r} contains no parquet files")
+    fmt = _SUFFIXES.get(p.suffix.lower())
+    if fmt is None:
+        raise SourceError(
+            f"unsupported source {source!r} (expected "
+            f"{'/'.join(sorted(set(_SUFFIXES)))} or a parquet directory)"
+        )
+    if not p.exists():
+        raise SourceError(f"source file not found: {source}")
+    return SourceSpec(str(p), fmt, p.stem.replace("-", "_"))
+
+
+def open_source(source: str | SourceSpec, columns: list[str] | None = None):
+    """SourceSpec/path → ray.data.Dataset (column-pruned where supported)."""
+    import ray.data as rd
+
+    spec = source if isinstance(source, SourceSpec) else parse_source(source)
+    if spec.fmt == "parquet":
+        return rd.read_parquet(spec.path, columns=columns)
+    if spec.fmt == "csv":
+        ds = rd.read_csv(spec.path)
+    elif spec.fmt == "tsv":
+        from pyarrow import csv as pacsv
+
+        ds = rd.read_csv(spec.path, parse_options=pacsv.ParseOptions(delimiter="\t"))
+    elif spec.fmt in ("json", "jsonl"):
+        ds = rd.read_json(spec.path)
+    else:  # pragma: no cover
+        raise SourceError(f"unhandled format {spec.fmt}")
+    return ds.select_columns(columns) if columns else ds

@@ -1,0 +1,106 @@
+"""Language identification — stateful actor-pool stage.
+
+Deterministic stand-in for a fastText language identifier (the real
+model isn't available in this environment; the Ray-side contract —
+callable class, model built once per actor in ``__init__``, batched
+``__call__`` over Arrow batches, ``map_batches(LangIdScorer,
+concurrency=N, batch_size=B)`` — is exactly what a fastText actor
+would use; swap ``__init__`` to ``fasttext.load_model(...)`` on a real
+cluster).
+
+Method: stopword-profile scoring over word tokens for latin-script
+languages plus a CJK character-ratio channel. Emits ``lang_pred``
+(argmax language, ``und`` when no evidence) and ``langid_score``
+(confidence in [0,1] — the winning language's share of scored tokens).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+# Compact, public-knowledge stopword profiles (most-frequent function words).
+_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset(
+        "the of and to in a is that it for on with as was at by an be this have from "
+        "or are not but had his they you which one all were her she there been if more "
+        "when will would who so no out up into them then its only over very your some "
+        "can may than most these two did any what our said him most after first".split()
+    ),
+    "es": frozenset(
+        "el la de que y a en un ser se no haber por con su para como estar tener le lo "
+        "todo pero más hacer o poder decir este ir otro ese si me ya ver porque dar "
+        "cuando muy sin vez mucho sobre también hasta donde quien desde nos los las una "
+        "del al es son está fue pero sus entre años había".split()
+    ),
+    "de": frozenset(
+        "der die und in den von zu das mit sich des auf für ist im dem nicht ein eine "
+        "als auch es an werden aus er hat dass sie nach wird bei einer um am sind noch "
+        "wie einem über einen so zum war haben nur oder aber vor zur bis mehr durch "
+        "man sein wurde sei während können ihre dann unter wir".split()
+    ),
+    "fr": frozenset(
+        "le de un être et à il avoir ne je son que se qui ce dans en du elle au pour "
+        "pas sur faire plus dire me on mon lui nous comme mais pouvoir avec tout y "
+        "aller voir bien où sans tu ou leur si deux mari moi vouloir te la les des une "
+        "est sont était dont cette ses aux par plus".split()
+    ),
+}
+
+_WORD = re.compile(r"[a-zA-ZÀ-ÿäöüßñ]+")
+_CJK = re.compile(r"[一-鿿぀-ヿ가-힯]")
+
+
+class LangIdScorer:
+    """Callable-class stage for ``map_batches(..., concurrency=N)``.
+
+    ``__init__`` (once per actor) builds the token → language index;
+    ``__call__`` scores a batch and appends ``lang_pred`` and
+    ``langid_score`` columns.
+    """
+
+    def __init__(self, text_col: str = "content"):
+        self.text_col = text_col
+        self.langs = sorted(_PROFILES)
+        self.token_lang: dict[str, np.ndarray] = {}
+        for i, lang in enumerate(self.langs):
+            for tok in _PROFILES[lang]:
+                vec = self.token_lang.setdefault(
+                    tok, np.zeros(len(self.langs), dtype=np.float32)
+                )
+                vec[i] += 1.0
+        self.word = _WORD
+        self.cjk = _CJK
+
+    def classify(self, text: str) -> tuple[str, float]:
+        if not text:
+            return "und", 0.0
+        cjk_hits = len(self.cjk.findall(text[:4000]))
+        toks = [t.lower() for t in self.word.findall(text[:4000])]
+        votes = np.zeros(len(self.langs), dtype=np.float32)
+        hits = 0
+        for t in toks:
+            vec = self.token_lang.get(t)
+            if vec is not None:
+                votes += vec
+                hits += 1
+        n_signals = hits + cjk_hits
+        if n_signals == 0:
+            return "und", 0.0
+        if cjk_hits > votes.max():
+            return "zh", cjk_hits / n_signals
+        best = int(votes.argmax())
+        return self.langs[best], float(votes[best]) / n_signals
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds: list[str] = []
+        scores: list[float] = []
+        for text in batch[self.text_col].to_pylist():
+            lang, score = self.classify(text or "")
+            preds.append(lang)
+            scores.append(score)
+        batch = batch.append_column("lang_pred", pa.array(preds, pa.string()))
+        batch = batch.append_column("langid_score", pa.array(scores, pa.float64()))
+        return batch

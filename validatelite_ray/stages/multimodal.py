@@ -1,0 +1,139 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata.
+
+Image/audio decode libraries are NOT available in this environment, so
+the decode kernels are STUBBED — ``FakeCodec`` documents and implements
+a deterministic stand-in (parses a tiny header we define), while
+``decode=None`` raises ``NotImplementedError`` at the decode step.
+Everything Ray-side is real and tested: schemas, actor-pool signatures,
+small-batch sizing for wide binary rows, and the output layout.
+
+Pattern (the production shape):
+
+    ds.map_batches(ImageDecodeStage, concurrency=N, batch_size=SMALL,
+                   num_cpus=1, batch_format="pyarrow")
+
+with ``batch_size`` small because each row carries megabytes — the
+block budget is bytes, not rows.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+#: schema of a multimodal corpus row
+MULTIMODAL_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.int64()),
+        ("modality", pa.string()),        # image | audio | video
+        ("media_type", pa.string()),      # e.g. image/png
+        ("payload", pa.binary()),         # opaque encoded bytes
+        ("meta_width", pa.int32()),
+        ("meta_height", pa.int32()),
+        ("meta_duration_ms", pa.int32()),
+    ]
+)
+
+_FAKE_MAGIC = b"FAKE"
+
+
+def encode_fake_image(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic fake 'encoded image': header + seeded byte payload."""
+    rng = np.random.default_rng(seed)
+    body = rng.integers(0, 256, size=min(width * height, 4096), dtype=np.uint8)
+    return _FAKE_MAGIC + struct.pack("<iii", width, height, seed) + body.tobytes()
+
+
+class FakeCodec:
+    """Deterministic stand-in for an image decoder (PIL/libjpeg absent)."""
+
+    def decode(self, payload: bytes) -> dict:
+        if payload is None or payload[:4] != _FAKE_MAGIC:
+            raise ValueError("not a FAKE payload")
+        width, height, seed = struct.unpack("<iii", payload[4:16])
+        rng = np.random.default_rng(seed)
+        pixels = rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+        return {"width": width, "height": height, "pixels": pixels}
+
+    def resize(self, pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+        h, w = pixels.shape
+        ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+        xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+        return pixels[np.ix_(ys, xs)]
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: decode → feature-extract each image payload.
+
+    ``codec=None`` (production placeholder) raises NotImplementedError —
+    a real deployment passes a codec wrapping PIL/turbojpeg. Output
+    columns: item_id, width, height, mean_intensity, thumb_8x8
+    (fixed-size list<uint8>), preserving input order.
+    """
+
+    def __init__(self, codec: FakeCodec | None = None, payload_col: str = "payload"):
+        self.codec = codec
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.codec is None:
+            raise NotImplementedError(
+                "image decode requires a codec (PIL/libjpeg not available in "
+                "this environment); pass codec=FakeCodec() for the tested stub"
+            )
+        ids, widths, heights, means, thumbs = [], [], [], [], []
+        for item_id, payload in zip(
+            batch["item_id"].to_pylist(), batch[self.payload_col].to_pylist()
+        ):
+            img = self.codec.decode(payload)
+            thumb = self.codec.resize(img["pixels"], 8, 8)
+            ids.append(item_id)
+            widths.append(img["width"])
+            heights.append(img["height"])
+            means.append(float(img["pixels"].mean()))
+            thumbs.append(thumb.ravel().tolist())
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "mean_intensity": pa.array(means, pa.float64()),
+                "thumb_8x8": pa.array(thumbs, pa.list_(pa.uint8(), 64)),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool stage signature for video frame sampling (STUB).
+
+    Real implementation would wrap pyav/ffmpeg; here every call raises
+    unless a codec is injected. Kept so the pipeline shape (schema,
+    batch sizing) is testable.
+    """
+
+    def __init__(self, every_ms: int = 1000, codec=None):
+        self.every_ms = every_ms
+        self.codec = codec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            "video frame sampling requires ffmpeg/pyav (not in this environment)"
+        )
+
+
+def make_fake_image_table(n: int = 64, seed: int = 42) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("item_id", "modality", "media_type", "payload",
+                            "meta_width", "meta_height", "meta_duration_ms")}
+    for i in range(n):
+        w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+        rows["item_id"].append(i)
+        rows["modality"].append("image")
+        rows["media_type"].append("image/fake")
+        rows["payload"].append(encode_fake_image(w, h, seed=i))
+        rows["meta_width"].append(w)
+        rows["meta_height"].append(h)
+        rows["meta_duration_ms"].append(0)
+    return pa.table(rows, schema=MULTIMODAL_SCHEMA)

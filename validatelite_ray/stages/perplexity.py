@@ -1,0 +1,90 @@
+"""Character-bigram perplexity — stateful actor-pool stage.
+
+Deterministic stand-in for a KenLM n-gram language model (KenLM isn't
+in this environment; the Ray-side contract — model table built once per
+actor in ``__init__``, fully vectorized batched scoring — is what a
+KenLM actor would use, swapping ``__init__`` for ``kenlm.Model(path)``).
+
+The model is an add-k-smoothed byte-bigram LM trained in ``__init__``
+on a fixed embedded seed corpus (English prose + source code), so every
+actor builds the identical 256×256 log-prob table. Scoring is zero
+Python-per-row: the batch's UTF-8 buffers are viewed as one numpy byte
+array, bigram indices computed in one shot, and per-document mean
+negative log2 likelihood (bits/byte) reduced with ``np.add.reduceat``.
+
+Output column: ``ppl_bits`` (mean bits per byte; natural text ≈ 3–4,
+uniform noise ≈ 8, repeated single char ≈ 0). Perplexity = 2**bits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_SEED_CORPUS = (
+    "the quick brown fox jumps over the lazy dog. "
+    "in the beginning the engineers wrote simple programs and the programs "
+    "grew until nobody could understand them anymore. software is a story "
+    "about people and the machines they argue with. a function should do one "
+    "thing and do it well. premature optimization is the root of all evil. "
+    "explicit is better than implicit. simple is better than complex. "
+    "readability counts. errors should never pass silently. "
+    "def main(args):\n    result = process(args)\n    return result\n"
+    "for i in range(len(items)):\n    total += items[i].value\n"
+    "if __name__ == '__main__':\n    main(sys.argv[1:])\n"
+    "class Node:\n    def __init__(self, value, next=None):\n"
+    "        self.value = value\n        self.next = next\n"
+    "while queue:\n    node = queue.pop()\n    visit(node)\n"
+    "int main(int argc, char **argv) {\n    return run(argc, argv);\n}\n"
+    "public static void main(String[] args) {\n    System.out.println(x);\n}\n"
+    "let result = items.map(|x| x * 2).filter(|x| x > 0).collect();\n"
+    "SELECT count(*) FROM table WHERE value IS NOT NULL GROUP BY key;\n"
+    "import numpy as np\nimport os\nimport sys\nfrom typing import Any\n"
+    "// compute the checksum of the buffer before sending it downstream\n"
+    "# the cache is invalidated whenever the upstream schema changes\n"
+    "return 0;\n}\nelse {\n continue;\n}\ntry {\n} catch (Exception e) {}\n"
+) * 4
+
+
+class PerplexityScorer:
+    """Callable-class stage for ``map_batches(..., concurrency=N)``."""
+
+    def __init__(self, text_col: str = "content", add_k: float = 0.5):
+        self.text_col = text_col
+        data = np.frombuffer(_SEED_CORPUS.encode("utf-8"), dtype=np.uint8)
+        counts = np.full((256, 256), add_k, dtype=np.float64)
+        np.add.at(counts, (data[:-1], data[1:]), 1.0)
+        probs = counts / counts.sum(axis=1, keepdims=True)
+        self.nll = (-np.log2(probs)).astype(np.float32).ravel()  # 65536 table
+
+    def score_array(self, arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+        """Mean bits/byte per document, vectorized over the whole batch."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = arr.cast(pa.large_string())
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1)
+        n_docs = len(offsets) - 1
+        total = int(offsets[-1])
+        out = np.zeros(n_docs, dtype=np.float64)
+        if total < 2:
+            return out
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8, count=total)
+        pair_idx = data[:-1].astype(np.int32) * 256 + data[1:]
+        nll = self.nll[pair_idx].astype(np.float64)
+        starts = offsets[:-1].copy()
+        ends = offsets[1:]
+        # zero out cross-document pairs (position end_i - 1 spans two docs)
+        boundary = ends[:-1] - 1
+        boundary = boundary[(boundary >= 0) & (boundary < nll.size)]
+        nll[boundary] = 0.0
+        lens = np.diff(offsets)
+        scorable = lens >= 2
+        if scorable.any():
+            idx = np.minimum(starts[scorable], nll.size - 1).astype(np.int64)
+            sums = np.add.reduceat(nll, idx)
+            out[scorable] = sums / (lens[scorable] - 1)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bits = self.score_array(batch[self.text_col])
+        return batch.append_column("ppl_bits", pa.array(bits, pa.float64()))

@@ -1,0 +1,185 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``ann_topk_bruteforce`` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``), every batch computes a numpy matmul and
+  emits only its LOCAL top-k rows per query; the driver merges the tiny
+  per-block candidate sets. Data moved ≈ (#blocks × q × k) rows — the
+  scan streams, nothing materializes.
+* ``ann_topk_lsh`` — the scale path: random-hyperplane LSH bucket as a
+  pre-filter (only vectors sharing a bucket with some query are scored),
+  same merge. Recall < 1.0 by construction; bucket bits trade recall
+  for selectivity.
+
+Both return a pyarrow Table (query_id, neighbor_id, rank) — float
+scores are intentionally excluded from the comparison surface (FP
+associativity differs across engines); ranks are deterministic for
+non-degenerate inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    """list<float> Arrow column → (n, d) float64 matrix (zero-copy-ish)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.values, dtype=np.float64)
+    offsets = np.asarray(col.offsets)
+    d = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
+    return flat.reshape(-1, d)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _TopKScorer:
+    """Per-batch local top-k against the broadcast query matrix."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
+        import ray
+
+        q = ray.get(queries_ref)
+        self.q_ids = q["ids"]
+        self.q_mat = q["mat"]          # already L2-normalized
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col])
+        mat = _normalize(_to_matrix(batch[self.vec_col]))
+        sims = self.q_mat @ mat.T                     # (q, n)
+        k = min(self.k, sims.shape[1])
+        if k == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(self.q_ids, k)
+        rows_n = ids[top].ravel()
+        rows_s = np.take_along_axis(sims, top, axis=1).ravel()
+        return pa.table(
+            {"query_id": pa.array(rows_q, pa.int64()),
+             "neighbor_id": pa.array(rows_n, pa.int64()),
+             "score": pa.array(rows_s, pa.float64())}
+        )
+
+
+def _merge_candidates(cands: list[dict], k: int) -> pa.Table:
+    """Driver-side merge of per-block candidates → global top-k ranks."""
+    if not cands:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64())}
+        )
+    q = np.array([c["query_id"] for c in cands], dtype=np.int64)
+    n = np.array([c["neighbor_id"] for c in cands], dtype=np.int64)
+    s = np.array([c["score"] for c in cands], dtype=np.float64)
+    out_q, out_n, out_r = [], [], []
+    for qid in np.unique(q):
+        m = q == qid
+        # deterministic ordering: score desc, neighbor_id asc as tiebreak
+        order = np.lexsort((n[m], -s[m]))[:k]
+        out_q.extend([int(qid)] * len(order))
+        out_n.extend(n[m][order].tolist())
+        out_r.extend(range(1, len(order) + 1))
+    return pa.table(
+        {"query_id": pa.array(out_q, pa.int64()),
+         "neighbor_id": pa.array(out_n, pa.int64()),
+         "rank": pa.array(out_r, pa.int64())}
+    )
+
+
+def ann_topk_bruteforce(
+    ds,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> pa.Table:
+    """Exact cosine top-k of every dataset vector for each query vector."""
+    import ray
+
+    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
+                   "mat": _normalize(np.asarray(query_vecs, dtype=np.float64))})
+    cands = ds.map_batches(
+        _TopKScorer,
+        fn_constructor_kwargs=dict(queries_ref=ref, id_col=id_col, vec_col=vec_col,
+                                   k=k + (1 if exclude_self else 0)),
+        batch_format="pyarrow",
+        concurrency=2,
+    ).take_all()
+    if exclude_self:
+        cands = [c for c in cands if c["neighbor_id"] != c["query_id"]]
+    return _merge_candidates(cands, k)
+
+
+class _LshScorer(_TopKScorer):
+    """Top-k restricted to vectors colliding with ≥1 query bucket."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
+        super().__init__(queries_ref, id_col, vec_col, k)
+        import ray
+
+        q = ray.get(queries_ref)
+        self.planes = q["planes"]              # (bits, d)
+        self.q_buckets = q["buckets"]          # set of ints
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col])
+        mat = _normalize(_to_matrix(batch[self.vec_col]))
+        bits = (mat @ self.planes.T) > 0
+        buckets = bits @ (1 << np.arange(bits.shape[1], dtype=np.int64))
+        mask = np.isin(buckets, self.q_buckets)
+        if not mask.any():
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        sub = pa.table({self.id_col: pa.array(ids[mask]),
+                        self.vec_col: batch[self.vec_col].combine_chunks().filter(pa.array(mask))})
+        return super().__call__(sub)
+
+
+def ann_topk_lsh(
+    ds,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> pa.Table:
+    """Approximate cosine top-k via random-hyperplane bucket prefilter."""
+    import ray
+
+    qm = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, qm.shape[1]))
+    qb = ((qm @ planes.T) > 0) @ (1 << np.arange(bits, dtype=np.int64))
+    ref = ray.put(
+        {"ids": np.asarray(query_ids, dtype=np.int64), "mat": qm,
+         "planes": planes, "buckets": np.unique(qb)}
+    )
+    cands = ds.map_batches(
+        _LshScorer,
+        fn_constructor_kwargs=dict(queries_ref=ref, id_col=id_col, vec_col=vec_col,
+                                   k=k + (1 if exclude_self else 0)),
+        batch_format="pyarrow",
+        concurrency=2,
+    ).take_all()
+    if exclude_self:
+        cands = [c for c in cands if c["neighbor_id"] != c["query_id"]]
+    return _merge_candidates(cands, k)

@@ -1,0 +1,189 @@
+"""Deterministic synthetic code-corpus generator (FIXTURES.md §F3).
+
+Produces the north-rule input table (repo, path, commit, lang, content)
+with seeded quality defects at known rows, so golden keep/drop labels
+are exactly reproducible from the same seed. No external data.
+
+Defect classes (drawn per row from a seeded RNG):
+  clean        — plausible synthetic source code (kept)
+  long_line    — one enormous minified line (fails line_len)
+  low_alnum    — symbol/byte soup (fails alnum ratio / perplexity)
+  repetition   — the same shingle over and over (fails repetition)
+  non_english  — Spanish/German/French prose (fails language gate)
+  noise        — high-entropy random chars (fails perplexity)
+  tiny         — < min_chars content (fails size)
+  pii          — clean code with seeded emails/keys (kept, but scrubbed)
+  duplicate    — exact copy of an earlier row's content (dedup loser)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_LANGS = ["py", "js", "go", "java", "rs", "c"]
+
+_IDENTS = (
+    "count total buffer result index offset node value queue stack cache table "
+    "parser engine worker config handler stream batch record schema filter token "
+    "writer reader client server request response payload header cursor segment"
+).split()
+
+_VERBS = "get set update compute process merge split validate encode decode flush".split()
+
+_ES = (
+    "el sistema procesa los datos de la tabla y devuelve un resultado para el "
+    "usuario porque la configuración no permite más de una conexión por cliente "
+    "cuando el servidor está ocupado y los mensajes esperan en la cola durante "
+    "mucho tiempo sin respuesta del proceso principal de la aplicación"
+).split()
+
+_DE = (
+    "das system verarbeitet die daten aus der tabelle und gibt ein ergebnis an "
+    "den benutzer zurück weil die konfiguration nicht mehr als eine verbindung "
+    "pro client erlaubt wenn der server beschäftigt ist und die nachrichten in "
+    "der warteschlange auf eine antwort des hauptprozesses warten"
+).split()
+
+_FR = (
+    "le système traite les données de la table et renvoie un résultat à "
+    "l'utilisateur parce que la configuration ne permet pas plus d'une connexion "
+    "par client quand le serveur est occupé et que les messages attendent dans "
+    "la file sans réponse du processus principal de l'application"
+).split()
+
+
+def _code_block(rng: np.random.Generator, n_funcs: int) -> str:
+    lines: list[str] = ["import os", "import sys", ""]
+    for _ in range(n_funcs):
+        name = f"{rng.choice(_VERBS)}_{rng.choice(_IDENTS)}"
+        arg1, arg2 = rng.choice(_IDENTS, size=2)
+        lines.append(f"def {name}({arg1}, {arg2}=None):")
+        for _ in range(int(rng.integers(2, 7))):
+            a, b, c = rng.choice(_IDENTS, size=3)
+            kind = rng.integers(0, 4)
+            if kind == 0:
+                lines.append(f"    {a} = {b} + {int(rng.integers(0, 100))}")
+            elif kind == 1:
+                lines.append(f"    if {a} is not None and {b} > {int(rng.integers(1, 50))}:")
+                lines.append(f"        return {c}")
+            elif kind == 2:
+                lines.append(f"    for {a} in range(len({b})):")
+                lines.append(f"        {c} += {b}[{a}]")
+            else:
+                lines.append(f"    # update the {a} before the {b} is flushed")
+        lines.append(f"    return {rng.choice(_IDENTS)}")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def _prose(rng: np.random.Generator, words: list[str], n: int) -> str:
+    return " ".join(rng.choice(words, size=n))
+
+
+def generate_corpus(
+    n_files: int = 2000,
+    seed: int = 42,
+    n_repos: int = 40,
+    defect_rate: float = 0.35,
+    duplicate_rate: float = 0.08,
+) -> pa.Table:
+    """Deterministic synthetic corpus with a defect-class column
+    (``defect`` — for test assertions only; the pipeline never sees it)."""
+    rng = np.random.default_rng(seed)
+    # zipf-ish repo sizes: one mega-repo for dedup-shuffle skew
+    repo_weights = 1.0 / np.arange(1, n_repos + 1) ** 1.2
+    repo_weights /= repo_weights.sum()
+
+    defects = [
+        "long_line", "low_alnum", "repetition", "non_english", "noise", "tiny", "pii",
+    ]
+    rows: dict[str, list] = {k: [] for k in ("repo", "path", "commit", "lang", "content", "defect")}
+    contents_pool: list[str] = []
+
+    for i in range(n_files):
+        repo_idx = int(rng.choice(n_repos, p=repo_weights))
+        repo = f"org{repo_idx % 7}/repo{repo_idx:03d}"
+        lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
+        path = f"src/{rng.choice(_IDENTS)}/{rng.choice(_VERBS)}_{i}.{lang}"
+        commit = hashlib.sha1(f"{repo}|{path}|{seed}".encode()).hexdigest()
+
+        if contents_pool and rng.random() < duplicate_rate:
+            content = contents_pool[int(rng.integers(0, len(contents_pool)))]
+            defect = "duplicate"
+        elif rng.random() < defect_rate:
+            defect = defects[int(rng.integers(0, len(defects)))]
+            base = _code_block(rng, int(rng.integers(1, 4)))
+            if defect == "long_line":
+                content = base + "x=1;" * 300  # one ~1200-char line
+            elif defect == "low_alnum":
+                content = "".join(
+                    rng.choice(list("{}[]()<>~!@#$%^&*|\\/=+-_;:'\" \n"), size=600)
+                )
+            elif defect == "repetition":
+                content = ("copy paste copy paste spam block " * 40).strip()
+            elif defect == "non_english":
+                words = [_ES, _DE, _FR][int(rng.integers(0, 3))]
+                content = _prose(rng, words, 120)
+            elif defect == "noise":
+                content = "".join(
+                    chr(c) for c in rng.integers(33, 880, size=700)
+                )
+            elif defect == "tiny":
+                content = "ok"
+            else:  # pii
+                email = f"dev{i}@example{int(rng.integers(1, 9))}.com"
+                akia = "AKIA" + "".join(
+                    rng.choice(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"), size=16)
+                )
+                content = (
+                    base
+                    + f"\n# contact {email} for access\n"
+                    + f"AWS_KEY = \"{akia}\"\n"
+                    + f"password = 'hunter2secret{i}'\n"
+                )
+        else:
+            defect = "clean"
+            content = _code_block(rng, int(rng.integers(2, 6)))
+            if rng.random() < 0.25:
+                contents_pool.append(content)
+
+        rows["repo"].append(repo)
+        rows["path"].append(path)
+        rows["commit"].append(commit)
+        rows["lang"].append(lang)
+        rows["content"].append(content)
+        rows["defect"].append(defect)
+
+    return pa.table(
+        {
+            "repo": pa.array(rows["repo"], pa.string()),
+            "path": pa.array(rows["path"], pa.string()),
+            "commit": pa.array(rows["commit"], pa.string()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "content": pa.array(rows["content"], pa.string()),
+            "defect": pa.array(rows["defect"], pa.string()),
+        }
+    )
+
+
+def write_corpus_shards(
+    out_dir: str, n_files: int = 2000, n_shards: int = 4, seed: int = 42
+) -> list[str]:
+    """Write the corpus as n_shards parquet files; returns the paths."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    table = generate_corpus(n_files=n_files, seed=seed)
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    paths = []
+    per = (table.num_rows + n_shards - 1) // n_shards
+    for s in range(n_shards):
+        chunk = table.slice(s * per, per)
+        p = out / f"corpus-{s:03d}.parquet"
+        pq.write_table(chunk, p)
+        paths.append(str(p))
+    return paths

@@ -1,0 +1,117 @@
+"""Slow, obviously-correct pure-Python reference labeler.
+
+Row-by-row reimplementation of the quality-filter semantics (FIXTURES.md
+§F3): the pipeline's distributed output must match these labels at
+F1 ≥ 0.99 (in practice exactly). Heuristic stats are recomputed here
+with plain Python; the langid / perplexity scorers are definitional
+(the actor classes ARE the model), so their scalar entry points are
+reused directly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+from validatelite_ray.pipelines.quality_filter import QualityFilterConfig, UID_SEP
+from validatelite_ray.stages.langid import LangIdScorer
+from validatelite_ray.stages.perplexity import PerplexityScorer
+from validatelite_ray.stages.scrub import SCRUB_RULES
+
+_ALNUM = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
+_WORDS = re.compile(r"\w+")
+
+
+def golden_labels(table: pa.Table, cfg: QualityFilterConfig | None = None) -> list[dict]:
+    """Per-row dicts: uid, sha256, keep_rules, keep, failed rule names,
+    content_scrubbed."""
+    cfg = cfg or QualityFilterConfig()
+    langid = LangIdScorer(cfg.text_col)
+    ppl = PerplexityScorer(cfg.text_col)
+
+    rows = table.to_pylist()
+    out: list[dict] = []
+    for row in rows:
+        content = row[cfg.text_col]
+        uid = UID_SEP.join(str(row[c]) for c in cfg.key_cols)
+        failed: list[str] = []
+
+        if content is None:
+            failed = [r.name for r in cfg.rules()]  # null fails everything scanable
+            out.append(
+                dict(uid=uid, sha256=None, keep_rules=False, failed=failed,
+                     content_scrubbed=None)
+            )
+            continue
+
+        sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+        n_chars = len(content)
+        lines = content.split("\n")
+        line_lens = [len(ln) for ln in lines]
+        max_line = max(line_lens) if line_lens else 0
+        mean_line = sum(line_lens) / len(line_lens) if line_lens else 0.0
+        alnum = sum(1 for ch in content if ch in _ALNUM)
+        alnum_ratio = alnum / n_chars if n_chars else 0.0
+
+        # re.ASCII matches RE2's ASCII-only \W used by the vectorized stage
+        words = [w for w in re.split(r"\W+", content, flags=re.ASCII) if w]
+        k = cfg.shingle_k
+        n_shingles = len(words) - k + 1
+        dup_frac = 0.0
+        if n_shingles > 1:
+            seen: set[tuple[str, ...]] = set()
+            dups = 0
+            for j in range(n_shingles):
+                sh = tuple(words[j : j + k])
+                if sh in seen:
+                    dups += 1
+                else:
+                    seen.add(sh)
+            dup_frac = dups / n_shingles
+
+        lang, score = langid.classify(content)
+        lang_gate = lang if score >= cfg.langid_min_score else "und"
+        bits = float(ppl.score_array(pa.array([content]))[0])
+
+        if not (cfg.min_chars <= n_chars <= cfg.max_chars):
+            failed.append("size")
+        if max_line > cfg.max_line_len:
+            failed.append("line_len")
+        if mean_line > cfg.max_mean_line_len:
+            failed.append("mean_line_len")
+        if not (cfg.min_alnum_ratio <= alnum_ratio <= 1.0):
+            failed.append("alnum")
+        if dup_frac > cfg.max_dup_shingle_frac:
+            failed.append("repetition")
+        if not (cfg.min_ppl_bits <= bits <= cfg.max_ppl_bits):
+            failed.append("perplexity")
+        if lang_gate not in cfg.target_langs:
+            failed.append("language")
+
+        scrubbed = content
+        for _, pattern, replacement in SCRUB_RULES:
+            scrubbed = re.sub(pattern, replacement, scrubbed)
+
+        out.append(
+            dict(
+                uid=uid, sha256=sha, keep_rules=not failed, failed=failed,
+                content_scrubbed=scrubbed,
+            )
+        )
+
+    # exact dedup: winner = lexical min uid among rule-passing rows per sha
+    winners: dict[str, str] = {}
+    for r in out:
+        if r["keep_rules"] and r["sha256"] is not None:
+            w = winners.get(r["sha256"])
+            if w is None or r["uid"] < w:
+                winners[r["sha256"]] = r["uid"]
+    for r in out:
+        r["keep"] = bool(
+            r["keep_rules"]
+            and r["sha256"] is not None
+            and winners.get(r["sha256"]) == r["uid"]
+        )
+    return out
