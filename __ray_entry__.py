@@ -182,6 +182,94 @@ def _q_scrub_email(sf_dir: str):
     )
 
 
+def _q_dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup clusters (not SQL-expressible — rows-only)."""
+    from validatelite_ray.stages.dedup import dedup_minhash_lsh
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_minhash_lsh(ds, id_col="doc_id", text_col="text", concurrency=2)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    """Per-doc 64-bit simhash + band blocks (deterministic; rows-only)."""
+    from validatelite_ray.stages.dedup import SimHasher
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        SimHasher,
+        fn_constructor_kwargs={"text_col": "text"},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).select_columns(["doc_id", "simhash", "simhash_block_0", "simhash_block_1"])
+
+
+def _q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 5."""
+    import ray.data as rd
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = ds.filter(lambda r: r["vec_id"] < 5).take_all()
+    q_ids = np.array([r["vec_id"] for r in q], dtype=np.int64)
+    q_vecs = np.array([r["embedding"] for r in q], dtype=np.float64)
+
+    from validatelite_ray.stages.similarity import ann_topk_bruteforce
+
+    return ann_topk_bruteforce(ds, q_ids, q_vecs, k=5)
+
+
+def _q_langid(sf_dir: str):
+    """Heuristic language-ID over documents (model stage; rows-only)."""
+    from validatelite_ray.stages.langid import LangIdScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        LangIdScorer,
+        fn_constructor_kwargs={"text_col": "text"},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).select_columns(["doc_id", "lang_pred", "langid_score"])
+
+
+def _q_perplexity(sf_dir: str):
+    """Byte-bigram perplexity over documents (model stage; rows-only)."""
+    from validatelite_ray.stages.perplexity import PerplexityScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        PerplexityScorer,
+        fn_constructor_kwargs={"text_col": "text"},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).select_columns(["doc_id", "ppl_bits"])
+
+
+def _q_schema_check(sf_dir: str) -> pa.Table:
+    """SCHEMA rule over orders → per-field check results (rows-only)."""
+    from validatelite_ray.engine.engine import RuleEngine
+    from validatelite_ray.rules import spec as S
+
+    rule = S.schema_rule(
+        {
+            "o_orderkey": "integer",
+            "o_custkey": "integer",
+            "o_orderstatus": "string",
+            "o_totalprice": "float",
+            "o_orderdate": "datetime",
+            "o_orderpriority": "string",
+            "missing_col": "string",
+        },
+        name="schema",
+    )
+    report = RuleEngine([rule]).execute(_read(sf_dir, "orders"))
+    fields = report["schema"].sample_rows[0]["field_results"]
+    return pa.table(
+        {
+            "column": pa.array([f["column"] for f in fields], pa.string()),
+            "status": pa.array([f["status"] for f in fields], pa.string()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -252,6 +340,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "agg_lineitem_pricing": _q_agg_lineitem,
         "dedup_exact_documents": _q_dedup_exact,
+        "dedup_minhash_documents": _q_dedup_minhash,
+        "dedup_simhash_documents": _q_dedup_simhash,
+        "ann_topk_embeddings": _q_ann_topk,
+        "langid_documents": _q_langid,
+        "perplexity_documents": _q_perplexity,
+        "rule_schema_orders": _q_schema_check,
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
         "scrub_email": _q_scrub_email,
@@ -325,6 +419,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact_documents": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        # dedup_minhash_documents / dedup_simhash_documents / langid_documents /
+        # perplexity_documents / rule_schema_orders: deliberately no oracle —
+        # model/sketch stages aren't SQL-expressible (driver rows-only check)
+        "ann_topk_embeddings": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings "
+            "WHERE vec_id < 5), "
+            "s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.qv, e.embedding) AS score "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) "
+            "SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank FROM ("
+            "SELECT query_id, neighbor_id, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rnk "
+            "FROM s) t WHERE rnk <= 5"
         ),
         "text_token_count": (
             r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS token_count "

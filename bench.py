@@ -22,7 +22,7 @@ from pathlib import Path
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-CORPUS_FILES = int(os.environ.get("VLRAY_BENCH_CORPUS_FILES", "24000"))
+CORPUS_FILES = int(os.environ.get("VLRAY_BENCH_CORPUS_FILES", "48000"))
 CACHE = Path(os.environ.get("VLRAY_BENCH_CACHE", "/tmp/vlray_bench_cache"))
 
 

@@ -1,0 +1,187 @@
+"""Desired-type matrix, schema decomposition and the two-phase schema
+command (reference semantics: compatibility matrix, skip map, generated
+rules)."""
+
+import pyarrow as pa
+import pytest
+
+from validatelite_ray.engine import desired_type as dt
+from validatelite_ray.engine.schema_plan import (
+    decompose_table_payload,
+    run_schema_command,
+    summarize,
+)
+from validatelite_ray.rules.types import RuleType
+
+
+class TestCompatibilityMatrix:
+    @pytest.mark.parametrize(
+        "native,desired,verdict",
+        [
+            ("STRING", "string", "COMPATIBLE"),
+            ("STRING", "integer", "INCOMPATIBLE"),
+            ("STRING", "float", "INCOMPATIBLE"),
+            ("STRING", "date", "INCOMPATIBLE"),
+            ("INTEGER", "string", "COMPATIBLE"),
+            ("INTEGER", "float", "COMPATIBLE"),
+            ("INTEGER", "date", "INCOMPATIBLE"),
+            ("FLOAT", "integer", "INCOMPATIBLE"),
+            ("FLOAT", "date", "CONFLICTING"),
+            ("DATE", "integer", "CONFLICTING"),
+            ("DATE", "datetime", "COMPATIBLE"),
+            ("DATETIME", "date", "COMPATIBLE"),
+            ("BOOLEAN", "integer", "CONFLICTING"),  # not in matrix → CONFLICTING
+        ],
+    )
+    def test_verdicts(self, native, desired, verdict):
+        assert dt.analyze("f", native, desired).compatibility == verdict
+
+    def test_string_to_integer_generates_regex(self):
+        res = dt.analyze("f", "STRING", "integer")
+        assert res.generated_rule.rule_type == RuleType.REGEX
+        assert res.generated_rule.params["pattern"] == r"^-?[0-9]+$"
+
+    def test_string_to_integer_with_digits(self):
+        res = dt.analyze("f", "STRING", "integer(3)")
+        assert res.generated_rule.params["pattern"] == r"^-?[0-9]{1,3}$"
+
+    def test_string_to_float_precision(self):
+        res = dt.analyze("f", "STRING", "float(5,2)")
+        assert res.generated_rule.params["pattern"] == r"^-?[0-9]{1,3}(\.[0-9]{1,2})?$"
+
+    def test_string_to_date_uses_format(self):
+        res = dt.analyze("f", "STRING", "date('MM/DD/YYYY')")
+        assert res.generated_rule.rule_type == RuleType.DATE_FORMAT
+        assert res.generated_rule.params["format"] == "MM/DD/YYYY"
+
+    def test_integer_to_date_default_format(self):
+        res = dt.analyze("f", "INTEGER", "date")
+        assert res.generated_rule.params["format"] == "YYYYMMDD"
+
+    def test_float_to_integer_like(self):
+        res = dt.analyze("f", "FLOAT", "integer")
+        assert res.generated_rule.params["pattern"] == r"^-?[0-9]+\.0*$"
+        res2 = dt.analyze("f", "FLOAT", "integer(2)")
+        assert res2.generated_rule.params["pattern"] == r"^-?[0-9]{1,2}\.0*$"
+
+    def test_same_type_tightening(self):
+        res = dt.analyze("f", "STRING", "string(12)")
+        assert res.compatibility == "INCOMPATIBLE"
+        assert res.generated_rule.params["pattern"] == r"^.{0,12}$"
+        res2 = dt.analyze("f", "INTEGER", "integer(1)")
+        assert res2.generated_rule.params["pattern"] == r"^-?[0-9]{1,1}$"
+        res3 = dt.analyze("f", "FLOAT", "float(4,1)")
+        assert res3.generated_rule.params["pattern"] == r"^-?[0-9]{1,3}(\.[0-9]{1,1})?$"
+
+    def test_same_type_no_constraint_compatible(self):
+        assert dt.analyze("f", "STRING", "string").compatibility == "COMPATIBLE"
+
+    def test_cross_type_int_to_float_precision(self):
+        res = dt.analyze("f", "INTEGER", "float(4,1)")
+        assert res.compatibility == "INCOMPATIBLE"
+        assert res.generated_rule.params["pattern"] == r"^-?[0-9]{1,3}$"
+
+    def test_cross_type_to_string_length(self):
+        res = dt.analyze("f", "INTEGER", "string(8)")
+        assert res.compatibility == "INCOMPATIBLE"
+        assert res.generated_rule.rule_type == RuleType.LENGTH
+        assert res.generated_rule.params["max_length"] == 8
+
+
+class TestDecompose:
+    PAYLOAD = {
+        "rules": [
+            {"field": "id", "type": "integer", "required": True},
+            {"field": "age", "type": "float", "required": True, "min": 0, "max": 120},
+            {"field": "gender", "type": "integer", "enum": [0, 1]},
+            {"field": "name", "type": "string", "max_length": 50},
+            {"field": "qty", "type": "integer", "desired_type": "integer(1)"},
+        ],
+        "strict_mode": True,
+    }
+
+    def test_decompose(self):
+        schema_rule, atomic, desired = decompose_table_payload("t", self.PAYLOAD)
+        assert schema_rule.rule_type == RuleType.SCHEMA
+        assert schema_rule.params["strict_mode"] is True
+        assert schema_rule.params["columns"]["name"]["max_length"] == 50
+        kinds = [(f, r.rule_type) for f, r in atomic]
+        assert kinds == [
+            ("id", RuleType.NOT_NULL),
+            ("age", RuleType.NOT_NULL),
+            ("age", RuleType.RANGE),
+            ("gender", RuleType.ENUM),
+        ]
+        assert desired == {"qty": "integer(1)"}
+
+
+@pytest.fixture()
+def customer_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "id": [1, 2, 3, None],
+                "age": [25.0, -3.0, 130.0, 40.0],
+                "gender": [0, 1, 3, 1],
+                "name": ["a", "b", None, "d"],
+                "qty": [1, 22, 3, 4],
+            }
+        )
+    )
+
+
+class TestSchemaCommand:
+    PAYLOAD = {
+        "customers": {
+            "rules": [
+                {"field": "id", "type": "integer", "required": True},
+                {"field": "age", "type": "float", "min": 0, "max": 120},
+                {"field": "gender", "type": "integer", "enum": [0, 1]},
+                {"field": "name", "type": "string", "required": True},
+                {"field": "invalid_col", "type": "string", "required": True},
+                {"field": "qty", "type": "integer", "desired_type": "integer(1)"},
+            ]
+        },
+        "ghost_table": {
+            "rules": [{"field": "x", "type": "string", "required": True}]
+        },
+    }
+
+    def test_two_phase(self, customer_ds):
+        reports = run_schema_command(self.PAYLOAD, {"customers": customer_ds})
+        cust = reports["customers"]
+        by_name = {r.rule_name: r for r in cust.results}
+        # schema rule failed (invalid_col missing)
+        assert by_name["schema_customers"].status == "FAILED"
+        # skip map: invalid_col's NOT_NULL is SKIPPED, others ran
+        assert by_name["not_null_invalid_col"].status == "SKIPPED"
+        assert by_name["not_null_invalid_col"].message == "FIELD_MISSING"
+        assert by_name["not_null_id"].failed_records == 1
+        assert by_name["range_age"].failed_records == 2
+        assert by_name["enum_gender"].failed_records == 1
+        # generated desired_type rule ran: qty 22 violates integer(1)
+        assert by_name["desired_int_qty"].failed_records == 1
+        # ghost table: schema FAILED + all SKIPPED
+        ghost = reports["ghost_table"]
+        assert ghost.results[0].status == "FAILED"
+        assert ghost.results[0].message == "TABLE_NOT_EXISTS"
+        assert all(r.status == "SKIPPED" for r in ghost.results[1:])
+
+    def test_conflicting_aborts(self, customer_ds):
+        payload = {
+            "customers": {
+                "rules": [{"field": "age", "type": "float", "desired_type": "date"}]
+            }
+        }
+        with pytest.raises(dt.ConflictingTypeError):
+            run_schema_command(payload, {"customers": customer_ds})
+
+    def test_summary_shape(self, customer_ds):
+        reports = run_schema_command(self.PAYLOAD, {"customers": customer_ds})
+        payload = summarize(reports)
+        s = payload["summary"]
+        assert s["total_rules"] == len(reports["customers"].results) + 2
+        assert s["skipped_rules"] >= 2
+        assert "customers" in payload["tables"]

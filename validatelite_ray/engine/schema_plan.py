@@ -1,0 +1,181 @@
+"""The ``schema`` command: declarative multi-table payload → two-phase run.
+
+Reproduces the reference's ``vlite schema`` flow (reference:
+cli/commands/schema.py:1033-1275 decomposition, :1278-1341 skip map,
+:2595-2839 orchestration) on Ray Data:
+
+1. **Decompose** each table payload into atomic rules: one table-level
+   SCHEMA rule first (columns → declared type dict), then NOT_NULL (from
+   ``required``), RANGE (from ``min``/``max``), ENUM (from ``enum``)
+   per field.
+2. **Phase 1** runs only the SCHEMA rules (metadata check, no scan).
+3. **Skip map**: a missing table ⇒ every rule of that table SKIPPED
+   (``TABLE_NOT_EXISTS``); a missing field ⇒ that column's dependent
+   rules SKIPPED (``FIELD_MISSING``). A type mismatch does NOT skip.
+4. **Phase 2a** analyzes each field's ``desired_type`` against the
+   actual Arrow type (validatelite_ray.engine.desired_type): CONFLICTING
+   aborts with an error; INCOMPATIBLE generates concrete validation
+   rules executed on the data.
+5. **Phase 2b** runs the remaining atomic rules minus skipped ones.
+6. **Merge** all results (+ synthesized SKIPPED placeholders) into one
+   report per table.
+
+Payload dialect (same as the reference's test_data/schema.json)::
+
+    {"<table>": {"rules": [{"field", "type", "required", "min", "max",
+                            "enum", "max_length", "desired_type"}...],
+                 "strict_mode": bool, "case_insensitive": bool}, ...}
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import pyarrow as pa
+
+from validatelite_ray.engine import desired_type as dt
+from validatelite_ray.engine.engine import RuleEngine, _base_schema
+from validatelite_ray.engine.results import ExecutionReport, RuleResult
+from validatelite_ray.engine.schema_check import arrow_to_canonical
+from validatelite_ray.rules import spec as S
+from validatelite_ray.rules.spec import RuleSpec
+from validatelite_ray.rules.type_parser import parse_type
+
+
+class SchemaPayloadError(ValueError):
+    pass
+
+
+def decompose_table_payload(
+    table: str, payload: Mapping[str, Any]
+) -> tuple[RuleSpec, list[tuple[str, RuleSpec]], dict[str, str]]:
+    """→ (schema_rule, [(field, atomic_rule)...], {field: desired_type}).
+
+    The SCHEMA rule is always first (reference inserts it at the head of
+    the rule list, schema.py:1033-1275).
+    """
+    if not isinstance(payload, Mapping) or "rules" not in payload:
+        raise SchemaPayloadError(f"table {table!r}: payload must contain 'rules'")
+    columns: dict[str, Any] = {}
+    atomic: list[tuple[str, RuleSpec]] = []
+    desired: dict[str, str] = {}
+    for entry in payload["rules"]:
+        if "field" not in entry or "type" not in entry:
+            raise SchemaPayloadError(
+                f"table {table!r}: each rule needs 'field' and 'type'"
+            )
+        field = entry["field"]
+        parsed = parse_type(entry["type"])
+        if "max_length" in entry and "max_length" not in parsed:
+            parsed["max_length"] = int(entry["max_length"])
+        columns[field] = parsed
+        if entry.get("required"):
+            atomic.append((field, S.not_null(field, name=f"not_null_{field}")))
+        if "min" in entry or "max" in entry:
+            atomic.append(
+                (
+                    field,
+                    S.value_range(
+                        field,
+                        float(entry["min"]) if "min" in entry else None,
+                        float(entry["max"]) if "max" in entry else None,
+                        name=f"range_{field}",
+                    ),
+                )
+            )
+        if "enum" in entry:
+            atomic.append(
+                (field, S.enum(field, list(entry["enum"]), name=f"enum_{field}"))
+            )
+        if "desired_type" in entry:
+            desired[field] = str(entry["desired_type"])
+    schema_rule = S.schema_rule(
+        columns,
+        strict_mode=bool(payload.get("strict_mode", False)),
+        case_insensitive=bool(payload.get("case_insensitive", False)),
+        name=f"schema_{table}",
+    )
+    return schema_rule, atomic, desired
+
+
+def run_schema_command(
+    payload: Mapping[str, Any],
+    datasets: Mapping[str, "ray.data.Dataset"],  # noqa: F821
+) -> dict[str, ExecutionReport]:
+    """Execute the full two-phase schema validation.
+
+    ``datasets`` maps table name → Dataset; a table present in the
+    payload but absent here is TABLE_NOT_EXISTS (all its rules SKIPPED,
+    the SCHEMA rule FAILED — reference: rule_engine.py:687-735).
+    """
+    reports: dict[str, ExecutionReport] = {}
+    for table, tbl_payload in payload.items():
+        schema_rule, atomic, desired = decompose_table_payload(table, tbl_payload)
+        results: list[RuleResult] = []
+
+        ds = datasets.get(table)
+        if ds is None:
+            schema_res = RuleResult.error(schema_rule, "table does not exist")
+            schema_res.status = "FAILED"
+            schema_res.message = "TABLE_NOT_EXISTS"
+            results.append(schema_res)
+            for field, rule in atomic:
+                results.append(RuleResult.skipped(rule, "TABLE_NOT_EXISTS"))
+            reports[table] = ExecutionReport(results)
+            continue
+
+        # phase 1: metadata check
+        phase1 = RuleEngine([schema_rule]).execute(ds)
+        schema_res = phase1[schema_rule.rule_id]
+        results.append(schema_res)
+        field_results = (
+            schema_res.sample_rows[0]["field_results"] if schema_res.sample_rows else []
+        )
+        missing = {
+            f["column"] for f in field_results if f.get("failure_code") == "FIELD_MISSING"
+        }
+
+        # phase 2a: desired_type analysis → generated rules
+        arrow_schema = _base_schema(ds)
+        actual_types = {f.name: f.type for f in arrow_schema}
+        generated: list[RuleSpec] = []
+        for field, want in desired.items():
+            if field in missing:
+                continue
+            native = arrow_to_canonical(actual_types[field]) or "STRING"
+            res = dt.analyze(field, native, want)
+            if res.compatibility == "CONFLICTING":
+                raise dt.ConflictingTypeError(
+                    f"table {table!r} field {field!r}: {res.reason}"
+                )
+            if res.generated_rule is not None:
+                generated.append(res.generated_rule)
+
+        # phase 2b: remaining atomic rules minus skipped
+        runnable = [r for f, r in atomic if f not in missing]
+        skipped = [(f, r) for f, r in atomic if f in missing]
+        phase2 = RuleEngine(runnable + generated).execute(ds)
+        results.extend(phase2.results)
+        for field, rule in skipped:
+            results.append(RuleResult.skipped(rule, "FIELD_MISSING"))
+        reports[table] = ExecutionReport(results)
+    return reports
+
+
+def summarize(reports: Mapping[str, ExecutionReport]) -> dict[str, Any]:
+    """Aggregate JSON payload (reference shape, schema.py:1678-1696)."""
+    all_results = [r for rep in reports.values() for r in rep.results]
+    statuses = [r.status for r in all_results]
+    return {
+        "summary": {
+            "total_rules": len(all_results),
+            "passed_rules": statuses.count("PASSED"),
+            "failed_rules": statuses.count("FAILED"),
+            "error_rules": statuses.count("ERROR"),
+            "skipped_rules": statuses.count("SKIPPED"),
+            "total_failed_records": sum(r.failed_records for r in all_results),
+        },
+        "tables": {
+            table: rep.summary() for table, rep in reports.items()
+        },
+    }

@@ -8,10 +8,13 @@ concurrency=N, batch_size=B)`` — is exactly what a fastText actor
 would use; swap ``__init__`` to ``fasttext.load_model(...)`` on a real
 cluster).
 
-Method: stopword-profile scoring over word tokens for latin-script
-languages plus a CJK character-ratio channel. Emits ``lang_pred``
-(argmax language, ``und`` when no evidence) and ``langid_score``
-(confidence in [0,1] — the winning language's share of scored tokens).
+Method: per-language stopword-alternation regex counts (RE2, fully
+vectorized via ``pyarrow.compute.count_substring_regex`` in
+``__call__``) plus a CJK character-ratio channel. The scalar
+``classify`` path (used by the golden labeler) applies the identical
+patterns with ``re.ASCII`` word boundaries so both paths agree bit-for-
+bit. Emits ``lang_pred`` (argmax language, ``und`` when no evidence)
+and ``langid_score`` (winning language's share of scored signals).
 """
 
 from __future__ import annotations
@@ -20,73 +23,78 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # Compact, public-knowledge stopword profiles (most-frequent function words).
-_PROFILES: dict[str, frozenset[str]] = {
-    "en": frozenset(
-        "the of and to in a is that it for on with as was at by an be this have from "
-        "or are not but had his they you which one all were her she there been if more "
-        "when will would who so no out up into them then its only over very your some "
-        "can may than most these two did any what our said him most after first".split()
+_PROFILES: dict[str, str] = {
+    "en": (
+        "the of and to in a is that it for on with as was at by an be this have "
+        "from or are not but had his they you which one all were her she there "
+        "been if more when will would who so no out up into them then its only "
+        "over very your some can may than most these two did any what our said "
+        "him after first"
     ),
-    "es": frozenset(
-        "el la de que y a en un ser se no haber por con su para como estar tener le lo "
-        "todo pero más hacer o poder decir este ir otro ese si me ya ver porque dar "
-        "cuando muy sin vez mucho sobre también hasta donde quien desde nos los las una "
-        "del al es son está fue pero sus entre años había".split()
+    "es": (
+        "el la de que y a en un ser se no haber por con su para como estar tener "
+        "le lo todo pero hacer o poder decir este ir otro ese si me ya ver porque "
+        "dar cuando muy sin vez mucho sobre hasta donde quien desde nos los las "
+        "una del al es son fue sus entre"
     ),
-    "de": frozenset(
-        "der die und in den von zu das mit sich des auf für ist im dem nicht ein eine "
-        "als auch es an werden aus er hat dass sie nach wird bei einer um am sind noch "
-        "wie einem über einen so zum war haben nur oder aber vor zur bis mehr durch "
-        "man sein wurde sei während können ihre dann unter wir".split()
+    "de": (
+        "der die und in den von zu das mit sich des auf ist im dem nicht ein "
+        "eine als auch es an werden aus er hat dass sie nach wird bei einer um "
+        "am sind noch wie einem einen so zum war haben nur oder aber vor zur "
+        "bis mehr durch man sein wurde sei wir"
     ),
-    "fr": frozenset(
-        "le de un être et à il avoir ne je son que se qui ce dans en du elle au pour "
-        "pas sur faire plus dire me on mon lui nous comme mais pouvoir avec tout y "
-        "aller voir bien où sans tu ou leur si deux mari moi vouloir te la les des une "
-        "est sont était dont cette ses aux par plus".split()
+    "fr": (
+        "le de un et il avoir ne je son que se qui ce dans en du elle au pour "
+        "pas sur faire plus dire me on mon lui nous comme mais pouvoir avec tout "
+        "y aller voir bien sans tu ou leur si deux moi vouloir te la les des une "
+        "est sont dont cette ses aux par"
     ),
 }
 
-_WORD = re.compile(r"[a-zA-ZÀ-ÿäöüßñ]+")
-_CJK = re.compile(r"[一-鿿぀-ヿ가-힯]")
+_CJK_CLASS = r"[一-鿿぀-ヿ가-힯]"
+_SLICE_CODEPOINTS = 4000
+
+
+def _alternation(words: str) -> str:
+    toks = sorted(set(words.split()), key=len, reverse=True)
+    return r"\b(?:" + "|".join(re.escape(t) for t in toks) + r")\b"
 
 
 class LangIdScorer:
     """Callable-class stage for ``map_batches(..., concurrency=N)``.
 
-    ``__init__`` (once per actor) builds the token → language index;
-    ``__call__`` scores a batch and appends ``lang_pred`` and
-    ``langid_score`` columns.
+    ``__init__`` (once per actor) compiles the per-language patterns;
+    ``__call__`` scores a batch vectorized and appends ``lang_pred``
+    and ``langid_score`` columns.
     """
 
     def __init__(self, text_col: str = "content"):
         self.text_col = text_col
         self.langs = sorted(_PROFILES)
-        self.token_lang: dict[str, np.ndarray] = {}
-        for i, lang in enumerate(self.langs):
-            for tok in _PROFILES[lang]:
-                vec = self.token_lang.setdefault(
-                    tok, np.zeros(len(self.langs), dtype=np.float32)
-                )
-                vec[i] += 1.0
-        self.word = _WORD
-        self.cjk = _CJK
+        self.patterns = {lang: _alternation(_PROFILES[lang]) for lang in self.langs}
+        # re.ASCII pins python \b to the same ASCII word boundaries RE2 uses
+        self.compiled = {
+            lang: re.compile(p, re.ASCII) for lang, p in self.patterns.items()
+        }
+        self.cjk = re.compile(_CJK_CLASS)
 
+    # -- scalar path (definitional; used by the golden labeler) ---------
     def classify(self, text: str) -> tuple[str, float]:
         if not text:
             return "und", 0.0
-        cjk_hits = len(self.cjk.findall(text[:4000]))
-        toks = [t.lower() for t in self.word.findall(text[:4000])]
-        votes = np.zeros(len(self.langs), dtype=np.float32)
-        hits = 0
-        for t in toks:
-            vec = self.token_lang.get(t)
-            if vec is not None:
-                votes += vec
-                hits += 1
-        n_signals = hits + cjk_hits
+        sliced = text[:_SLICE_CODEPOINTS].lower()
+        votes = np.array(
+            [len(self.compiled[lang].findall(sliced)) for lang in self.langs],
+            dtype=np.float64,
+        )
+        cjk_hits = len(self.cjk.findall(sliced))
+        return self._decide(votes, cjk_hits)
+
+    def _decide(self, votes: np.ndarray, cjk_hits: int) -> tuple[str, float]:
+        n_signals = votes.sum() + cjk_hits
         if n_signals == 0:
             return "und", 0.0
         if cjk_hits > votes.max():
@@ -94,13 +102,32 @@ class LangIdScorer:
         best = int(votes.argmax())
         return self.langs[best], float(votes[best]) / n_signals
 
+    # -- vectorized batch path ------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds: list[str] = []
-        scores: list[float] = []
-        for text in batch[self.text_col].to_pylist():
-            lang, score = self.classify(text or "")
-            preds.append(lang)
-            scores.append(score)
-        batch = batch.append_column("lang_pred", pa.array(preds, pa.string()))
+        col = batch[self.text_col]
+        # utf8_slice_codeunits slices by codepoint for utf8 arrays — same
+        # semantics as python text[:N]
+        sliced = pc.utf8_lower(pc.utf8_slice_codeunits(col, 0, _SLICE_CODEPOINTS))
+        n = len(batch)
+        votes = np.zeros((n, len(self.langs)), dtype=np.float64)
+        for j, lang in enumerate(self.langs):
+            counts = pc.count_substring_regex(sliced, pattern=self.patterns[lang])
+            votes[:, j] = np.asarray(pc.fill_null(counts, 0), dtype=np.float64)
+        cjk = np.asarray(
+            pc.fill_null(pc.count_substring_regex(sliced, pattern=_CJK_CLASS), 0),
+            dtype=np.float64,
+        )
+        vmax = votes.max(axis=1)
+        total = votes.sum(axis=1) + cjk
+        has_signal = total > 0
+        is_cjk = has_signal & (cjk > vmax)
+        best = votes.argmax(axis=1)
+        langs_arr = np.array(self.langs, dtype=object)
+        preds = np.where(is_cjk, "zh", langs_arr[best])
+        preds = np.where(has_signal, preds, "und")
+        safe_total = np.where(total > 0, total, 1.0)
+        scores = np.where(is_cjk, cjk, vmax) / safe_total
+        scores = np.where(has_signal, scores, 0.0)
+        batch = batch.append_column("lang_pred", pa.array(preds.tolist(), pa.string()))
         batch = batch.append_column("langid_score", pa.array(scores, pa.float64()))
         return batch

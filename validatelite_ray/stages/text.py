@@ -85,23 +85,84 @@ def shingle_dup_fraction(
     arr: pa.ChunkedArray | pa.Array, k: int = 3
 ) -> np.ndarray:
     """Fraction of duplicated k-token shingles per document (repetition
-    heuristic, Gopher/RefinedWeb-style). Tokens come from a vectorized
-    regex split; shingle hashing is a rolling combine over token hashes.
-    Documents with < k tokens score 0.
+    heuristic, Gopher/RefinedWeb-style). Fully vectorized and EXACT:
+    tokens come from an RE2 regex split, are interned to integer ids
+    with ``np.unique``, and each shingle is the k ids packed into one
+    int64 (no hash collisions — falls back to a per-doc loop only if
+    the batch vocabulary overflows the packing width). Duplicate
+    shingles are counted by a single lexsort over (doc, shingle).
+    Documents with < k tokens (or a single shingle) score 0.
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    toks = pc.split_pattern_regex(arr, pattern=r"\W+")
-    out = np.zeros(len(arr), dtype=np.float64)
-    # per-doc set arithmetic over pre-split tokens (no regex work in loop)
-    for i, tl in enumerate(toks.to_pylist()):
-        if not tl:
-            continue
-        words = [t for t in tl if t]
+    tokens = pc.split_pattern_regex(arr, pattern=r"\W+")
+    flat = pc.list_flatten(tokens)
+    tok_counts = pc.fill_null(pc.list_value_length(tokens), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n_docs = len(arr)
+    out = np.zeros(n_docs, dtype=np.float64)
+    if len(flat) == 0:
+        return out
+
+    # drop the empty strings the split produces at boundaries, then intern
+    # tokens to integer ids with Arrow's C++ dictionary encoder (exact)
+    doc_of_token = np.repeat(np.arange(n_docs, dtype=np.int64), tok_counts)
+    nonempty_mask = pc.invert(pc.equal(flat, ""))
+    nonempty = np.asarray(nonempty_mask.to_numpy(zero_copy_only=False), dtype=bool)
+    flat = flat.filter(nonempty_mask)
+    doc_of_token = doc_of_token[nonempty]
+    if len(flat) == 0:
+        return out
+
+    encoded = pc.dictionary_encode(flat)
+    ids = np.asarray(encoded.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+    vocab = len(encoded.dictionary)
+    words_per_doc = np.bincount(doc_of_token, minlength=n_docs)
+
+    bits = 63 // k
+    if vocab >= (1 << bits):  # pragma: no cover - gigantic batch fallback
+        flat_np = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
+        return _shingle_dup_fraction_slow(flat_np, doc_of_token, n_docs, k)
+
+    total_tokens = ids.size
+    if total_tokens < k:
+        return out
+    # shingle key = k consecutive ids packed into one int64; a shingle is
+    # valid only if all k tokens belong to the same document
+    packed = np.zeros(total_tokens - k + 1, dtype=np.int64)
+    for off in range(k):
+        packed |= ids[off : total_tokens - k + 1 + off].astype(np.int64) << (
+            bits * off
+        )
+    same_doc = (
+        doc_of_token[: total_tokens - k + 1] == doc_of_token[k - 1 :]
+    )
+    sh_docs = doc_of_token[: total_tokens - k + 1][same_doc]
+    sh_keys = packed[same_doc]
+    if sh_keys.size == 0:
+        return out
+    order = np.lexsort((sh_keys, sh_docs))
+    sd, sk = sh_docs[order], sh_keys[order]
+    dup = np.zeros(sk.size, dtype=bool)
+    dup[1:] = (sd[1:] == sd[:-1]) & (sk[1:] == sk[:-1])
+    dup_per_doc = np.bincount(sd[dup], minlength=n_docs)
+    n_shingles = np.maximum(words_per_doc - k + 1, 0)
+    scorable = n_shingles > 1
+    out[scorable] = dup_per_doc[scorable] / n_shingles[scorable]
+    return out
+
+
+def _shingle_dup_fraction_slow(
+    flat: np.ndarray, doc_of_token: np.ndarray, n_docs: int, k: int
+) -> np.ndarray:
+    out = np.zeros(n_docs, dtype=np.float64)
+    for d in range(n_docs):
+        words = flat[doc_of_token == d].tolist()
         n = len(words) - k + 1
         if n <= 1:
             continue
-        seen: set[tuple[str, ...]] = set()
+        seen: set[tuple] = set()
         dups = 0
         for j in range(n):
             sh = tuple(words[j : j + k])
@@ -109,7 +170,7 @@ def shingle_dup_fraction(
                 dups += 1
             else:
                 seen.add(sh)
-        out[i] = dups / n
+        out[d] = dups / n
     return out
 
 

@@ -55,28 +55,42 @@ _FR = (
 ).split()
 
 
-def _code_block(rng: np.random.Generator, n_funcs: int) -> str:
-    lines: list[str] = ["import os", "import sys", ""]
-    for _ in range(n_funcs):
-        name = f"{rng.choice(_VERBS)}_{rng.choice(_IDENTS)}"
-        arg1, arg2 = rng.choice(_IDENTS, size=2)
-        lines.append(f"def {name}({arg1}, {arg2}=None):")
-        for _ in range(int(rng.integers(2, 7))):
-            a, b, c = rng.choice(_IDENTS, size=3)
-            kind = rng.integers(0, 4)
-            if kind == 0:
-                lines.append(f"    {a} = {b} + {int(rng.integers(0, 100))}")
-            elif kind == 1:
-                lines.append(f"    if {a} is not None and {b} > {int(rng.integers(1, 50))}:")
-                lines.append(f"        return {c}")
-            elif kind == 2:
-                lines.append(f"    for {a} in range(len({b})):")
-                lines.append(f"        {c} += {b}[{a}]")
-            else:
-                lines.append(f"    # update the {a} before the {b} is flushed")
-        lines.append(f"    return {rng.choice(_IDENTS)}")
-        lines.append("")
+def _one_function(rng: np.random.Generator) -> str:
+    lines: list[str] = []
+    name = f"{rng.choice(_VERBS)}_{rng.choice(_IDENTS)}"
+    arg1, arg2 = rng.choice(_IDENTS, size=2)
+    lines.append(f"def {name}({arg1}, {arg2}=None):")
+    for _ in range(int(rng.integers(2, 7))):
+        a, b, c = rng.choice(_IDENTS, size=3)
+        kind = rng.integers(0, 4)
+        if kind == 0:
+            lines.append(f"    {a} = {b} + {int(rng.integers(0, 100))}")
+        elif kind == 1:
+            lines.append(f"    if {a} is not None and {b} > {int(rng.integers(1, 50))}:")
+            lines.append(f"        return {c}")
+        elif kind == 2:
+            lines.append(f"    for {a} in range(len({b})):")
+            lines.append(f"        {c} += {b}[{a}]")
+        else:
+            lines.append(f"    # update the {a} before the {b} is flushed")
+    lines.append(f"    return {rng.choice(_IDENTS)}")
+    lines.append("")
     return "\n".join(lines)
+
+
+class _BlockPool:
+    """Pre-generated pool of function blocks so per-file synthesis is a
+    cheap join (content stays deterministic per seed)."""
+
+    def __init__(self, rng: np.random.Generator, size: int = 400):
+        self.blocks = [_one_function(rng) for _ in range(size)]
+
+    def compose(self, rng: np.random.Generator, n_funcs: int, marker: str) -> str:
+        picks = rng.integers(0, len(self.blocks), size=n_funcs)
+        return "\n".join(
+            [f"# {marker}", "import os", "import sys", ""]
+            + [self.blocks[int(p)] for p in picks]
+        )
 
 
 def _prose(rng: np.random.Generator, words: list[str], n: int) -> str:
@@ -89,10 +103,12 @@ def generate_corpus(
     n_repos: int = 40,
     defect_rate: float = 0.35,
     duplicate_rate: float = 0.08,
+    funcs_per_file: tuple[int, int] = (6, 20),
 ) -> pa.Table:
     """Deterministic synthetic corpus with a defect-class column
     (``defect`` — for test assertions only; the pipeline never sees it)."""
     rng = np.random.default_rng(seed)
+    pool = _BlockPool(rng)
     # zipf-ish repo sizes: one mega-repo for dedup-shuffle skew
     repo_weights = 1.0 / np.arange(1, n_repos + 1) ** 1.2
     repo_weights /= repo_weights.sum()
@@ -100,6 +116,7 @@ def generate_corpus(
     defects = [
         "long_line", "low_alnum", "repetition", "non_english", "noise", "tiny", "pii",
     ]
+    symbols = np.array(list("{}[]()<>~!@#$%^&*|\\/=+-_;:'\" \n"))
     rows: dict[str, list] = {k: [] for k in ("repo", "path", "commit", "lang", "content", "defect")}
     contents_pool: list[str] = []
 
@@ -110,27 +127,24 @@ def generate_corpus(
         path = f"src/{rng.choice(_IDENTS)}/{rng.choice(_VERBS)}_{i}.{lang}"
         commit = hashlib.sha1(f"{repo}|{path}|{seed}".encode()).hexdigest()
 
+        n_funcs = int(rng.integers(*funcs_per_file))
         if contents_pool and rng.random() < duplicate_rate:
             content = contents_pool[int(rng.integers(0, len(contents_pool)))]
             defect = "duplicate"
         elif rng.random() < defect_rate:
             defect = defects[int(rng.integers(0, len(defects)))]
-            base = _code_block(rng, int(rng.integers(1, 4)))
+            base = pool.compose(rng, max(1, n_funcs // 2), f"file {i}")
             if defect == "long_line":
                 content = base + "x=1;" * 300  # one ~1200-char line
             elif defect == "low_alnum":
-                content = "".join(
-                    rng.choice(list("{}[]()<>~!@#$%^&*|\\/=+-_;:'\" \n"), size=600)
-                )
+                content = "".join(rng.choice(symbols, size=2000))
             elif defect == "repetition":
-                content = ("copy paste copy paste spam block " * 40).strip()
+                content = ("copy paste copy paste spam block " * 150).strip()
             elif defect == "non_english":
                 words = [_ES, _DE, _FR][int(rng.integers(0, 3))]
-                content = _prose(rng, words, 120)
+                content = _prose(rng, words, 400)
             elif defect == "noise":
-                content = "".join(
-                    chr(c) for c in rng.integers(33, 880, size=700)
-                )
+                content = "".join(chr(c) for c in rng.integers(33, 880, size=2500))
             elif defect == "tiny":
                 content = "ok"
             else:  # pii
@@ -146,7 +160,7 @@ def generate_corpus(
                 )
         else:
             defect = "clean"
-            content = _code_block(rng, int(rng.integers(2, 6)))
+            content = pool.compose(rng, n_funcs, f"file {i}")
             if rng.random() < 0.25:
                 contents_pool.append(content)
 
