@@ -1,0 +1,147 @@
+"""Ray-based dedup (exact/minhash/simhash) and similarity-search tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(ray_session):
+    """Corpus with planted exact + near duplicates."""
+    import ray.data as rd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the fence and the birds sing in the morning light of spring"
+    )
+    docs = {
+        0: base,
+        1: base.replace("spring", "summer"),          # near-dup of 0
+        2: base,                                       # exact dup of 0
+        3: "entirely different text about compilers parsers and abstract syntax trees "
+           "with register allocation and constant folding optimizations",
+        4: "yet another unrelated document discussing database storage engines "
+           "write ahead logs and multiversion concurrency control",
+        5: base.replace("the lazy dog", "a lazy dog"),  # near-dup of 0
+    }
+    t = pa.table(
+        {"doc_id": list(docs.keys()), "text": list(docs.values())}
+    )
+    return rd.from_arrow(t), docs
+
+
+def test_dedup_exact_keep_first(ray_session, near_dup_docs):
+    from validatelite_ray.stages.dedup import dedup_exact
+
+    ds, _ = near_dup_docs
+    out = dedup_exact(ds, key="sha256", order_col="doc_id", content_col="text")
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    assert kept == [0, 1, 3, 4, 5]  # doc 2 (exact dup of 0) dropped, min id kept
+
+
+def test_dedup_exact_salted(ray_session, near_dup_docs):
+    from validatelite_ray.stages.dedup import dedup_exact
+
+    ds, _ = near_dup_docs
+    out = dedup_exact(
+        ds, key="sha256", order_col="doc_id", content_col="text", salt_buckets=4
+    )
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    assert kept == [0, 1, 3, 4, 5]
+
+
+def test_minhash_lsh_clusters(ray_session, near_dup_docs):
+    from validatelite_ray.stages.dedup import dedup_minhash_lsh
+
+    ds, _ = near_dup_docs
+    clusters = dedup_minhash_lsh(
+        ds, id_col="doc_id", text_col="text", jaccard_threshold=0.5, concurrency=2
+    )
+    assert not clusters.empty
+    by_doc = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    # 0, 1, 2, 5 are one near-dup cluster; 3 and 4 are not in any cluster
+    assert by_doc[0] == by_doc[1] == by_doc[2] == by_doc[5]
+    assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_ngram_jaccard_threshold(ray_session, near_dup_docs):
+    from validatelite_ray.stages.dedup import dedup_minhash_lsh
+
+    ds, _ = near_dup_docs
+    # with an impossible threshold only exact dups cluster
+    clusters = dedup_minhash_lsh(
+        ds, id_col="doc_id", text_col="text", jaccard_threshold=1.0, concurrency=2
+    )
+    by_doc = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    assert set(by_doc) == {0, 2}
+
+
+def test_simhash_stage_on_dataset(ray_session, near_dup_docs):
+    from validatelite_ray.stages.dedup import SimHasher, hamming64
+
+    ds, _ = near_dup_docs
+    rows = {
+        r["doc_id"]: r["simhash"]
+        for r in ds.map_batches(
+            SimHasher, fn_constructor_kwargs={"text_col": "text"},
+            batch_format="pyarrow", concurrency=2,
+        ).take_all()
+    }
+    assert rows[0] == rows[2]
+    assert hamming64(rows[0], rows[1]) < hamming64(rows[0], rows[3])
+
+
+@pytest.fixture(scope="module")
+def embeddings_ds(ray_session, sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_ann_bruteforce_matches_numpy(ray_session, embeddings_ds, sf_dir):
+    import pyarrow.parquet as pq
+
+    from validatelite_ray.stages.similarity import ann_topk_bruteforce
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(tbl["vec_id"])
+    mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q_ids, q = ids[:3], mat_n[:3]
+
+    got = ann_topk_bruteforce(embeddings_ds, q_ids, mat[:3], k=4).to_pylist()
+    for qi in range(3):
+        sims = q[qi] @ mat_n.T
+        sims[q_ids[qi]] = -np.inf  # exclude self
+        expect = set(np.argsort(-sims)[:4].tolist())
+        mine = {r["neighbor_id"] for r in got if r["query_id"] == q_ids[qi]}
+        assert mine == expect, (qi, mine, expect)
+
+
+def test_ann_lsh_recall_on_clustered_vectors(ray_session):
+    """LSH recall is only meaningful when near neighbors actually exist:
+    plant 5 tight clusters; the LSH variant must recover the cluster-mates
+    of each query with high recall (random-hyperplane collision prob →
+    1 for cosine-similar vectors)."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.similarity import ann_topk_bruteforce, ann_topk_lsh
+
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((5, 16)) * 5
+    vecs = np.vstack(
+        [c + rng.standard_normal((20, 16)) * 0.05 for c in centers]
+    )
+    ids = np.arange(len(vecs))
+    ds = rd.from_arrow(
+        __import__("pyarrow").table(
+            {"vec_id": ids, "embedding": [v.tolist() for v in vecs]}
+        )
+    )
+    q_ids, q = ids[:5], vecs[:5]  # 5 queries from cluster 0
+    exact = ann_topk_bruteforce(ds, q_ids, q, k=5).to_pylist()
+    approx = ann_topk_lsh(ds, q_ids, q, k=5, bits=6).to_pylist()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.9, recall

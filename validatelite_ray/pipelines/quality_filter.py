@@ -141,20 +141,64 @@ def featurize(ds, cfg: QualityFilterConfig):
     )
 
 
+def _apply_masks(b: pa.Table, compiled) -> pa.Table:
+    keep = np.ones(len(b), dtype=bool)
+    for cr in compiled:
+        fail = np.asarray(cr.fail_mask(b))
+        keep &= ~fail
+        b = b.append_column(f"fail_{cr.spec.name}", pa.array(fail))
+    return b.append_column("keep_rules", pa.array(keep))
+
+
 def label(ds, cfg: QualityFilterConfig):
     """Fused rule-mask evaluation → fail_<rule> columns + keep_rules."""
-    rules = cfg.rules()
-    compiled = [compile_rule(r) for r in rules]
+    compiled = [compile_rule(r) for r in cfg.rules()]
+    return ds.map_batches(
+        lambda b: _apply_masks(b, compiled),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
-    def masks(b: pa.Table) -> pa.Table:
-        keep = np.ones(len(b), dtype=bool)
-        for cr in compiled:
-            fail = np.asarray(cr.fail_mask(b))
-            keep &= ~fail
-            b = b.append_column(f"fail_{cr.spec.name}", pa.array(fail))
-        return b.append_column("keep_rules", pa.array(keep))
 
-    return ds.map_batches(masks, batch_format="pyarrow", zero_copy_batch=True)
+class FusedLabelStage:
+    """The whole featurize+score+label chain as ONE actor-pool stage.
+
+    One stage = no intermediate blocks in the object store between the
+    stats tasks and the scorer pool, and one pool to size. Semantically
+    identical to ``label(featurize(ds, cfg), cfg)`` (the modular path
+    kept for unit tests); used by both run paths.
+    """
+
+    def __init__(self, cfg: QualityFilterConfig):
+        self.cfg = cfg
+        self.scorer = ModelScorer(cfg.text_col, cfg.langid_min_score)
+        self.compiled = [compile_rule(r) for r in cfg.rules()]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        text = cfg.text_col
+        b = add_sha256(batch, text, "sha256")
+        b = add_quality_stats(b, text)
+        b = add_shingle_dup_fraction(b, text, k=cfg.shingle_k)
+        b = add_scrubbed(b, text, "content_scrubbed")
+        uid = None
+        for col in cfg.key_cols:
+            part = pc.cast(b[col], pa.string())
+            uid = part if uid is None else pc.binary_join_element_wise(uid, part, UID_SEP)
+        b = b.append_column("uid", uid)
+        b = self.scorer(b)
+        return _apply_masks(b, self.compiled)
+
+
+def fused_label(ds, cfg: QualityFilterConfig):
+    return ds.map_batches(
+        FusedLabelStage,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.scorer_concurrency,
+        num_cpus=cfg.scorer_num_cpus,
+    )
 
 
 def compute_drop_list(labels_ds) -> pa.Array:
@@ -254,7 +298,7 @@ def run_streaming(
     cfg = cfg or QualityFilterConfig()
     out = Path(out_dir)
     labels_dir = out / "labels_stream"
-    labeled = label(featurize(rd.read_parquet(list(input_files)), cfg), cfg)
+    labeled = fused_label(rd.read_parquet(list(input_files)), cfg)
     labeled.write_parquet(str(labels_dir))
 
     label_files = [str(p) for p in sorted(labels_dir.glob("*.parquet"))]
@@ -310,8 +354,7 @@ def run(
 
     def process(files: Sequence[str], tmp_dir: str) -> dict[str, Any]:
         ds = rd.read_parquet(list(files))
-        labeled = label(featurize(ds, cfg), cfg)
-        labeled.write_parquet(tmp_dir)
+        fused_label(ds, cfg).write_parquet(tmp_dir)
         return {}
 
     stats = ckpt.run_sharded(shards, labels_base, process, resume=resume)

@@ -55,7 +55,7 @@ _PROFILES: dict[str, str] = {
 }
 
 _CJK_CLASS = r"[一-鿿぀-ヿ가-힯]"
-_SLICE_CODEPOINTS = 4000
+_SLICE_CODEPOINTS = 1600
 
 
 def _alternation(words: str) -> str:
