@@ -1,0 +1,127 @@
+"""CLI subprocess e2e (mirrors the reference's cli_scenarios happy path:
+temp CSV with one seeded violation per rule type, exit-code contract)
+plus the sources layer."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from validatelite_ray.sources.io import SourceError, parse_source
+
+CSV = """id,name,email,age,gender,created_at
+1,alice,alice@example.com,30,0,2023-01-15
+2,,bob@example.com,25,1,2023-02-20
+3,charlie,charlie#invalid.com,35,1,2023-03-10
+4,diana,diana@example.com,-5,0,2023-04-05
+5,eve,eve@example.com,150,3,2023-05-31
+6,frank,f@x.io,40,1,2023-02-30
+7,alice,alice2@example.com,22,0,2023-07-07
+"""
+
+RULES = [
+    "not_null(name)",
+    "range(age,0,120)",
+    "enum(gender,0,1)",
+    r"regex(email,^[\w.-]+@[\w.-]+\.[a-zA-Z]{2,}$)",
+    "length(email,5,100)",
+    "date_format(created_at,'YYYY-MM-DD')",
+    "unique(id)",
+]
+
+
+def run_cli(args):
+    return subprocess.run(
+        [sys.executable, "-m", "validatelite_ray.cli", *args],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=180,
+    )
+
+
+@pytest.fixture(scope="module")
+def csv_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cli") / "users.csv"
+    p.write_text(CSV)
+    return str(p)
+
+
+@pytest.mark.slow
+class TestCliCheck:
+    def test_failures_exit_1_and_counts(self, csv_file):
+        args = ["check", csv_file, "--num-cpus", "4", "--json"]
+        for r in RULES:
+            args += ["--rule", r]
+        proc = run_cli(args)
+        assert proc.returncode == 1, proc.stderr
+        payload = json.loads(proc.stdout)
+        by_name = {r["rule_name"]: r for r in payload["results"]}
+        assert by_name["not_null_name"]["failed_records"] == 1
+        assert by_name["range_age"]["failed_records"] == 2
+        assert by_name["enum_gender"]["failed_records"] == 1
+        assert by_name["regex_email"]["failed_records"] == 1
+        assert by_name["length_email"]["failed_records"] == 0
+        assert by_name["date_format_created_at"]["failed_records"] == 1  # 2023-02-30
+        assert by_name["unique_id"]["failed_records"] == 0
+        assert payload["summary"]["failed_rules"] == 5
+
+    def test_all_pass_exit_0(self, csv_file):
+        proc = run_cli(
+            ["check", csv_file, "--rule", "not_null(id)", "--num-cpus", "4"]
+        )
+        assert proc.returncode == 0, proc.stderr
+        assert "PASSED" in proc.stdout
+
+    def test_usage_error_exit_2(self, csv_file):
+        proc = run_cli(["check", csv_file, "--rule", "frobnicate(x)"])
+        assert proc.returncode == 2
+
+    def test_missing_source_exit_3(self):
+        proc = run_cli(["check", "/nope/missing.csv", "--rule", "not_null(id)"])
+        assert proc.returncode == 3
+
+
+class TestSources:
+    def test_parse_source_kinds(self, tmp_path):
+        for name, fmt in (
+            ("a.csv", "csv"), ("b.tsv", "tsv"), ("c.json", "json"),
+            ("d.jsonl", "jsonl"), ("e.parquet", "parquet"),
+        ):
+            p = tmp_path / name
+            p.write_text("x")
+            spec = parse_source(str(p))
+            assert spec.fmt == fmt
+            assert spec.table == name.split(".")[0]
+
+    def test_unsupported(self, tmp_path):
+        p = tmp_path / "x.xlsx"
+        p.write_text("x")
+        with pytest.raises(SourceError):
+            parse_source(str(p))
+        with pytest.raises(SourceError):
+            parse_source(str(tmp_path / "missing.csv"))
+
+    def test_open_csv_and_jsonl(self, ray_session, tmp_path):
+        from validatelite_ray.sources.io import open_source
+
+        c = tmp_path / "t.csv"
+        c.write_text("a,b\n1,x\n2,y\n")
+        ds = open_source(str(c))
+        assert ds.count() == 2
+        j = tmp_path / "t.jsonl"
+        j.write_text('{"a": 1}\n{"a": 2}\n{"a": 3}\n')
+        assert open_source(str(j)).count() == 3
+
+    def test_parquet_dir(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from validatelite_ray.sources.io import open_source
+
+        pq.write_table(pa.table({"x": [1, 2]}), tmp_path / "part0.parquet")
+        pq.write_table(pa.table({"x": [3]}), tmp_path / "part1.parquet")
+        ds = open_source(str(tmp_path), columns=["x"])
+        assert ds.count() == 3

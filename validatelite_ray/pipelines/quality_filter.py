@@ -169,8 +169,9 @@ class FusedLabelStage:
     kept for unit tests); used by both run paths.
     """
 
-    def __init__(self, cfg: QualityFilterConfig):
+    def __init__(self, cfg: QualityFilterConfig, keep_content: bool = False):
         self.cfg = cfg
+        self.keep_content = keep_content
         self.scorer = ModelScorer(cfg.text_col, cfg.langid_min_score)
         self.compiled = [compile_rule(r) for r in cfg.rules()]
 
@@ -187,17 +188,58 @@ class FusedLabelStage:
             uid = part if uid is None else pc.binary_join_element_wise(uid, part, UID_SEP)
         b = b.append_column("uid", uid)
         b = self.scorer(b)
-        return _apply_masks(b, self.compiled)
+        b = _apply_masks(b, self.compiled)
+        if not self.keep_content:
+            # the labeled output carries content_scrubbed + sha256; the raw
+            # content is recoverable from the immutable input — dropping it
+            # halves every downstream read/write
+            b = b.drop_columns([text])
+        return b
 
 
-def fused_label(ds, cfg: QualityFilterConfig):
+#: per-worker-process stage cache for the task-pool path (state is built
+#: once per process, like an actor __init__, but reuses already-warm
+#: Ray workers instead of spawning a dedicated pool)
+_STAGE_CACHE: dict[str, "FusedLabelStage"] = {}
+
+
+def _cached_stage(cfg: QualityFilterConfig, keep_content: bool) -> "FusedLabelStage":
+    key = (repr(cfg), keep_content)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        stage = _STAGE_CACHE[key] = FusedLabelStage(cfg, keep_content)
+    return stage
+
+
+def fused_label(
+    ds,
+    cfg: QualityFilterConfig,
+    use_actor_pool: bool = False,
+    keep_content: bool = False,
+):
+    """Featurize+score+label in one stage.
+
+    Default = stateless task pool with a per-process cached stage: our
+    stand-in models build in ~100 ms, so tasks (elastic, reuse warm
+    workers) beat a dedicated actor pool whose spin-up would dominate
+    short jobs. Pass ``use_actor_pool=True`` when the models are heavy
+    (real fastText/KenLM) — that is the production-shape path and is
+    exercised in tests.
+    """
+    if use_actor_pool:
+        return ds.map_batches(
+            FusedLabelStage,
+            fn_constructor_kwargs={"cfg": cfg, "keep_content": keep_content},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.scorer_concurrency,
+            num_cpus=cfg.scorer_num_cpus,
+        )
     return ds.map_batches(
-        FusedLabelStage,
-        fn_constructor_kwargs={"cfg": cfg},
+        lambda b: _cached_stage(cfg, keep_content)(b),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=cfg.scorer_concurrency,
-        num_cpus=cfg.scorer_num_cpus,
+        zero_copy_batch=True,
     )
 
 
@@ -244,15 +286,23 @@ def finalize_keep(labels_ds, drop_ref):
     return labels_ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def metrics_from_labels(labels_ds, rule_names: Sequence[str]) -> pa.Table:
+def metrics_from_labels(
+    labels_ds, rule_names: Sequence[str], count_true_cols: Sequence[str] = ()
+) -> pa.Table:
     """Per-rule (total, failed) from the labels table — partial per-block
-    sums then a tiny final reduction (ValidateLite result-record shape)."""
+    sums then a tiny final reduction (ValidateLite result-record shape).
+    ``count_true_cols``: extra bool columns reported as rows whose
+    failed_records = count of True (e.g. keep_rules)."""
     fail_cols = [f"fail_{n}" for n in rule_names]
 
     def partial(b: pa.Table) -> pa.Table:
         names, totals, fails = [], [], []
         for name, col in zip(rule_names, fail_cols):
             names.append(name)
+            totals.append(len(b))
+            fails.append(pc.sum(pc.cast(b[col], pa.int64())).as_py() or 0)
+        for col in count_true_cols:
+            names.append(col)
             totals.append(len(b))
             fails.append(pc.sum(pc.cast(b[col], pa.int64())).as_py() or 0)
         return pa.table(
@@ -295,40 +345,57 @@ def run_streaming(
     import ray
     import ray.data as rd
 
+    from validatelite_ray.stages.dedup import dedup_exact
+
     cfg = cfg or QualityFilterConfig()
     out = Path(out_dir)
     labels_dir = out / "labels_stream"
+    # job 1 (heavy): read → featurize+score+label → labels parquet
     labeled = fused_label(rd.read_parquet(list(input_files)), cfg)
     labeled.write_parquet(str(labels_dir))
 
     label_files = [str(p) for p in sorted(labels_dir.glob("*.parquet"))]
     rule_names = [r.name for r in cfg.rules()]
-    slim = rd.read_parquet(label_files, columns=["sha256", "uid", "keep_rules"])
-    drops = compute_drop_list(slim)
-    final = finalize_keep(rd.read_parquet(label_files), ray.put(drops))
-    kept_dir = out / "kept"
-    kept_cols = list(dict.fromkeys([*cfg.key_cols, "lang", "sha256", "content_scrubbed"]))
-
-    def project_kept(b: pa.Table) -> pa.Table:
-        kept = b.filter(pc.equal(b["keep"], True))
-        return kept.select([c for c in kept_cols if c in kept.column_names])
-
-    final.map_batches(
-        project_kept, batch_format="pyarrow", zero_copy_batch=True
-    ).write_parquet(str(kept_dir))
-    metrics = metrics_from_labels(
-        rd.read_parquet(label_files, columns=[f"fail_{n}" for n in rule_names]),
-        rule_names,
+    kept_cols = list(
+        dict.fromkeys([*cfg.key_cols, "lang", "sha256", "uid", "content_scrubbed"])
     )
-    n_total = int(pc.sum(metrics["total_records"]).as_py() or 0) // max(len(rule_names), 1)
-    kept_count = rd.read_parquet(str(kept_dir)).count()
+
+    # job 2: dedup + kept output in ONE shuffle — rule-passing rows only,
+    # groupby(sha256) keep-first (lexical min uid), written directly
+    kept_dir = out / "kept"
+    passing = rd.read_parquet(
+        label_files, columns=kept_cols + ["keep_rules"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["keep_rules"], True)).drop_columns(
+            ["keep_rules"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    dedup_exact(
+        passing, key="sha256", order_col="uid", strategy="broadcast"
+    ).write_parquet(str(kept_dir))
+
+    # job 3 (tiny): per-rule metrics + passing count from bool columns only
+    metrics = metrics_from_labels(
+        rd.read_parquet(
+            label_files,
+            columns=[f"fail_{n}" for n in rule_names] + ["keep_rules"],
+        ),
+        rule_names,
+        count_true_cols=("keep_rules",),
+    )
+    rows = dict(
+        zip(metrics["rule_name"].to_pylist(), metrics["failed_records"].to_pylist())
+    )
+    passing_count = int(rows.pop("keep_rules"))
+    n_total = int(metrics["total_records"][0].as_py())
+    kept_count = rd.read_parquet(str(kept_dir)).count()  # parquet metadata only
     return {
         "total_rows": n_total,
         "kept_rows": int(kept_count),
-        "dropped_duplicates": len(drops),
-        "rules": dict(
-            zip(metrics["rule_name"].to_pylist(), metrics["failed_records"].to_pylist())
-        ),
+        "dropped_duplicates": int(passing_count - kept_count),
+        "rules": rows,
     }
 
 

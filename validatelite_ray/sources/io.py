@@ -63,12 +63,19 @@ def open_source(source: str | SourceSpec, columns: list[str] | None = None):
     spec = source if isinstance(source, SourceSpec) else parse_source(source)
     if spec.fmt == "parquet":
         return rd.read_parquet(spec.path, columns=columns)
-    if spec.fmt == "csv":
-        ds = rd.read_csv(spec.path)
-    elif spec.fmt == "tsv":
-        from pyarrow import csv as pacsv
+    from pyarrow import csv as pacsv
 
-        ds = rd.read_csv(spec.path, parse_options=pacsv.ParseOptions(delimiter="\t"))
+    # empty strings read as NULL — matching the reference's pandas
+    # read_csv staging (empty cell → NaN → SQL NULL)
+    convert = pacsv.ConvertOptions(strings_can_be_null=True)
+    if spec.fmt == "csv":
+        ds = rd.read_csv(spec.path, convert_options=convert)
+    elif spec.fmt == "tsv":
+        ds = rd.read_csv(
+            spec.path,
+            parse_options=pacsv.ParseOptions(delimiter="\t"),
+            convert_options=convert,
+        )
     elif spec.fmt in ("json", "jsonl"):
         ds = rd.read_json(spec.path)
     else:  # pragma: no cover

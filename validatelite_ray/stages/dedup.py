@@ -37,6 +37,7 @@ def dedup_exact(
     order_col: str | None = None,
     content_col: str = "content",
     salt_buckets: int = 0,
+    strategy: str = "shuffle",
 ):
     """Keep exactly one row per distinct ``key`` (keep-first).
 
@@ -44,10 +45,20 @@ def dedup_exact(
     None → arbitrary-but-single winner. If ``key`` is not present it is
     derived as sha256 of ``content_col``.
 
-    Shuffle key = content hash → uniformly distributed; skew comes only
-    from *duplicate multiplicity* (one value repeated k times). With
-    ``salt_buckets = S > 0`` a two-phase reduction caps any group at
-    ~k/S rows before the final exchange.
+    ``strategy``:
+
+    * ``"shuffle"`` (default) — hash-shuffle the full rows on ``key``
+      and keep the minimum per group. No driver/broadcast state; the
+      only choice when the deduped output itself is enormous. Shuffle
+      key = content hash → uniform; skew comes only from duplicate
+      multiplicity, capped by ``salt_buckets = S > 0`` (two-phase
+      reduction, ~k/S rows per first-phase group).
+    * ``"broadcast"`` — shuffle only the slim (key, order_col) pairs
+      through a vectorized ``Min`` aggregate, broadcast the winning
+      order values (``ray.put``), and filter the full rows in place —
+      the full rows NEVER move. Wins whenever the winner set fits the
+      object store (per-shard corpora, bench scale); at 10^12-row scale
+      use "shuffle" (or partition the winner set per shard).
     """
     cols = ds.schema().names if hasattr(ds.schema(), "names") else ds.schema().base_schema.names
     if key not in cols:
@@ -58,9 +69,12 @@ def dedup_exact(
         )
 
     def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        if order_col is not None:
-            return group.nsmallest(1, order_col)
+        if order_col is not None:  # works for numeric AND string keys
+            return group.sort_values(order_col, kind="mergesort").head(1)
         return group.head(1)
+
+    if strategy == "broadcast" and order_col is not None:
+        return _dedup_exact_broadcast(ds, key, order_col)
 
     if salt_buckets and order_col is not None:
         def add_salt(b: pa.Table) -> pa.Table:
@@ -78,6 +92,27 @@ def dedup_exact(
         return phase1.groupby(key).map_groups(keep_min, batch_format="pandas")
 
     return ds.groupby(key).map_groups(keep_min, batch_format="pandas")
+
+
+def _dedup_exact_broadcast(ds, key: str, order_col: str):
+    """Winner = Min(order_col) per key via a slim vectorized aggregate;
+    full rows are filtered in place against the broadcast winner set."""
+    import ray
+    from ray.data.aggregate import Min
+
+    winners = (
+        ds.select_columns([key, order_col])
+        .groupby(key)
+        .aggregate(Min(order_col, alias_name="__winner"))
+    )
+    winner_vals = pa.array([r["__winner"] for r in winners.take_all()])
+    ref = ray.put(winner_vals)
+
+    def keep_winners(b: pa.Table) -> pa.Table:
+        vals = ray.get(ref)
+        return b.filter(pc.is_in(b[order_col], value_set=vals))
+
+    return ds.map_batches(keep_winners, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
