@@ -182,6 +182,30 @@ def _q_scrub_email(sf_dir: str):
     )
 
 
+def _q_window_events(sf_dir: str):
+    """Tumbling-window aggregate over the events stream: per
+    (event_type, 1-hour window) count + exact value sum in cents.
+    Ray Data has no event-time windows; a tumbling window IS a groupby
+    on the floored timestamp (SURVEY §2.11 / streaming-shaped guidance)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def windowed(b: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(b["ts"], pa.int64())
+        window = pc.divide(epoch_us, 3_600_000_000)  # integer μs → hour bucket
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        return pa.table(
+            {"event_type": b["event_type"], "window": window, "cents": cents}
+        )
+
+    return (
+        ds.map_batches(windowed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_value_cents"))
+    )
+
+
 def _q_dedup_minhash(sf_dir: str):
     """MinHash-LSH near-dup clusters (not SQL-expressible — rows-only)."""
     from validatelite_ray.stages.dedup import dedup_minhash_lsh
@@ -275,20 +299,31 @@ def _q_schema_check(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship slice on sf0.001: quality-stat + scrub + keep verdict over
-    ``documents`` (the full code-corpus pipeline lives in
-    validatelite_ray.pipelines.quality_filter and is exercised in tests)."""
+    """Flagship pipeline on sf0.001: map ``documents`` onto the
+    code-corpus shape (repo, path, commit, lang, content) and run the
+    full fused quality-filter labeling stage (stats + shingles + scrub +
+    langid + perplexity + rule masks + keep verdict)."""
     sf_dir = "/root/testdata/sf0.001"
-    from validatelite_ray.stages.scrub import add_scrubbed
-    from validatelite_ray.stages.text import add_quality_stats
+    from validatelite_ray.pipelines.quality_filter import (
+        QualityFilterConfig,
+        fused_label,
+    )
 
     ds = _read(sf_dir, "documents")
-    out = ds.map_batches(
-        lambda b: add_scrubbed(add_quality_stats(b, "text"), "text"),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    return out
+
+    def to_corpus(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": b["source"],
+                "path": pc.cast(b["doc_id"], pa.string()),
+                "commit": pc.cast(b["doc_id"], pa.string()),
+                "lang": b["lang"],
+                "content": b["text"],
+            }
+        )
+
+    corpus = ds.map_batches(to_corpus, batch_format="pyarrow", zero_copy_batch=True)
+    return fused_label(corpus, QualityFilterConfig(batch_size=256))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -339,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ],
         ),
         "agg_lineitem_pricing": _q_agg_lineitem,
+        "agg_events_window": _q_window_events,
         "dedup_exact_documents": _q_dedup_exact,
         "dedup_minhash_documents": _q_dedup_minhash,
         "dedup_simhash_documents": _q_dedup_simhash,
@@ -416,6 +452,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_pct, "
             "count(*) AS n "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "agg_events_window": (
+            "SELECT event_type, "
+            "CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window, "
+            "count(*) AS n, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
+            "FROM events GROUP BY event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT)"
         ),
         "dedup_exact_documents": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"

@@ -1,0 +1,107 @@
+"""Engine semantics beyond the happy path: thresholds, runtime error
+isolation, extension registry, actor-pool pipeline path."""
+
+import pyarrow as pa
+import pytest
+
+from validatelite_ray.compiler.kernels import register_rule_compiler
+from validatelite_ray.engine.engine import RuleEngine
+from validatelite_ray.rules import spec as S
+from validatelite_ray.rules.spec import RuleSpec
+from validatelite_ray.rules.types import RuleStatus, RuleType
+
+
+def test_threshold_tolerated_failure_rate(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"v": [1, 2, None, 4, 5, 6, 7, 8, 9, 10]}))
+    # 1 failure out of 10; threshold 0.2 tolerates it, 0.05 does not
+    lenient = RuleEngine([S.not_null("v", name="a", threshold=0.2)]).execute(ds)["a"]
+    strict = RuleEngine([S.not_null("v", name="b", threshold=0.05)]).execute(ds)["b"]
+    assert lenient.status == RuleStatus.PASSED.value
+    assert lenient.failed_records == 1
+    assert strict.status == RuleStatus.FAILED.value
+
+
+def test_runtime_kernel_error_isolated(ray_session):
+    """A rule whose kernel fails at runtime (RANGE over non-numeric
+    strings) becomes ERROR; sibling rules still produce counts —
+    reference error-isolation contract (rule_engine.py:230-256)."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"s": ["x", "y", None], "n": [1, 2, 3]}))
+    report = RuleEngine(
+        [
+            S.value_range("s", 0, 10, name="bad"),
+            S.not_null("n", name="good"),
+        ]
+    ).execute(ds)
+    assert report["bad"].status == RuleStatus.ERROR.value
+    assert report["good"].status == RuleStatus.PASSED.value
+    assert report["good"].total_records == 3
+
+
+def test_register_custom_rule_compiler(ray_session):
+    """Extension surface: register a batch compiler for a rule type
+    (analogue of the reference ExecutorRegistry)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    # re-register ENUM with inverted semantics under a fresh compile, then
+    # restore; use a scratch registry entry via a custom type is not
+    # possible (closed enum), so register over REGEX and restore after.
+    from validatelite_ray.compiler import kernels as K
+
+    original = K._COMPILERS[RuleType.REGEX]
+
+    def always_fail_odd(rule: RuleSpec):
+        def mask(batch: pa.Table):
+            return pc.equal(pc.bit_wise_and(batch[rule.column], 1), 1)
+
+        return mask
+
+    try:
+        register_rule_compiler(RuleType.REGEX, always_fail_odd)
+        ds = rd.from_arrow(pa.table({"v": [1, 2, 3, 4, 5]}))
+        r = RuleEngine([S.regex("v", ".", name="odd")]).execute(ds)["odd"]
+        assert r.failed_records == 3
+    finally:
+        K._COMPILERS[RuleType.REGEX] = original
+
+
+def test_fused_label_actor_pool_path(ray_session, tmp_path):
+    """The production-shape actor-pool path produces identical labels to
+    the task path."""
+    import ray.data as rd
+
+    from validatelite_ray.pipelines.quality_filter import (
+        QualityFilterConfig,
+        fused_label,
+    )
+    from validatelite_ray.testing.codegen import generate_corpus
+
+    table = generate_corpus(n_files=120, seed=7).drop_columns(["defect"])
+    cfg = QualityFilterConfig(
+        batch_size=64, scorer_concurrency=2, scorer_num_cpus=0.5
+    )
+    ds = rd.from_arrow(table)
+    tasks = {
+        r["uid"]: (r["keep_rules"], r["sha256"])
+        for r in fused_label(ds, cfg).take_all()
+    }
+    actors = {
+        r["uid"]: (r["keep_rules"], r["sha256"])
+        for r in fused_label(
+            rd.from_arrow(table), cfg, use_actor_pool=True
+        ).take_all()
+    }
+    assert tasks == actors and len(tasks) == 120
+
+
+def test_unique_with_filterless_engine_no_batch_rules(ray_session):
+    """UNIQUE-only execution computes total via ds.count() (no fused pass)."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"v": [1, 1, 2, None]}))
+    r = RuleEngine([S.unique("v", name="u")]).execute(ds)["u"]
+    assert (r.total_records, r.failed_records) == (4, 1)
