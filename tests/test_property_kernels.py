@@ -1,0 +1,117 @@
+"""Property-based: fused kernel counts vs a slow row-by-row oracle over
+randomized tables and rule parameters (no Ray needed)."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from validatelite_ray.compiler.kernels import compile_rule
+from validatelite_ray.rules import spec as S
+from validatelite_ray.rules.scalars import valid_date_format
+
+
+def slow_counts(rows, rule):
+    """Reference SQL semantics, row by row."""
+    failed = 0
+    for v in rows:
+        t = rule.rule_type.value
+        if t == "NOT_NULL":
+            bad = v is None
+        elif t == "RANGE":
+            lo, hi = rule.param("min_value"), rule.param("max_value")
+            bad = v is None or (lo is not None and v < lo) or (hi is not None and v > hi)
+        elif t == "LENGTH":
+            lo, hi = rule.param("min_length"), rule.param("max_length")
+            n = None if v is None else len(str(v))
+            bad = v is None or (lo is not None and n < lo) or (hi is not None and n > hi)
+        elif t == "ENUM":
+            bad = v is not None and v not in rule.param("allowed_values")
+        elif t == "REGEX":
+            bad = v is not None and re.search(rule.param("pattern"), str(v)) is None
+        elif t == "DATE_FORMAT":
+            bad = v is not None and not valid_date_format(v, rule.param("format"))
+        else:
+            raise AssertionError(t)
+        failed += bad
+    return failed
+
+
+numbers = st.lists(
+    st.one_of(st.none(), st.integers(-1000, 1000)), min_size=0, max_size=60
+)
+strings = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(alphabet="abc@.-0123456789 ", max_size=12),
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(numbers, st.integers(-500, 500), st.integers(0, 500))
+def test_range_counts(values, lo, extra):
+    hi = lo + extra
+    rule = S.value_range("v", float(lo), float(hi), name="r")
+    t = pa.table({"v": pa.array(values, pa.int64())})
+    total, failed = compile_rule(rule).counts(t)
+    assert total == len(values)
+    assert failed == slow_counts(values, rule)
+
+
+@settings(max_examples=60, deadline=None)
+@given(strings, st.integers(0, 6), st.integers(0, 8))
+def test_length_counts(values, lo, extra):
+    rule = S.length("v", lo, lo + extra, name="r")
+    t = pa.table({"v": pa.array(values, pa.string())})
+    _, failed = compile_rule(rule).counts(t)
+    assert failed == slow_counts(values, rule)
+
+
+@settings(max_examples=60, deadline=None)
+@given(strings, st.lists(st.text(alphabet="abc", min_size=1, max_size=3), min_size=1, max_size=4))
+def test_enum_counts(values, allowed):
+    rule = S.enum("v", allowed, name="r")
+    t = pa.table({"v": pa.array(values, pa.string())})
+    _, failed = compile_rule(rule).counts(t)
+    assert failed == slow_counts(values, rule)
+
+
+@settings(max_examples=40, deadline=None)
+@given(strings)
+def test_regex_counts(values):
+    rule = S.regex("v", r"[a-c]+@[a-c]+\.[a-c]{1,3}", name="r")
+    t = pa.table({"v": pa.array(values, pa.string())})
+    _, failed = compile_rule(rule).counts(t)
+    assert failed == slow_counts(values, rule)
+
+
+date_like = st.one_of(
+    st.none(),
+    st.dates().map(lambda d: d.isoformat()),
+    st.dates().map(lambda d: d.strftime("%Y-%m-%d").replace("-0", "-")),
+    st.text(alphabet="0123456789-", max_size=12),
+    st.just(""),
+    st.just("   "),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(date_like, min_size=0, max_size=40))
+def test_date_format_counts(values):
+    rule = S.date_format("v", "YYYY-MM-DD", name="r")
+    t = pa.table({"v": pa.array(values, pa.string())})
+    _, failed = compile_rule(rule).counts(t)
+    assert failed == slow_counts(values, rule)
+
+
+@settings(max_examples=40, deadline=None)
+@given(numbers)
+def test_not_null_counts(values):
+    rule = S.not_null("v", name="r")
+    t = pa.table({"v": pa.array(values, pa.int64())})
+    _, failed = compile_rule(rule).counts(t)
+    assert failed == sum(v is None for v in values)

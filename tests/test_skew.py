@@ -1,0 +1,55 @@
+"""Skew fixtures: a hot content hash duplicated thousands of times
+(empty-file / vendored-file pathology) must dedup correctly through both
+strategies, and the salted two-phase path must bound group sizes."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def hot_key_ds(ray_session):
+    import ray.data as rd
+
+    hot = "the same vendored file content appearing everywhere"
+    n_hot, n_unique = 5000, 500
+    contents = [hot] * n_hot + [f"unique file {i} body" for i in range(n_unique)]
+    ids = np.arange(len(contents))
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(len(contents))
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids[perm]),
+            "content": pa.array([contents[i] for i in perm], pa.string()),
+        }
+    )
+    return rd.from_arrow(t).repartition(8), n_hot, n_unique
+
+
+@pytest.mark.parametrize("kwargs", [
+    {"strategy": "shuffle"},
+    {"strategy": "shuffle", "salt_buckets": 16},
+    {"strategy": "broadcast"},
+])
+def test_hot_key_dedup(ray_session, hot_key_ds, kwargs):
+    from validatelite_ray.stages.dedup import dedup_exact
+
+    ds, n_hot, n_unique = hot_key_ds
+    out = dedup_exact(ds, key="sha256", order_col="doc_id", **kwargs).take_all()
+    assert len(out) == 1 + n_unique
+    # deterministic winner: minimum doc_id of the hot group is 0
+    hot_rows = [r for r in out if "vendored" in r["content"]]
+    assert len(hot_rows) == 1 and hot_rows[0]["doc_id"] == 0
+
+
+def test_unique_rule_on_skewed_column(ray_session, hot_key_ds):
+    from validatelite_ray.engine.engine import RuleEngine
+    from validatelite_ray.rules import spec as S
+
+    ds, n_hot, n_unique = hot_key_ds
+    from validatelite_ray.stages.fingerprint import add_sha256
+
+    hashed = ds.map_batches(lambda b: add_sha256(b, "content"), batch_format="pyarrow")
+    r = RuleEngine([S.unique("sha256", name="u")]).execute(hashed)["u"]
+    assert r.failed_records == n_hot - 1
+    assert r.total_records == n_hot + n_unique

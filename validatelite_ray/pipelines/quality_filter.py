@@ -246,24 +246,41 @@ def fused_label(
 def compute_drop_list(labels_ds) -> pa.Array:
     """uids of rule-passing rows that LOSE exact dedup (non-winners).
 
-    Shuffle payload: (sha256, uid) of passing rows only, pre-projected.
+    Fully vectorized: shuffle only the slim (sha256, uid) pairs of
+    passing rows through a ``Min``/``Count`` aggregate; hashes with
+    count > 1 (the duplicated minority) come back to the driver as a
+    winner map, and a second slim pass emits passing non-winner uids.
     Winner = lexical min uid per sha256.
     """
-    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count, Min
 
     pairs = labels_ds.map_batches(
         lambda b: b.filter(pc.equal(b["keep_rules"], True)).select(["sha256", "uid"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    agg = pairs.groupby("sha256").aggregate(
+        Min("uid", alias_name="winner"), Count(alias_name="c")
+    )
+    dup_rows = agg.map_batches(
+        lambda b: b.filter(pc.greater(b["c"], 1)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    if not dup_rows:
+        return pa.array([], pa.string())
+    dup_shas = pa.array([r["sha256"] for r in dup_rows], pa.string())
+    winner_uids = pa.array([r["winner"] for r in dup_rows], pa.string())
+    ref = ray.put((dup_shas, winner_uids))
 
-    def losers(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) <= 1:
-            return pd.DataFrame({"uid": pd.Series([], dtype="object")})
-        keep = g["uid"].min()
-        return pd.DataFrame({"uid": g.loc[g["uid"] != keep, "uid"]})
+    def losers(b: pa.Table) -> pa.Table:
+        shas, winners = ray.get(ref)
+        in_dup = pc.is_in(b["sha256"], value_set=shas)
+        not_winner = pc.invert(pc.is_in(b["uid"], value_set=winners))
+        return b.filter(pc.and_(in_dup, not_winner)).select(["uid"])
 
-    dropped = pairs.groupby("sha256").map_groups(losers, batch_format="pandas")
+    dropped = pairs.map_batches(losers, batch_format="pyarrow", zero_copy_batch=True)
     uids = [r["uid"] for r in dropped.take_all()]
     return pa.array(sorted(uids), pa.string())
 
