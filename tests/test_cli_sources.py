@@ -125,3 +125,37 @@ class TestSources:
         pq.write_table(pa.table({"x": [3]}), tmp_path / "part1.parquet")
         ds = open_source(str(tmp_path), columns=["x"])
         assert ds.count() == 3
+
+
+@pytest.mark.slow
+class TestCliSchema:
+    def test_schema_command_end_to_end(self, tmp_path):
+        payload = {
+            "users": {
+                "rules": [
+                    {"field": "id", "type": "integer", "required": True},
+                    {"field": "age", "type": "integer", "min": 0, "max": 120},
+                    {"field": "missing_col", "type": "string", "required": True},
+                ]
+            },
+            "ghost": {"rules": [{"field": "x", "type": "string", "required": True}]},
+        }
+        rules = tmp_path / "schema.json"
+        rules.write_text(json.dumps(payload))
+        data = tmp_path / "users.csv"
+        data.write_text("id,age\n1,30\n2,150\n3,\n")
+        proc = run_cli(
+            ["schema", str(rules), "--table", f"users={data}", "--json",
+             "--num-cpus", "4"]
+        )
+        assert proc.returncode == 1, proc.stderr
+        payload_out = json.loads(proc.stdout)
+        s = payload_out["summary"]
+        assert s["failed_rules"] >= 2          # schema (missing col) + range
+        assert s["skipped_rules"] >= 2         # missing_col rule + ghost table
+
+    def test_schema_bad_payload_exit_2(self, tmp_path):
+        rules = tmp_path / "bad.json"
+        rules.write_text("{nope")
+        proc = run_cli(["schema", str(rules)])
+        assert proc.returncode == 2

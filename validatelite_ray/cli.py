@@ -45,6 +45,83 @@ def _render_table(report, samples) -> str:
     return "\n".join(lines)
 
 
+def _schema_command(args) -> int:
+    """``vlray schema payload.json --table users=users.csv ...`` —
+    reference exit-code contract: 0 all pass, 1 any FAILED."""
+    import json as _json
+    import sys as _sys
+    from pathlib import Path
+
+    try:
+        payload = _json.loads(Path(args.rules_file).read_text(encoding="utf-8"))
+    except (OSError, _json.JSONDecodeError) as exc:
+        print(f"error: cannot read schema payload: {exc}", file=_sys.stderr)
+        return EXIT_USAGE
+
+    from validatelite_ray.sources.io import SourceError, open_source
+
+    bindings: dict[str, str] = {}
+    for item in args.table:
+        name, sep, src = item.partition("=")
+        if not sep:
+            print(f"error: --table expects NAME=SOURCE, got {item!r}", file=_sys.stderr)
+            return EXIT_USAGE
+        bindings[name] = src
+
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+            **({"num_cpus": args.num_cpus} if args.num_cpus else {}),
+        )
+    try:
+        import ray.data
+
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        datasets = {}
+        for name, src in bindings.items():
+            try:
+                datasets[name] = open_source(src)
+            except SourceError as exc:
+                print(f"error: table {name!r}: {exc}", file=_sys.stderr)
+                return EXIT_SOURCE_ERROR
+
+        from validatelite_ray.engine.desired_type import ConflictingTypeError
+        from validatelite_ray.engine.schema_plan import (
+            SchemaPayloadError,
+            run_schema_command,
+            summarize,
+        )
+
+        try:
+            reports = run_schema_command(payload, datasets)
+        except (SchemaPayloadError, ConflictingTypeError) as exc:
+            print(f"error: {exc}", file=_sys.stderr)
+            return EXIT_USAGE
+        except Exception as exc:
+            print(f"engine error: {exc}", file=_sys.stderr)
+            return EXIT_ENGINE_ERROR
+
+        summary = summarize(reports)
+        if args.as_json:
+            print(_json.dumps(summary, indent=2, default=str))
+        else:
+            for table, report in reports.items():
+                print(f"== {table} ==")
+                print(_render_table(report, {}))
+        return (
+            EXIT_OK if summary["summary"]["failed_rules"] == 0 else EXIT_RULE_FAILURES
+        )
+    finally:
+        if owns_ray:
+            ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="vlray")
     sub = parser.add_subparsers(dest="command")
@@ -59,10 +136,23 @@ def main(argv: list[str] | None = None) -> int:
                        help="collect up to N failing sample rows per rule")
     check.add_argument("--num-cpus", type=int, default=None)
 
+    schema = sub.add_parser(
+        "schema", help="two-phase declarative schema validation"
+    )
+    schema.add_argument("rules_file", help="multi-table schema JSON payload")
+    schema.add_argument(
+        "--table", action="append", default=[], metavar="NAME=SOURCE",
+        help="bind a payload table to a data source (repeatable)",
+    )
+    schema.add_argument("--json", dest="as_json", action="store_true")
+    schema.add_argument("--num-cpus", type=int, default=None)
+
     try:
         args = parser.parse_args(argv)
     except SystemExit as exc:
         return EXIT_USAGE if exc.code not in (0,) else 0
+    if args.command == "schema":
+        return _schema_command(args)
     if args.command != "check":
         parser.print_help()
         return EXIT_USAGE
