@@ -241,6 +241,14 @@ def _q_ann_topk(sf_dir: str):
     return ann_topk_bruteforce(ds, q_ids, q_vecs, k=5)
 
 
+def _q_dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup keep-first at tau=0.45."""
+    from validatelite_ray.stages.similarity import dedup_embedding_cosine
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dedup_embedding_cosine(ds, threshold=0.45)
+
+
 def _q_langid(sf_dir: str):
     """Heuristic language-ID over documents (model stage; rows-only)."""
     from validatelite_ray.stages.langid import LangIdScorer
@@ -379,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_documents": _q_dedup_minhash,
         "dedup_simhash_documents": _q_dedup_simhash,
         "ann_topk_embeddings": _q_ann_topk,
+        "dedup_embedding_cosine": _q_dedup_embedding,
         "langid_documents": _q_langid,
         "perplexity_documents": _q_perplexity,
         "rule_schema_orders": _q_schema_check,
@@ -462,6 +471,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact_documents": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "dedup_embedding_cosine": (
+            "SELECT e.vec_id FROM embeddings e WHERE NOT EXISTS ("
+            "SELECT 1 FROM embeddings o WHERE o.vec_id < e.vec_id "
+            "AND list_cosine_similarity(o.embedding, e.embedding) >= 0.45) "
+            "ORDER BY e.vec_id"
         ),
         # dedup_minhash_documents / dedup_simhash_documents / langid_documents /
         # perplexity_documents / rule_schema_orders: deliberately no oracle —

@@ -145,3 +145,24 @@ def test_ann_lsh_recall_on_clustered_vectors(ray_session):
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.9, recall
+
+
+def test_embedding_cosine_dedup_matches_numpy(ray_session, embeddings_ds, sf_dir):
+    import pyarrow.parquet as pq
+
+    from validatelite_ray.stages.similarity import dedup_embedding_cosine
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(tbl["vec_id"])
+    mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    tau = 0.45
+    expect = [
+        int(ids[i])
+        for i in range(len(ids))
+        if not any(sims[i, j] >= tau for j in range(len(ids)) if ids[j] < ids[i])
+    ]
+    got = dedup_embedding_cosine(embeddings_ds, threshold=tau).to_pylist()
+    assert [r["vec_id"] for r in got] == sorted(expect)
+    assert len(expect) < len(ids)  # some near-dups actually dropped

@@ -123,6 +123,49 @@ def ann_topk_bruteforce(
     return _merge_candidates(cands, k)
 
 
+def dedup_embedding_cosine(
+    ds,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Embedding-cosine near-duplicate dedup (keep-first).
+
+    A vector is DROPPED iff some lower-id vector has cosine similarity
+    ≥ ``threshold`` with it (keep-first dominance — deterministic and
+    SQL-expressible, unlike transitive-closure clustering). Returns the
+    kept (id) table.
+
+    Plan: the normalized reference matrix is broadcast once
+    (``ray.put``); each batch computes one matmul against it and masks
+    rows dominated by an earlier vector. O(n·N) compute but zero
+    shuffle. Scale path for corpora whose matrix exceeds the object
+    store: prefilter candidate pairs with the random-hyperplane LSH
+    buckets of ``ann_topk_lsh`` and verify only within buckets.
+    """
+    import ray
+
+    full = ds.select_columns([id_col, vec_col]).take_all()
+    ids = np.array([r[id_col] for r in full], dtype=np.int64)
+    mat = _normalize(np.array([r[vec_col] for r in full], dtype=np.float64))
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    ref = ray.put({"ids": ids, "mat": mat})
+
+    def keep_mask(batch: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        b_ids = np.asarray(batch[id_col], dtype=np.int64)
+        b_mat = _normalize(_to_matrix(batch[vec_col]))
+        sims = b_mat @ r["mat"].T                      # (b, N)
+        earlier = r["ids"][None, :] < b_ids[:, None]   # strictly lower id
+        dominated = ((sims >= threshold) & earlier).any(axis=1)
+        return pa.table({id_col: pa.array(b_ids[~dominated], pa.int64())})
+
+    kept = ds.map_batches(keep_mask, batch_format="pyarrow", zero_copy_batch=True)
+    rows = sorted(r[id_col] for r in kept.take_all())
+    return pa.table({id_col: pa.array(rows, pa.int64())})
+
+
 class _LshScorer(_TopKScorer):
     """Top-k restricted to vectors colliding with ≥1 query bucket."""
 
