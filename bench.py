@@ -158,7 +158,7 @@ def scaling() -> dict:
     per-job overheads as a real cluster run would.
     """
 
-    def run_at(ncpu: int) -> dict:
+    def run_once_at(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -172,6 +172,12 @@ def scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def run_at(ncpu: int) -> dict:
+        # best of 2 fresh processes — this host's steal-time makes single
+        # timings vary 2x; min is the standard de-noising estimator
+        a, b = run_once_at(ncpu), run_once_at(ncpu)
+        return a if a["queries"]["qf_corpus"] <= b["queries"]["qf_corpus"] else b
+
     lo_n, hi_n = 2, 8
     lo = run_at(lo_n)
     hi = run_at(hi_n)
@@ -180,7 +186,7 @@ def scaling() -> dict:
     tp_hi = hi["corpus_files_per_sec"]
     eff = (tp_hi / tp_lo) / (hi_n / lo_n)
     return {
-        "metric": "scaling efficiency (flagship files/sec, 8 -> 32 cpus)",
+        "metric": f"scaling efficiency (flagship files/sec, {lo_n} -> {hi_n} cpus, best of 2)",
         "num_cpus_lo": lo_n,
         "num_cpus_hi": hi_n,
         "sec_lo": lo["queries"]["qf_corpus"],

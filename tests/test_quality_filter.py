@@ -167,3 +167,20 @@ def test_manifest_contents(pipeline_out):
     manifest = json.loads(marker.read_text())
     assert manifest["shard_id"] == 0
     assert manifest["input_files"]
+
+
+def test_manifest_lineage_counts_sum_to_metrics(pipeline_out):
+    """Per-shard lineage counts in the _DONE manifests must sum to the
+    global metrics (partition-granular lineage, north-rule contract)."""
+    out, summary = pipeline_out
+    totals: dict = {}
+    rows = 0
+    for i in ckpt.completed_shards(out / "labels"):
+        manifest = json.loads(
+            (ckpt.shard_dir(out / "labels", i) / ckpt.DONE_MARKER).read_text()
+        )
+        rows += manifest["rows"]
+        for name, failed in manifest["rule_failed_records"].items():
+            totals[name] = totals.get(name, 0) + failed
+    assert rows == N_FILES
+    assert totals == summary["rules"]

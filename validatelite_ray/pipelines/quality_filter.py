@@ -13,15 +13,17 @@ Input: Parquet table (repo, path, commit, lang, content). Stages:
    Parquet (one directory per input shard, atomic + ``_DONE`` manifest:
    validatelite_ray.pipelines.checkpoint). This is the checkpoint: a
    killed run redoes only missing shards.
-4. ``dedup`` — global exact dedup on sha256 over the labels output
-   (column-pruned read of (sha256, uid, keep_rules)): winner = lexical
-   min uid among rule-passing rows per hash; the much smaller
-   *drop list* (passing non-winners) is broadcast back (``ray.put``)
-   and anti-joined per batch. At larger scale the drop list becomes a
-   hash-partitioned parquet side input per shard — same semantics.
+4. ``dedup`` — global exact dedup on sha256 over the labels output:
+   winner = lexical min uid among rule-passing rows per hash. Two
+   physical strategies (stages/dedup.py): slim Min-aggregate +
+   broadcast winner filter (full rows never shuffle; the default for
+   the streaming path), or a full hash shuffle with optional salting
+   when the winner set exceeds memory. The checkpointed ``run`` path
+   instead broadcasts the much smaller *drop list* (passing
+   non-winners) so per-row keep/is_duplicate labels can be emitted.
 5. ``metrics`` — per-rule (total, failed) aggregated from the labels
    output exactly like ValidateLite's result records, plus per-shard
-   lineage manifests.
+   lineage manifests carrying each shard's rule counts.
 
 Rule verdict accounting matches the reference contract: a rule's
 ``failed_records`` counts rows violating it; ``keep`` requires passing
@@ -436,10 +438,24 @@ def run(
         for i in range(0, len(input_files), files_per_shard)
     ]
 
+    rule_names_all = [r.name for r in cfg.rules()]
+
     def process(files: Sequence[str], tmp_dir: str) -> dict[str, Any]:
         ds = rd.read_parquet(list(files))
         fused_label(ds, cfg).write_parquet(tmp_dir)
-        return {}
+        # per-partition lineage: this shard's rule counts go into its
+        # _DONE manifest (cheap column-pruned read of the shard output)
+        import pyarrow.parquet as _pq
+
+        cols = [f"fail_{n}" for n in rule_names_all]
+        shard_counts: dict[str, int] = {n: 0 for n in rule_names_all}
+        total = 0
+        for f in sorted(Path(tmp_dir).glob("*.parquet")):
+            t = _pq.read_table(f, columns=cols)
+            total += t.num_rows
+            for name, col in zip(rule_names_all, cols):
+                shard_counts[name] += int(pc.sum(pc.cast(t[col], pa.int64())).as_py() or 0)
+        return {"rows": total, "rule_failed_records": shard_counts}
 
     stats = ckpt.run_sharded(shards, labels_base, process, resume=resume)
 
