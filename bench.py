@@ -5,9 +5,11 @@ Prints ONE JSON line:
    "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
    "corpus_files_per_sec": ...}
 
-``--scaling`` runs the harness twice in fresh processes (num_cpus=8 and
-32) on the same input and reports both throughputs plus scaling
-efficiency (the sandbox substitute for the N vs 4N cluster criterion).
+``--scaling`` runs the harness in fresh processes at num_cpus=2 and 8
+(best of 2 per level) on the same input and reports both throughputs
+plus scaling efficiency — the sandbox substitute for the N vs 4N
+cluster criterion (see scaling() docstring for why 2/8 and not 8/32 on
+this host).
 """
 
 from __future__ import annotations
@@ -19,6 +21,8 @@ import subprocess
 import sys
 import time
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))  # cwd-independent imports
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

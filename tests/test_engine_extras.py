@@ -105,3 +105,50 @@ def test_unique_with_filterless_engine_no_batch_rules(ray_session):
     ds = rd.from_arrow(pa.table({"v": [1, 1, 2, None]}))
     r = RuleEngine([S.unique("v", name="u")]).execute(ds)["u"]
     assert (r.total_records, r.failed_records) == (4, 1)
+
+
+def test_collect_unique_samples(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.engine.engine import collect_unique_samples
+
+    ds = rd.from_arrow(
+        pa.table({"v": ["b", "b", "a", "a", "a", "c", None, None, "d"]})
+    )
+    samples = collect_unique_samples(ds, "v", k=5)
+    assert samples == [{"value": "a", "count": 3}, {"value": "b", "count": 2}]
+
+
+def test_scalar_check_stages(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.scalar_checks import add_scalar_check
+
+    t = pa.table(
+        {
+            "f": [123.45, 1234.56, 123.456, None, 0.55, 1.5],
+            "i": [12345, 123456, None, 12, 12, 0],
+            "s": ["abc", "abcdef", None, "x", "", "toolongvalue"],
+        }
+    )
+    ds = rd.from_arrow(t)
+    out = ds.map_batches(
+        lambda b: add_scalar_check(
+            add_scalar_check(
+                add_scalar_check(b, "f", "float_precision", precision=5, scale=2),
+                "i", "integer_digits", max_digits=5,
+            ),
+            "s", "string_length", max_length=5,
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    # str(float) round-trip UDF semantics (scalars.py ground truth)
+    assert [r["fail_float_precision_f"] for r in out] == [
+        False, True, True, False, False, False,
+    ]
+    assert [r["fail_integer_digits_i"] for r in out] == [
+        False, True, False, False, False, False,
+    ]
+    assert [r["fail_string_length_s"] for r in out] == [
+        False, True, False, False, False, True,
+    ]

@@ -261,6 +261,42 @@ class RuleEngine:
         return out
 
 
+def collect_unique_samples(
+    ds: "ray.data.Dataset", column: str, k: int = 5, batch_size: int | None = None  # noqa: F821
+) -> list[dict[str, Any]]:
+    """Up to ``k`` duplicated values with their counts for a UNIQUE rule
+    (reference analogue: the duplicate-sample SQL ``ORDER BY col LIMIT``
+    rewrite, uniqueness_executor.py:202-260). Deterministic: the k
+    smallest duplicated values."""
+    from ray.data.aggregate import Sum
+
+    proj = ds.select_columns([column])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.is_valid(batch[column]))
+        vc = kept.group_by(column).aggregate([([], "count_all")])
+        return vc.rename_columns([column, "c"])
+
+    kwargs: dict[str, Any] = {}
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
+    dups = (
+        proj.map_batches(
+            partial_counts, batch_format="pyarrow", zero_copy_batch=True, **kwargs
+        )
+        .groupby(column)
+        .aggregate(Sum("c", alias_name="cnt"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["cnt"], 1)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .sort(column)
+        .limit(k)
+    )
+    return [{"value": r[column], "count": int(r["cnt"])} for r in dups.take_all()]
+
+
 def _unique_counts(
     ds: "ray.data.Dataset", column: str, batch_size: int | None  # noqa: F821
 ) -> tuple[int, int]:

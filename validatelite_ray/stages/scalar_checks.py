@@ -1,0 +1,80 @@
+"""Scalar-validator checks as batch stages — the SQLite-UDF dialect.
+
+The reference validates metadata constraints with two dialect-dependent
+semantics: generated REGEX patterns (MySQL/PostgreSQL) or custom Python
+UDFs (SQLite — shared/database/sqlite_functions.py). The UDF semantics
+are subtly different (e.g. float precision is judged on the
+``str(float(v))`` round-trip with trailing-zero stripping, which a
+regex over the raw string cannot express). This module exposes the UDF
+semantics as per-batch fail masks so pipelines can choose either
+dialect; values are memoized per worker (constraint columns repeat
+heavily), and the masks plug into ``map_batches`` like any rule kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from validatelite_ray.rules.scalars import (
+    valid_float_precision,
+    valid_integer_digits,
+    valid_string_length,
+)
+
+
+def _mask_via(
+    validator: Callable[[object], bool], arr: pa.ChunkedArray | pa.Array
+) -> pa.Array:
+    """fail mask (True = invalid); NULL passes (UDF contract). Memoized
+    over distinct values via a per-call dictionary encode."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    encoded = pc.dictionary_encode(arr)
+    dict_vals = encoded.dictionary.to_pylist()
+    ok_per_code = np.fromiter(
+        (validator(v) for v in dict_vals), dtype=bool, count=len(dict_vals)
+    )
+    idx = np.asarray(pc.fill_null(encoded.indices, 0), dtype=np.int64)
+    fail = ~ok_per_code[idx] if len(dict_vals) else np.zeros(len(arr), dtype=bool)
+    fail &= np.asarray(pc.is_valid(arr), dtype=bool)  # NULL passes
+    return pa.array(fail)
+
+
+def integer_digits_fail_mask(arr, max_digits: int) -> pa.Array:
+    return _mask_via(lambda v: valid_integer_digits(v, max_digits), arr)
+
+
+def float_precision_fail_mask(arr, precision: int, scale: int) -> pa.Array:
+    return _mask_via(lambda v: valid_float_precision(v, precision, scale), arr)
+
+
+def string_length_fail_mask(arr, max_length: int) -> pa.Array:
+    return _mask_via(lambda v: valid_string_length(v, max_length), arr)
+
+
+def add_scalar_check(
+    batch: pa.Table,
+    column: str,
+    check: str,
+    out: str | None = None,
+    **params,
+) -> pa.Table:
+    """Append ``fail_<check>_<column>`` bool column.
+
+    check ∈ {"integer_digits", "float_precision", "string_length"} with
+    the corresponding params (max_digits / precision+scale / max_length).
+    """
+    arr = batch[column]
+    if check == "integer_digits":
+        mask = integer_digits_fail_mask(arr, params["max_digits"])
+    elif check == "float_precision":
+        mask = float_precision_fail_mask(arr, params["precision"], params["scale"])
+    elif check == "string_length":
+        mask = string_length_fail_mask(arr, params["max_length"])
+    else:
+        raise ValueError(f"unknown scalar check {check!r}")
+    return batch.append_column(out or f"fail_{check}_{column}", mask)
