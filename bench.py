@@ -22,7 +22,11 @@ import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))  # cwd-independent imports
+# cwd-independent imports — PYTHONPATH (not just sys.path) so Ray WORKER
+# processes can also import validatelite_ray when cwd != repo root
+_REPO = str(Path(__file__).resolve().parent)
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

@@ -13,7 +13,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+from pathlib import Path
+
+# Ray worker processes need the package importable regardless of the
+# caller's cwd — export via PYTHONPATH before any ray.init
+_PKG_ROOT = str(Path(__file__).resolve().parent.parent)
+if _PKG_ROOT not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = (
+        _PKG_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
 
 EXIT_OK = 0
 EXIT_RULE_FAILURES = 1
