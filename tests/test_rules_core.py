@@ -164,3 +164,32 @@ class TestRulesFile:
     def test_no_rules(self):
         with pytest.raises(RuleParseError):
             parse_rules()
+
+
+class TestRuleTypeRegistry:
+    def test_all_types_registered(self):
+        from validatelite_ray.rules.registry import get_rule_type_info, list_rule_types
+        from validatelite_ray.rules.types import RuleType
+
+        infos = list_rule_types()
+        assert {i.rule_type for i in infos} == set(RuleType)
+        enum_info = get_rule_type_info("ENUM")
+        assert enum_info.params_schema["required"] == ["allowed_values"]
+        assert enum_info.examples
+
+    def test_register_custom(self):
+        from validatelite_ray.rules.registry import (
+            RuleTypeInfo,
+            get_rule_type_info,
+            register_rule_type,
+        )
+        from validatelite_ray.rules.types import RuleType
+
+        original = get_rule_type_info(RuleType.REGEX)
+        try:
+            register_rule_type(
+                RuleTypeInfo(RuleType.REGEX, "x", "y", {"type": "object"}, ())
+            )
+            assert get_rule_type_info(RuleType.REGEX).name == "x"
+        finally:
+            register_rule_type(original)

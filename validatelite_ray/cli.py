@@ -136,15 +136,20 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="vlray")
     sub = parser.add_subparsers(dest="command")
     check = sub.add_parser("check", help="run validation rules against a source")
-    check.add_argument("source", help="csv/tsv/json/jsonl/parquet file or parquet dir")
+    check.add_argument("source", nargs="?", default=None,
+                       help="csv/tsv/json/jsonl/parquet file or parquet dir")
     check.add_argument("--rule", action="append", default=[],
                        help="inline rule, e.g. 'not_null(id)' (repeatable)")
     check.add_argument("--rules-file", default=None, help="JSON rules file")
     check.add_argument("--json", dest="as_json", action="store_true",
                        help="emit the JSON report payload")
+    check.add_argument("--quiet", action="store_true",
+                       help="summary line only (reference 'quiet' mode)")
     check.add_argument("--samples", type=int, default=0,
                        help="collect up to N failing sample rows per rule")
     check.add_argument("--num-cpus", type=int, default=None)
+    check.add_argument("--list-rule-types", action="store_true",
+                       help="print the rule-type registry and exit")
 
     schema = sub.add_parser(
         "schema", help="two-phase declarative schema validation"
@@ -167,9 +172,21 @@ def main(argv: list[str] | None = None) -> int:
         parser.print_help()
         return EXIT_USAGE
 
+    if getattr(args, "list_rule_types", False):
+        from validatelite_ray.rules.registry import list_rule_types
+
+        for info in list_rule_types():
+            print(f"{info.rule_type.value:<12} {info.description}")
+            for ex in info.examples:
+                print(f"    e.g. {ex}")
+        return EXIT_OK
+
     from validatelite_ray.rules.parser import RuleParseError, parse_rules
     from validatelite_ray.sources.io import SourceError, open_source
 
+    if args.source is None:
+        print("error: a source is required", file=sys.stderr)
+        return EXIT_USAGE
     try:
         rules = parse_rules(args.rule or None, args.rules_file)
     except (RuleParseError, FileNotFoundError) as exc:
@@ -213,6 +230,13 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.as_json:
             print(report.to_json())
+        elif args.quiet:
+            s = report.summary()
+            print(
+                f"{s['total_rules']} rules: {s['passed_rules']} passed, "
+                f"{s['failed_rules']} failed, {s['error_rules']} error; "
+                f"{s['total_failed_records']} failing records"
+            )
         else:
             print(_render_table(report, samples))
         return EXIT_OK if report.passed else EXIT_RULE_FAILURES

@@ -1,0 +1,121 @@
+"""Rule-type metadata registry.
+
+Ray-native analogue of the reference's rule-type registry
+(reference: core/registry/rule_type_registry.py +
+core/registry/builtin_rule_types.py:23-290): per rule type a
+name, description, parameter JSON-schema and examples, so front ends
+can render forms and validate payloads without importing the engine.
+New types register alongside a kernel compiler
+(validatelite_ray.compiler.kernels.register_rule_compiler).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+from validatelite_ray.rules.types import RuleType
+
+
+@dataclasses.dataclass(frozen=True)
+class RuleTypeInfo:
+    rule_type: RuleType
+    name: str
+    description: str
+    params_schema: dict[str, Any]
+    examples: tuple[str, ...]
+
+
+_REGISTRY: dict[RuleType, RuleTypeInfo] = {}
+
+
+def register_rule_type(info: RuleTypeInfo) -> None:
+    _REGISTRY[info.rule_type] = info
+
+
+def get_rule_type_info(rule_type: RuleType | str) -> RuleTypeInfo:
+    return _REGISTRY[RuleType(rule_type)]
+
+
+def list_rule_types() -> list[RuleTypeInfo]:
+    return [_REGISTRY[t] for t in RuleType if t in _REGISTRY]
+
+
+def _obj(properties: dict[str, Any], required: list[str] | None = None) -> dict[str, Any]:
+    schema: dict[str, Any] = {"type": "object", "properties": properties}
+    if required:
+        schema["required"] = required
+    return schema
+
+
+for _info in (
+    RuleTypeInfo(
+        RuleType.NOT_NULL, "Not null",
+        "Fails rows whose column value is NULL.",
+        _obj({}), ("not_null(id)",),
+    ),
+    RuleTypeInfo(
+        RuleType.UNIQUE, "Unique",
+        "Counts duplicated values (failed = sum(count-1)); NULLs excluded.",
+        _obj({}), ("unique(email)",),
+    ),
+    RuleTypeInfo(
+        RuleType.LENGTH, "String length",
+        "Fails rows whose string length is outside [min_length, max_length]; NULL fails.",
+        _obj(
+            {
+                "min_length": {"type": "integer", "minimum": 0},
+                "max_length": {"type": "integer", "minimum": 0},
+            }
+        ),
+        ("length(name,2,50)",),
+    ),
+    RuleTypeInfo(
+        RuleType.RANGE, "Numeric range",
+        "Fails rows outside [min_value, max_value]; NULL fails; bound 0 honoured.",
+        _obj(
+            {
+                "min_value": {"type": "number"},
+                "max_value": {"type": "number"},
+            }
+        ),
+        ("range(age,0,120)",),
+    ),
+    RuleTypeInfo(
+        RuleType.ENUM, "Enumeration",
+        "Fails rows whose value is not in allowed_values; NULL passes (SQL NOT IN).",
+        _obj(
+            {"allowed_values": {"type": "array", "minItems": 1}},
+            ["allowed_values"],
+        ),
+        ("enum(status,active,inactive)",),
+    ),
+    RuleTypeInfo(
+        RuleType.REGEX, "Regular expression",
+        "Fails rows not matching the pattern (unanchored search); NULL passes.",
+        _obj({"pattern": {"type": "string", "minLength": 1}}, ["pattern"]),
+        (r"regex(email,^[\w.-]+@[\w.-]+\.[a-zA-Z]{2,}$)",),
+    ),
+    RuleTypeInfo(
+        RuleType.DATE_FORMAT, "Date format",
+        "Fails values that do not parse AND round-trip under the pattern "
+        "(YYYY-MM-DD style tokens); NULL and blank strings pass.",
+        _obj({"format": {"type": "string", "minLength": 1}}, ["format"]),
+        ("date_format(created_at,'YYYY-MM-DD')",),
+    ),
+    RuleTypeInfo(
+        RuleType.SCHEMA, "Schema",
+        "Table-level metadata check: column existence and canonical type "
+        "equality against the Arrow schema; strict_mode fails extras.",
+        _obj(
+            {
+                "columns": {"type": "object", "minProperties": 1},
+                "strict_mode": {"type": "boolean"},
+                "case_insensitive": {"type": "boolean"},
+            },
+            ["columns"],
+        ),
+        ('schema: {"columns": {"id": "integer", "name": "string(50)"}}',),
+    ),
+):
+    register_rule_type(_info)
