@@ -166,3 +166,26 @@ def test_embedding_cosine_dedup_matches_numpy(ray_session, embeddings_ds, sf_dir
     got = dedup_embedding_cosine(embeddings_ds, threshold=tau).to_pylist()
     assert [r["vec_id"] for r in got] == sorted(expect)
     assert len(expect) < len(ids)  # some near-dups actually dropped
+
+
+def test_ann_ivf_recall_on_clustered_vectors(ray_session):
+    """IVF with enough probes must recover cluster-mate neighbors."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from validatelite_ray.stages.similarity import ann_topk_bruteforce, ann_topk_ivf
+
+    rng = np.random.default_rng(1)
+    centers = rng.standard_normal((6, 16)) * 5
+    vecs = np.vstack([c + rng.standard_normal((25, 16)) * 0.05 for c in centers])
+    ids = np.arange(len(vecs))
+    ds = rd.from_arrow(
+        pa.table({"vec_id": ids, "embedding": [v.tolist() for v in vecs]})
+    )
+    q_ids, q = ids[:4], vecs[:4]
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in ann_topk_bruteforce(ds, q_ids, q, k=5).to_pylist()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ann_topk_ivf(ds, q_ids, q, k=5, n_clusters=8, n_probe=2).to_pylist()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall

@@ -123,6 +123,98 @@ def ann_topk_bruteforce(
     return _merge_candidates(cands, k)
 
 
+def _kmeans_lite(
+    sample: np.ndarray, k: int, iters: int = 8, seed: int = 42
+) -> np.ndarray:
+    """Tiny deterministic k-means on a driver-side sample → (k, d)
+    L2-normalized centroids (spherical k-means for cosine)."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample)
+    centroids = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+class _IvfScorer(_TopKScorer):
+    """Top-k restricted to vectors whose nearest centroid is probed."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
+        super().__init__(queries_ref, id_col, vec_col, k)
+        import ray
+
+        q = ray.get(queries_ref)
+        self.centroids = q["centroids"]          # (C, d) normalized
+        self.probed = q["probed"]                # set of centroid ids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col])
+        mat = _normalize(_to_matrix(batch[self.vec_col]))
+        assign = (mat @ self.centroids.T).argmax(axis=1)
+        mask = np.isin(assign, self.probed)
+        if not mask.any():
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        sub = pa.table({self.id_col: pa.array(ids[mask]),
+                        self.vec_col: batch[self.vec_col].combine_chunks().filter(pa.array(mask))})
+        return super().__call__(sub)
+
+
+def ann_topk_ivf(
+    ds,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2048,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> pa.Table:
+    """IVF-style approximate cosine top-k.
+
+    Centroids are trained once on a driver-side sample (spherical
+    k-means), broadcast with the query matrix, and every batch scores
+    only vectors assigned to the ``n_probe`` centroids nearest each
+    query — the standard IVF recall/selectivity trade. Scale path for
+    corpora where brute force scans everything and LSH buckets are too
+    coarse.
+    """
+    import ray
+
+    sample_rows = ds.select_columns([vec_col]).limit(sample_size).take_all()
+    sample = np.array([r[vec_col] for r in sample_rows], dtype=np.float64)
+    centroids = _kmeans_lite(sample, n_clusters, seed=seed)
+
+    qm = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :n_probe]
+    probed = np.unique(probe)
+    ref = ray.put(
+        {"ids": np.asarray(query_ids, dtype=np.int64), "mat": qm,
+         "centroids": centroids, "probed": probed}
+    )
+    cands = ds.map_batches(
+        _IvfScorer,
+        fn_constructor_kwargs=dict(queries_ref=ref, id_col=id_col, vec_col=vec_col,
+                                   k=k + (1 if exclude_self else 0)),
+        batch_format="pyarrow",
+        concurrency=2,
+    ).take_all()
+    if exclude_self:
+        cands = [c for c in cands if c["neighbor_id"] != c["query_id"]]
+    return _merge_candidates(cands, k)
+
+
 def dedup_embedding_cosine(
     ds,
     threshold: float = 0.45,
