@@ -184,3 +184,35 @@ def test_manifest_lineage_counts_sum_to_metrics(pipeline_out):
             totals[name] = totals.get(name, 0) + failed
     assert rows == N_FILES
     assert totals == summary["rules"]
+
+
+def test_resume_after_crash_mid_write(ray_session, corpus, tmp_path):
+    """A crash DURING a shard write leaves a .tmp dir and no _DONE marker;
+    the next run must discard the partial output and redo that shard."""
+    paths, _ = corpus
+    out = tmp_path / "crash_out"
+    s1 = run(paths, str(out), files_per_shard=1)
+
+    # simulate: shard 2 died mid-write (stale tmp with junk, no marker)
+    victim = ckpt.shard_dir(out / "labels", 2)
+    shutil.rmtree(victim)
+    stale = out / "labels" / ".tmp-shard=00002"
+    stale.mkdir()
+    (stale / "partial.parquet").write_bytes(b"garbage not parquet")
+    shutil.rmtree(out / "kept")
+
+    s2 = run(paths, str(out), files_per_shard=1)
+    assert s2["shards"]["processed"] == 1 and s2["shards"]["skipped"] == 2
+    assert not stale.exists()
+    assert (victim / ckpt.DONE_MARKER).exists()
+    assert s1["kept_rows"] == s2["kept_rows"]
+    assert s1["rules"] == s2["rules"]
+
+
+def test_run_multi_file_shards(ray_session, corpus, tmp_path):
+    """files_per_shard > 1 groups inputs; totals unchanged."""
+    paths, _ = corpus
+    out = tmp_path / "grouped_out"
+    s = run(paths, str(out), files_per_shard=2)
+    assert s["shards"]["shards"] == 2  # 3 files -> shards of 2 + 1
+    assert s["total_rows"] == N_FILES
