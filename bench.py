@@ -197,7 +197,7 @@ def scaling() -> dict:
     tp_hi = hi["corpus_files_per_sec"]
     eff = (tp_hi / tp_lo) / (hi_n / lo_n)
     return {
-        "metric": f"scaling efficiency (flagship files/sec, {lo_n} -> {hi_n} cpus, best of 3)",
+        "metric": f"scaling efficiency (flagship files/sec, {lo_n} -> {hi_n} cpus, best of {rounds})",
         "num_cpus_lo": lo_n,
         "num_cpus_hi": hi_n,
         "sec_lo": lo["queries"]["qf_corpus"],
