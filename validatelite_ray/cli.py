@@ -132,6 +132,59 @@ def _schema_command(args) -> int:
             ray.shutdown()
 
 
+def _filter_command(args) -> int:
+    """``vlray filter corpus/ --out out/`` — the flagship quality-filter
+    pipeline (checkpointed by default; resume just reruns the command)."""
+    import glob
+    import json as _json
+    from pathlib import Path
+
+    src = Path(args.source)
+    if src.is_dir():
+        files = sorted(glob.glob(str(src / "*.parquet")))
+    elif src.suffix in (".parquet", ".pq"):
+        files = [str(src)]
+    else:
+        files = []
+    if not files:
+        print(f"error: no parquet input at {args.source!r}", file=sys.stderr)
+        return EXIT_SOURCE_ERROR
+
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+            **({"num_cpus": args.num_cpus} if args.num_cpus else {}),
+        )
+    try:
+        import ray.data
+
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        from validatelite_ray.pipelines.quality_filter import run, run_streaming
+
+        try:
+            if args.streaming:
+                summary = run_streaming(files, args.out)
+            else:
+                summary = run(
+                    files, args.out,
+                    files_per_shard=args.files_per_shard, resume=args.resume,
+                )
+        except Exception as exc:
+            print(f"engine error: {exc}", file=sys.stderr)
+            return EXIT_ENGINE_ERROR
+        print(_json.dumps(summary, indent=2, default=str))
+        return EXIT_OK
+    finally:
+        if owns_ray:
+            ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="vlray")
     sub = parser.add_subparsers(dest="command")
@@ -151,6 +204,17 @@ def main(argv: list[str] | None = None) -> int:
     check.add_argument("--list-rule-types", action="store_true",
                        help="print the rule-type registry and exit")
 
+    filt = sub.add_parser(
+        "filter", help="run the code-corpus quality filter pipeline"
+    )
+    filt.add_argument("source", help="parquet file/dir with (repo,path,commit,lang,content)")
+    filt.add_argument("--out", required=True, help="output directory")
+    filt.add_argument("--files-per-shard", type=int, default=1)
+    filt.add_argument("--no-resume", dest="resume", action="store_false")
+    filt.add_argument("--streaming", action="store_true",
+                      help="single streaming pipeline (no shard checkpoints)")
+    filt.add_argument("--num-cpus", type=int, default=None)
+
     schema = sub.add_parser(
         "schema", help="two-phase declarative schema validation"
     )
@@ -168,6 +232,8 @@ def main(argv: list[str] | None = None) -> int:
         return EXIT_USAGE if exc.code not in (0,) else 0
     if args.command == "schema":
         return _schema_command(args)
+    if args.command == "filter":
+        return _filter_command(args)
     if args.command != "check":
         parser.print_help()
         return EXIT_USAGE
