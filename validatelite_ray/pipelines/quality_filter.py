@@ -366,9 +366,16 @@ def run_streaming(
 
     from validatelite_ray.stages.dedup import dedup_exact
 
+    import shutil
+
     cfg = cfg or QualityFilterConfig()
     out = Path(out_dir)
     labels_dir = out / "labels_stream"
+    # fresh outputs: write_parquet APPENDS part files into an existing
+    # directory, which would double-count on rerun
+    for stale in (labels_dir, out / "kept"):
+        if stale.exists():
+            shutil.rmtree(stale)
     # job 1 (heavy): read → featurize+score+label → labels parquet
     labeled = fused_label(rd.read_parquet(list(input_files)), cfg)
     labeled.write_parquet(str(labels_dir))
@@ -467,10 +474,15 @@ def run(
     drops = compute_drop_list(slim)
     drop_ref = ray.put(drops)
 
-    # final keep + kept-rows output (phase C)
+    # final keep + kept-rows output (phase C) — clear first:
+    # write_parquet appends part files into an existing directory
     labels_full = rd.read_parquet(label_files)
     final = finalize_keep(labels_full, drop_ref)
     kept_dir = out / "kept"
+    if kept_dir.exists():
+        import shutil as _shutil
+
+        _shutil.rmtree(kept_dir)
     kept_cols = list(dict.fromkeys([*cfg.key_cols, "lang", "sha256", "content_scrubbed"]))
 
     def project_kept(b: pa.Table) -> pa.Table:
