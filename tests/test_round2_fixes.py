@@ -1,0 +1,240 @@
+"""Regression tests for the round-1 ADVICE findings.
+
+Each test pins one concrete failure scenario from ADVICE.md:
+sliced-array offset bugs in the text/similarity buffer readers,
+broadcast-dedup winner membership tested globally instead of per
+(key, order) pair, positional shard-resume skipping changed inputs,
+and the MinHash star-edge recall gap.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# sliced-array offset bugs
+# ---------------------------------------------------------------------------
+
+def test_token_count_on_sliced_array():
+    from validatelite_ray.stages.text import token_count
+
+    arr = pa.array(["one", "two words", "a b c", "four x y z"], pa.large_string())
+    sliced = arr.slice(2)  # zero-copy: offset=2 into shared buffers
+    assert token_count(sliced).to_pylist() == [3, 4]
+    assert token_count(arr.slice(1, 2)).to_pylist() == [2, 3]
+
+
+def test_alnum_counts_on_sliced_array():
+    from validatelite_ray.stages.text import alnum_counts
+
+    arr = pa.array(["!!!", "ab!", "abcd", "x"], pa.large_string())
+    assert alnum_counts(arr.slice(2)).to_pylist() == [4, 1]
+
+
+def test_shingle_dup_fraction_on_sliced_array():
+    from validatelite_ray.stages.text import shingle_dup_fraction
+
+    rep = "a b c a b c a b c"
+    arr = pa.array(["filler filler", rep, "x y z w"], pa.large_string())
+    out = shingle_dup_fraction(arr.slice(1), k=3)
+    full = shingle_dup_fraction(arr, k=3)
+    assert np.allclose(out, full[1:])
+
+
+def test_to_matrix_on_sliced_list_array():
+    from validatelite_ray.stages.similarity import _to_matrix
+
+    col = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+    m = _to_matrix(col.slice(1))
+    assert m.shape == (2, 2)
+    assert np.allclose(m, [[3.0, 4.0], [5.0, 6.0]])
+
+
+def test_to_matrix_rejects_ragged_lists():
+    from validatelite_ray.stages.similarity import _to_matrix
+
+    with pytest.raises(ValueError):
+        _to_matrix(pa.array([[1.0, 2.0], [3.0]]))
+
+
+# ---------------------------------------------------------------------------
+# broadcast dedup: per-(key, order) winner membership + ties
+# ---------------------------------------------------------------------------
+
+def test_broadcast_dedup_order_value_collision_across_keys(ray_session):
+    """A losing row whose order value equals ANOTHER group's winner must
+    still be dropped (round-1 bug: membership was tested on the global
+    winner-value set)."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.dedup import dedup_exact
+
+    t = pa.table(
+        {
+            "sha256": ["h1", "h1", "h2", "h2"],
+            "uid": ["u1", "u2", "u2", "u3"],  # h2's loser u3; h1's winner u1
+            "payload": [1, 2, 3, 4],
+        }
+    )
+    # h2 group: winner=u2 — but u2 is ALSO h1's loser; h1 winner u1.
+    out = (
+        dedup_exact(rd.from_arrow(t), key="sha256", order_col="uid", strategy="broadcast")
+        .to_pandas()
+        .sort_values("sha256")
+    )
+    assert list(out["sha256"]) == ["h1", "h2"]
+    assert set(out["uid"]) == {"u1", "u2"}
+
+
+def test_broadcast_dedup_keeps_one_row_under_exact_ties(ray_session):
+    """Two rows with identical (key, order) — e.g. a re-ingested row —
+    must still collapse to exactly one kept row."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.dedup import dedup_exact
+
+    t = pa.table(
+        {
+            "sha256": ["h1", "h1", "h2"],
+            "uid": ["u1", "u1", "u9"],
+            "payload": [1, 1, 3],
+        }
+    )
+    out = dedup_exact(
+        rd.from_arrow(t), key="sha256", order_col="uid", strategy="broadcast"
+    ).to_pandas()
+    assert len(out) == 2
+    assert sorted(out["sha256"]) == ["h1", "h2"]
+
+
+def test_broadcast_dedup_no_duplicates_passthrough(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.dedup import dedup_exact
+
+    t = pa.table({"sha256": ["a", "b", "c"], "uid": ["1", "2", "3"]})
+    out = dedup_exact(
+        rd.from_arrow(t), key="sha256", order_col="uid", strategy="broadcast"
+    ).to_pandas()
+    assert len(out) == 3
+
+
+def test_compute_drop_list_pair_keyed(ray_session):
+    """A loser whose uid equals a DIFFERENT group's winner uid must be
+    dropped (pair membership, not global uid membership)."""
+    import ray.data as rd
+
+    from validatelite_ray.pipelines.quality_filter import UID_SEP, compute_drop_list
+
+    t = pa.table(
+        {
+            "sha256": ["h1", "h1", "h2", "h2"],
+            "uid": ["u1", "u2", "u2", "u3"],
+            "keep_rules": [True, True, True, True],
+        }
+    )
+    drops = compute_drop_list(rd.from_arrow(t)).to_pylist()
+    # h1: winner u1, loser u2 — even though u2 wins h2. h2: winner u2, loser u3.
+    assert drops == sorted([f"h1{UID_SEP}u2", f"h2{UID_SEP}u3"])
+
+
+# ---------------------------------------------------------------------------
+# checkpoint resume: shard identity is the input-file list, not position
+# ---------------------------------------------------------------------------
+
+def _touch_parquet(path, n=3):
+    pq.write_table(pa.table({"x": list(range(n))}), path)
+
+
+def test_resume_reprocesses_changed_shard(tmp_path):
+    from validatelite_ray.pipelines import checkpoint as ckpt
+
+    calls: list[list[str]] = []
+
+    def process(files, tmp_dir):
+        calls.append(list(files))
+        _touch_parquet(f"{tmp_dir}/out.parquet")
+        return {}
+
+    base = tmp_path / "labels"
+    ckpt.run_sharded([["a.parquet"], ["b.parquet"]], base, process)
+    assert calls == [["a.parquet"], ["b.parquet"]]
+
+    # same shard count, but shard 1's input changed → must reprocess it
+    calls.clear()
+    stats = ckpt.run_sharded([["a.parquet"], ["c.parquet"]], base, process)
+    assert calls == [["c.parquet"]]
+    assert stats == {"shards": 2, "processed": 1, "skipped": 1}
+
+
+def test_resume_removes_stale_extra_shards(tmp_path):
+    from validatelite_ray.pipelines import checkpoint as ckpt
+
+    def process(files, tmp_dir):
+        _touch_parquet(f"{tmp_dir}/out.parquet")
+        return {}
+
+    base = tmp_path / "labels"
+    ckpt.run_sharded([["a.parquet"], ["b.parquet"], ["c.parquet"]], base, process)
+    assert len(ckpt.shard_output_files(base)) == 3
+
+    # rerun with fewer shards: the old shard 2 must not leak into output
+    ckpt.run_sharded([["a.parquet"], ["b.parquet"]], base, process)
+    assert len(ckpt.shard_output_files(base)) == 2
+    assert ckpt.completed_shards(base) == [0, 1]
+
+
+def test_resume_unchanged_shards_skip(tmp_path):
+    from validatelite_ray.pipelines import checkpoint as ckpt
+
+    calls = []
+
+    def process(files, tmp_dir):
+        calls.append(list(files))
+        _touch_parquet(f"{tmp_dir}/out.parquet")
+        return {}
+
+    base = tmp_path / "labels"
+    shards = [["a.parquet"], ["b.parquet"]]
+    ckpt.run_sharded(shards, base, process)
+    calls.clear()
+    stats = ckpt.run_sharded(shards, base, process)
+    assert calls == []
+    assert stats["skipped"] == 2
+    # manifests survive intact
+    m = json.loads((ckpt.shard_dir(base, 0) / ckpt.DONE_MARKER).read_text())
+    assert m["input_files"] == ["a.parquet"]
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH: small buckets emit all pairs (star-edge recall gap)
+# ---------------------------------------------------------------------------
+
+def test_pairs_for_bucket_all_pairs_small():
+    from validatelite_ray.stages.dedup import pairs_for_bucket
+
+    out = pairs_for_bucket([1, 5, 9], all_pairs_max=16)
+    got = set(zip(out["u"], out["v"]))
+    assert got == {(1, 5), (1, 9), (5, 9)}
+
+
+def test_pairs_for_bucket_star_above_cap():
+    from validatelite_ray.stages.dedup import pairs_for_bucket
+
+    docs = list(range(10))
+    out = pairs_for_bucket(docs, all_pairs_max=4)
+    assert list(out["u"]) == [0] * 9
+    assert list(out["v"]) == docs[1:]
+
+
+def test_pairs_for_bucket_trivial():
+    from validatelite_ray.stages.dedup import pairs_for_bucket
+
+    assert len(pairs_for_bucket([7], all_pairs_max=16)) == 0

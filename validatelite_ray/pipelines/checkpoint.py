@@ -42,12 +42,29 @@ def run_sharded(
     """
     out_base = Path(out_base)
     out_base.mkdir(parents=True, exist_ok=True)
+    # stale completed shards from a previous run with MORE shards would
+    # otherwise be swept into shard_output_files — remove them
+    for p in out_base.glob("shard=*"):
+        try:
+            stale_id = int(p.name.split("=")[1])
+        except ValueError:  # pragma: no cover - foreign dir
+            continue
+        if stale_id >= len(shards):
+            shutil.rmtree(p)
     done = skipped = 0
     for i, files in enumerate(shards):
         target = shard_dir(out_base, i)
         if resume and (target / DONE_MARKER).exists():
-            skipped += 1
-            continue
+            # a _DONE shard only counts if it was built from the SAME
+            # input files — shards are identified positionally, so a
+            # changed file list / files_per_shard must invalidate it
+            try:
+                manifest = json.loads((target / DONE_MARKER).read_text())
+            except (OSError, json.JSONDecodeError):  # pragma: no cover
+                manifest = {}
+            if manifest.get("input_files") == list(files):
+                skipped += 1
+                continue
         tmp = out_base / f".tmp-shard={i:05d}"
         if tmp.exists():
             shutil.rmtree(tmp)

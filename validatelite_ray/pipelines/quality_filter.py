@@ -246,7 +246,8 @@ def fused_label(
 
 
 def compute_drop_list(labels_ds) -> pa.Array:
-    """uids of rule-passing rows that LOSE exact dedup (non-winners).
+    """(sha256, uid) pair keys — ``sha256 + UID_SEP + uid`` strings — of
+    rule-passing rows that LOSE exact dedup (non-winners).
 
     Fully vectorized: shuffle only the slim (sha256, uid) pairs of
     passing rows through a ``Min``/``Count`` aggregate; hashes with
@@ -273,28 +274,44 @@ def compute_drop_list(labels_ds) -> pa.Array:
     if not dup_rows:
         return pa.array([], pa.string())
     dup_shas = pa.array([r["sha256"] for r in dup_rows], pa.string())
-    winner_uids = pa.array([r["winner"] for r in dup_rows], pa.string())
-    ref = ray.put((dup_shas, winner_uids))
+    # winner membership must be tested on the (sha256, uid) PAIR — a
+    # loser whose uid happens to equal another group's winner uid must
+    # still be dropped (round-1 ADVICE). NOTE: if the same (sha256, uid)
+    # pair appears on multiple rows (a literally re-ingested row), the
+    # tied rows are indistinguishable by value and are all kept here;
+    # the kept-rows output resolves such ties via dedup_exact instead.
+    winner_pairs = pa.array(
+        [f"{r['sha256']}{UID_SEP}{r['winner']}" for r in dup_rows], pa.string()
+    )
+    ref = ray.put((dup_shas, winner_pairs))
 
     def losers(b: pa.Table) -> pa.Table:
-        shas, winners = ray.get(ref)
+        shas, pairs = ray.get(ref)
         in_dup = pc.is_in(b["sha256"], value_set=shas)
-        not_winner = pc.invert(pc.is_in(b["uid"], value_set=winners))
-        return b.filter(pc.and_(in_dup, not_winner)).select(["uid"])
+        pair = pc.binary_join_element_wise(b["sha256"], b["uid"], UID_SEP)
+        not_winner = pc.invert(pc.is_in(pair, value_set=pairs))
+        return pa.table(
+            {"pair": pc.binary_join_element_wise(b["sha256"], b["uid"], UID_SEP)}
+        ).filter(pc.and_(in_dup, not_winner))
 
     dropped = pairs.map_batches(losers, batch_format="pyarrow", zero_copy_batch=True)
-    uids = [r["uid"] for r in dropped.take_all()]
-    return pa.array(sorted(uids), pa.string())
+    out = [r["pair"] for r in dropped.take_all()]
+    return pa.array(sorted(out), pa.string())
 
 
 def finalize_keep(labels_ds, drop_ref):
-    """keep = keep_rules AND uid not in (broadcast) drop list."""
+    """keep = keep_rules AND (sha256, uid) pair not in the broadcast
+    drop list (pair-keyed so a uid shared across hash groups can never
+    drag an unrelated row down)."""
     import ray
 
     def apply(b: pa.Table) -> pa.Table:
         drops = ray.get(drop_ref) if drop_ref is not None else pa.array([], pa.string())
         dup = (
-            pc.is_in(b["uid"], value_set=drops)
+            pc.is_in(
+                pc.binary_join_element_wise(b["sha256"], b["uid"], UID_SEP),
+                value_set=drops,
+            )
             if len(drops)
             else pa.array(np.zeros(len(b), dtype=bool))
         )

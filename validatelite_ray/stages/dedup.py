@@ -54,11 +54,17 @@ def dedup_exact(
       multiplicity, capped by ``salt_buckets = S > 0`` (two-phase
       reduction, ~k/S rows per first-phase group).
     * ``"broadcast"`` — shuffle only the slim (key, order_col) pairs
-      through a vectorized ``Min`` aggregate, broadcast the winning
-      order values (``ray.put``), and filter the full rows in place —
-      the full rows NEVER move. Wins whenever the winner set fits the
-      object store (per-shard corpora, bench scale); at 10^12-row scale
-      use "shuffle" (or partition the winner set per shard).
+      through a Count aggregate, broadcast ONLY the duplicated keys
+      (``ray.put``; on a mostly-unique corpus this is a tiny minority),
+      stream rows with unique keys straight through, and resolve the
+      duplicated-key rows with a keep-min shuffle confined to those
+      rows. The full rows of the unique majority NEVER move, driver
+      state is O(#duplicated keys), and ties in ``order_col``
+      (value-identical rows) still keep exactly one row because the
+      duplicated minority goes through a real group-wise keep-first.
+      NOTE: ``ds`` is consumed twice (unique filter + duplicate
+      resolve); pass a re-readable dataset (e.g. a parquet read), not
+      an expensive unmaterialized plan.
     """
     cols = ds.schema().names if hasattr(ds.schema(), "names") else ds.schema().base_schema.names
     if key not in cols:
@@ -95,24 +101,52 @@ def dedup_exact(
 
 
 def _dedup_exact_broadcast(ds, key: str, order_col: str):
-    """Winner = Min(order_col) per key via a slim vectorized aggregate;
-    full rows are filtered in place against the broadcast winner set."""
+    """Dup-only broadcast dedup: a slim Count aggregate finds the keys
+    with more than one row; ONLY those keys are broadcast. Rows whose
+    key is not duplicated stream through untouched (zero shuffle, zero
+    per-row driver state); the duplicated minority is resolved with a
+    group-wise keep-min (correct under (key, order) ties, unlike any
+    winner-value broadcast filter — see round-1 ADVICE: matching on
+    order values alone kept extra rows whenever order values collided
+    across groups or tied within one)."""
     import ray
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Count
 
-    winners = (
-        ds.select_columns([key, order_col])
+    dup_rows = (
+        ds.select_columns([key])
         .groupby(key)
-        .aggregate(Min(order_col, alias_name="__winner"))
+        .aggregate(Count(alias_name="__c"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["__c"], 1)).select([key]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()
     )
-    winner_vals = pa.array([r["__winner"] for r in winners.take_all()])
-    ref = ray.put(winner_vals)
+    if not dup_rows:
+        return ds
+    dup_keys = pa.array(sorted({r[key] for r in dup_rows}))
+    ref = ray.put(dup_keys)
 
-    def keep_winners(b: pa.Table) -> pa.Table:
-        vals = ray.get(ref)
-        return b.filter(pc.is_in(b[order_col], value_set=vals))
+    def split(b: pa.Table, keep_dups: bool) -> pa.Table:
+        mask = pc.is_in(b[key], value_set=ray.get(ref))
+        return b.filter(mask if keep_dups else pc.invert(mask))
 
-    return ds.map_batches(keep_winners, batch_format="pyarrow", zero_copy_batch=True)
+    uniq = ds.map_batches(
+        lambda b: split(b, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(order_col, kind="mergesort").head(1)
+
+    resolved = (
+        ds.map_batches(
+            lambda b: split(b, True), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(key)
+        .map_groups(keep_min, batch_format="pandas")
+    )
+    return uniq.union(resolved)
 
 
 # ---------------------------------------------------------------------------
@@ -201,6 +235,23 @@ class MinHasher:
         )
 
 
+def pairs_for_bucket(docs: list, all_pairs_max: int) -> pd.DataFrame:
+    """Candidate edges for one LSH bucket. Small buckets emit ALL pairs
+    — star edges to the bucket minimum alone lose clusters whose
+    members are near-dups of each other but not of the minimum (every
+    star edge fails verification → no edge survives). Buckets above
+    ``all_pairs_max`` (almost always true-duplicate blobs) fall back to
+    star edges to avoid the quadratic blowup."""
+    n = len(docs)
+    if n < 2:
+        return pd.DataFrame({"u": [], "v": []})
+    if n <= all_pairs_max:
+        iu, iv = np.triu_indices(n, k=1)
+        arr = np.asarray(docs)
+        return pd.DataFrame({"u": arr[iu], "v": arr[iv]})
+    return pd.DataFrame({"u": [docs[0]] * (n - 1), "v": docs[1:]})
+
+
 def _connected_components(edges: Iterable[tuple[int, int]]) -> dict[int, int]:
     """Union-find on the (small, verified) candidate edge set → {doc: root}."""
     parent: dict[int, int] = {}
@@ -229,6 +280,7 @@ def dedup_minhash_lsh(
     jaccard_threshold: float = 0.8,
     concurrency: int = 4,
     seed: int = 42,
+    all_pairs_max: int = 16,
 ) -> "pd.DataFrame":
     """Near-duplicate clusters via MinHash-LSH.
 
@@ -257,13 +309,7 @@ def dedup_minhash_lsh(
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(set(group["doc_id"]))
-        if len(docs) < 2:
-            return pd.DataFrame({"u": [], "v": []})
-        # pair every doc with the bucket's minimum — enough edges for
-        # connected components without quadratic blowup in huge buckets
-        u = docs[0]
-        return pd.DataFrame({"u": [u] * (len(docs) - 1), "v": docs[1:]})
+        return pairs_for_bucket(sorted(set(group["doc_id"])), all_pairs_max)
 
     pairs = (
         bands_ds.groupby(["band", "band_hash"])

@@ -23,13 +23,28 @@ import pyarrow as pa
 
 
 def _to_matrix(col) -> np.ndarray:
-    """list<float> Arrow column → (n, d) float64 matrix (zero-copy-ish)."""
+    """list<float> Arrow column → (n, d) float64 matrix.
+
+    Slice-aware: ``flatten()`` honors the array's slice offset (unlike
+    ``.values``, which returns the whole parent child array), so a
+    zero-copy sliced batch yields exactly its own rows. List lengths
+    are validated uniform instead of trusting offsets[1]-offsets[0].
+    """
+    import pyarrow.compute as _pc
+
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = np.asarray(col.values, dtype=np.float64)
-    offsets = np.asarray(col.offsets)
-    d = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
-    return flat.reshape(-1, d)
+    n = len(col)
+    if col.null_count:
+        raise ValueError("embedding column contains nulls")
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    if n == 0:
+        return flat.reshape(0, 0)
+    lens = np.asarray(_pc.list_value_length(col), dtype=np.int64)
+    d = int(lens[0])
+    if not np.all(lens == d):
+        raise ValueError("embedding column has non-uniform list lengths")
+    return flat.reshape(n, d)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

@@ -27,16 +27,23 @@ _ALNUM_BYTE[ord("_")] = False
 
 
 def _utf8_buffer(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """(uint8 byte buffer, int64 offsets) of a string array (zero-copy)."""
+    """(uint8 byte buffer, int64 offsets) of a string array (zero-copy).
+
+    Slice-aware: a sliced Array shares the parent's buffers with a
+    nonzero ``arr.offset`` (large_string→large_string cast is a no-op,
+    so the slice survives); offsets are read at that offset and rebased
+    to 0, and the data view starts at the slice's first byte.
+    """
     arr = arr.cast(pa.large_string())
-    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1)
-    buf = arr.buffers()[2]
-    data = (
-        np.frombuffer(buf, dtype=np.uint8, count=int(offsets[-1]))
-        if buf is not None
-        else np.empty(0, dtype=np.uint8)
+    offsets = np.frombuffer(
+        arr.buffers()[1], dtype=np.int64, count=len(arr) + 1, offset=arr.offset * 8
     )
-    return data, offsets
+    buf = arr.buffers()[2]
+    start = int(offsets[0])
+    if buf is None or int(offsets[-1]) == start:
+        return np.empty(0, dtype=np.uint8), offsets - start
+    data = np.frombuffer(buf, dtype=np.uint8, count=int(offsets[-1]))[start:]
+    return data, offsets - start
 
 
 def _tokenize_ascii(arr: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
