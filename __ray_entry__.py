@@ -232,9 +232,17 @@ def _q_ann_topk(sf_dir: str):
     import ray.data as rd
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = ds.filter(lambda r: r["vec_id"] < 5).take_all()
-    q_ids = np.array([r["vec_id"] for r in q], dtype=np.int64)
-    q_vecs = np.array([r["embedding"] for r in q], dtype=np.float64)
+    # query side is 5 rows: push the row filter into the parquet read
+    # (predicate pushdown, no Ray scan, no per-row lambda)
+    import pyarrow.parquet as pq
+
+    q = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    )
+    q_ids = np.asarray(q["vec_id"], dtype=np.int64)
+    q_vecs = np.array(q["embedding"].to_pylist(), dtype=np.float64)
 
     from validatelite_ray.stages.similarity import ann_topk_bruteforce
 
@@ -247,6 +255,15 @@ def _q_dedup_embedding(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return dedup_embedding_cosine(ds, threshold=0.45)
+
+
+def _q_dedup_embedding_lsh(sf_dir: str):
+    """Bucketed (hyperplane-LSH) embedding-cosine dedup — the scale path
+    (approximate recall, so rows-only: no SQL oracle by design)."""
+    from validatelite_ray.stages.similarity import dedup_embedding_cosine_lsh
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dedup_embedding_cosine_lsh(ds, threshold=0.9)
 
 
 def _q_langid(sf_dir: str):
@@ -388,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_documents": _q_dedup_simhash,
         "ann_topk_embeddings": _q_ann_topk,
         "dedup_embedding_cosine": _q_dedup_embedding,
+        "dedup_embedding_cosine_lsh": _q_dedup_embedding_lsh,
         "langid_documents": _q_langid,
         "perplexity_documents": _q_perplexity,
         "rule_schema_orders": _q_schema_check,
@@ -479,8 +497,18 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY e.vec_id"
         ),
         # dedup_minhash_documents / dedup_simhash_documents / langid_documents /
-        # perplexity_documents / rule_schema_orders: deliberately no oracle —
-        # model/sketch stages aren't SQL-expressible (driver rows-only check)
+        # perplexity_documents: deliberately no oracle — model/sketch stages
+        # aren't SQL-expressible (driver rows-only check)
+        "rule_schema_orders": (
+            # the SCHEMA check's 7-row field-result table is fully
+            # deterministic (existence + declared-type match against the
+            # orders parquet schema) — pinned as a VALUES oracle
+            'SELECT * FROM (VALUES '
+            "('o_orderkey', 'PASSED'), ('o_custkey', 'PASSED'), "
+            "('o_orderstatus', 'PASSED'), ('o_totalprice', 'PASSED'), "
+            "('o_orderdate', 'PASSED'), ('o_orderpriority', 'PASSED'), "
+            "('missing_col', 'FAILED')) AS t(\"column\", status)"
+        ),
         "ann_topk_embeddings": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings "
             "WHERE vec_id < 5), "

@@ -104,6 +104,29 @@ def bench_once() -> dict:
         summary["total_rows"] / timings["qf_corpus"], 1
     )
 
+    # --- checkpointed (resumable) flagship path ------------------------
+    # reported in extras (not the headline total) so round-over-round
+    # bench totals stay comparable; target: within ~1.2x of streaming
+    from validatelite_ray.pipelines.quality_filter import run as run_ckpt
+
+    ckpt_dir = Path("/tmp/vlray_bench_out_ckpt")
+    if ckpt_dir.exists():
+        shutil.rmtree(ckpt_dir)
+    t0 = time.time()
+    s2 = run_ckpt(
+        corpus_paths, str(ckpt_dir), cfg,
+        files_per_shard=max(1, len(corpus_paths) // 8),
+        shard_concurrency=8,
+        resume=False,
+    )
+    extras["qf_corpus_ckpt_sec"] = round(time.time() - t0, 3)
+    extras["qf_corpus_ckpt_files_per_sec"] = round(
+        s2["total_rows"] / extras["qf_corpus_ckpt_sec"], 1
+    )
+    assert s2["kept_rows"] == summary["kept_rows"], (
+        "checkpointed and streaming paths disagree on kept rows"
+    )
+
     # --- fused rule suite over lineitem --------------------------------
     rules = [
         S.not_null("l_orderkey", name="nn"),

@@ -169,12 +169,14 @@ class TestCliFilter:
         corpus = tmp_path / "corpus"
         write_corpus_shards(str(corpus), n_files=200, n_shards=2, seed=11)
         out = tmp_path / "out"
-        p1 = run_cli(["filter", str(corpus), "--out", str(out), "--num-cpus", "4"])
+        p1 = run_cli(["filter", str(corpus), "--out", str(out), "--num-cpus", "4",
+                      "--files-per-shard", "1"])
         assert p1.returncode == 0, p1.stderr
         s1 = json.loads(p1.stdout)
         assert s1["total_rows"] == 200 and s1["kept_rows"] > 0
         assert (out / "metrics.parquet").exists()
-        p2 = run_cli(["filter", str(corpus), "--out", str(out), "--num-cpus", "4"])
+        p2 = run_cli(["filter", str(corpus), "--out", str(out), "--num-cpus", "4",
+                      "--files-per-shard", "1"])
         s2 = json.loads(p2.stdout)
         assert s2["shards"]["skipped"] == 2 and s2["shards"]["processed"] == 0
         assert s2["kept_rows"] == s1["kept_rows"]

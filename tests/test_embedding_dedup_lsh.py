@@ -1,0 +1,70 @@
+"""Bucketed (LSH) embedding-cosine dedup: distributed scale path must
+agree with the exact keep-first dominance up to the documented recall
+bound, and never drop a vector the exact path keeps."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def planted_vectors(ray_session):
+    """300 random unit vectors + 40 planted near-dups (cos ≈ 0.99)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((300, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dups = base[:40] + 0.05 * rng.standard_normal((40, 16))
+    dups /= np.linalg.norm(dups, axis=1, keepdims=True)
+    mat = np.vstack([base, dups])
+    ids = np.arange(len(mat))
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+        }
+    )
+    return rd.from_arrow(t), mat
+
+
+def test_lsh_dedup_subset_and_recall_vs_exact(planted_vectors):
+    from validatelite_ray.stages.similarity import (
+        dedup_embedding_cosine,
+        dedup_embedding_cosine_lsh,
+    )
+
+    ds, mat = planted_vectors
+    exact = set(dedup_embedding_cosine(ds, threshold=0.9)["vec_id"].to_pylist())
+    lsh = set(
+        dedup_embedding_cosine_lsh(ds, threshold=0.9, bits=8, n_tables=12)[
+            "vec_id"
+        ].to_pylist()
+    )
+    n = len(mat)
+    exact_dropped = set(range(n)) - exact
+    lsh_dropped = set(range(n)) - lsh
+    # every LSH drop is a true dominance (precision 1.0 by construction)
+    assert lsh_dropped <= exact_dropped
+    # planted dups are overwhelmingly found
+    assert exact_dropped, "fixture must plant real near-dups"
+    recall = len(lsh_dropped & exact_dropped) / len(exact_dropped)
+    assert recall >= 0.9, (recall, sorted(exact_dropped - lsh_dropped)[:10])
+
+
+def test_lsh_dedup_no_neardups_keeps_all(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.similarity import dedup_embedding_cosine_lsh
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((100, 16))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(100), pa.int64()),
+            "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+        }
+    )
+    kept = dedup_embedding_cosine_lsh(rd.from_arrow(t), threshold=0.99)
+    assert len(kept) == 100

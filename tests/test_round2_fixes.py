@@ -238,3 +238,55 @@ def test_pairs_for_bucket_trivial():
     from validatelite_ray.stages.dedup import pairs_for_bucket
 
     assert len(pairs_for_bucket([7], all_pairs_max=16)) == 0
+
+
+# ---------------------------------------------------------------------------
+# concurrent sharded runs
+# ---------------------------------------------------------------------------
+
+def test_run_sharded_concurrent_processes_all(tmp_path):
+    import threading
+
+    from validatelite_ray.pipelines import checkpoint as ckpt
+
+    seen = set()
+    in_flight = []
+    peak = []
+    lock = threading.Lock()
+
+    def process(files, tmp_dir):
+        with lock:
+            in_flight.append(1)
+            peak.append(len(in_flight))
+        _touch_parquet(f"{tmp_dir}/out.parquet")
+        import time as _t
+
+        _t.sleep(0.05)
+        with lock:
+            seen.add(tuple(files))
+            in_flight.pop()
+        return {"rows": 1}
+
+    shards = [[f"f{i}.parquet"] for i in range(8)]
+    base = tmp_path / "labels"
+    stats = ckpt.run_sharded(shards, base, process, max_concurrent=4)
+    assert stats == {"shards": 8, "processed": 8, "skipped": 0}
+    assert len(seen) == 8
+    assert max(peak) > 1  # genuinely overlapped
+    assert len(ckpt.shard_output_files(base)) == 8
+    # resume skips everything, still concurrent
+    stats = ckpt.run_sharded(shards, base, process, max_concurrent=4)
+    assert stats["skipped"] == 8
+
+
+def test_quality_run_concurrent_shards_matches_sequential(ray_session, tmp_path):
+    from validatelite_ray.pipelines.quality_filter import QualityFilterConfig, run
+    from validatelite_ray.testing.codegen import write_corpus_shards
+
+    paths = write_corpus_shards(str(tmp_path / "c"), n_files=300, n_shards=3, seed=7)
+    cfg = QualityFilterConfig(batch_size=128)
+    s_seq = run(paths, str(tmp_path / "seq"), cfg, files_per_shard=1, shard_concurrency=1)
+    s_par = run(paths, str(tmp_path / "par"), cfg, files_per_shard=1, shard_concurrency=3)
+    assert s_seq["kept_rows"] == s_par["kept_rows"]
+    assert s_seq["rules"] == s_par["rules"]
+    assert s_seq["total_rows"] == s_par["total_rows"] == 300

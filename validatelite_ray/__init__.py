@@ -11,6 +11,40 @@ actor-pool ``map_batches`` stages over zero-copy Arrow batches.
 Nothing here calls ``ray.init()`` — the caller owns the Ray session.
 """
 
+def _defuse_fsspec_http_import_race() -> None:
+    """fsspec.implementations.http needs aiohttp, which this environment
+    doesn't ship. Ray Data's path resolution re-attempts that import on
+    EVERY read/write; when two driver threads plan datasets concurrently
+    (our parallel checkpointed shards) the failed import races and one
+    thread sees a partially-initialized module → ImportError (not the
+    ModuleNotFoundError Ray catches) → the whole job dies. Pre-seeding a
+    stub module makes the import succeed deterministically; the sentinel
+    class is never instantiated (isinstance checks simply return False),
+    and no pipeline here reads http:// URLs."""
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return  # real module works — nothing to do
+    except ImportError:
+        pass
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations  # noqa: F401
+    except ImportError:  # no fsspec at all — Ray handles that path itself
+        return
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # sentinel only — aiohttp is unavailable
+        def __init__(self, *a, **k):
+            raise ImportError("aiohttp is not installed; http:// paths unsupported")
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+
+
+_defuse_fsspec_http_import_race()
+
 from validatelite_ray.rules.types import DataType, RuleType, RuleStatus
 from validatelite_ray.rules.spec import RuleSpec
 from validatelite_ray.engine.engine import RuleEngine

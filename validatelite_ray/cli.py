@@ -174,6 +174,7 @@ def _filter_command(args) -> int:
                 summary = run(
                     files, args.out,
                     files_per_shard=args.files_per_shard, resume=args.resume,
+                    shard_concurrency=args.shard_concurrency,
                 )
         except Exception as exc:
             print(f"engine error: {exc}", file=sys.stderr)
@@ -209,7 +210,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     filt.add_argument("source", help="parquet file/dir with (repo,path,commit,lang,content)")
     filt.add_argument("--out", required=True, help="output directory")
-    filt.add_argument("--files-per-shard", type=int, default=1)
+    filt.add_argument("--files-per-shard", type=int, default=8)
+    filt.add_argument("--shard-concurrency", type=int, default=8,
+                      help="checkpointed shards processed concurrently")
     filt.add_argument("--no-resume", dest="resume", action="store_false")
     filt.add_argument("--streaming", action="store_true",
                       help="single streaming pipeline (no shard checkpoints)")

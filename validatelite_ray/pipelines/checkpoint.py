@@ -33,12 +33,21 @@ def run_sharded(
     out_base: str | Path,
     process: Callable[[Sequence[str], str], dict[str, Any] | None],
     resume: bool = True,
+    max_concurrent: int = 1,
 ) -> dict[str, Any]:
     """Process each shard (a list of input files) into its own directory.
 
     ``process(files, tmp_dir)`` must write its output under ``tmp_dir``
     and may return manifest extras. Already-done shards are skipped when
     ``resume`` (the default). Returns run stats.
+
+    ``max_concurrent > 1`` drives that many shards at once from a
+    driver-side thread pool: each shard is its own Ray Data job, so K
+    jobs keep the cluster busy even when one shard's file count caps its
+    internal parallelism (round-1 verdict: the sequential loop
+    serialized the cluster). Atomicity is per shard (tmp dir + rename +
+    ``_DONE``), so a crash with K in flight loses at most the K
+    unfinished shards — exactly the resume granularity.
     """
     out_base = Path(out_base)
     out_base.mkdir(parents=True, exist_ok=True)
@@ -51,8 +60,8 @@ def run_sharded(
             continue
         if stale_id >= len(shards):
             shutil.rmtree(p)
-    done = skipped = 0
-    for i, files in enumerate(shards):
+
+    def do_shard(i: int, files: Sequence[str]) -> str:
         target = shard_dir(out_base, i)
         if resume and (target / DONE_MARKER).exists():
             # a _DONE shard only counts if it was built from the SAME
@@ -63,8 +72,7 @@ def run_sharded(
             except (OSError, json.JSONDecodeError):  # pragma: no cover
                 manifest = {}
             if manifest.get("input_files") == list(files):
-                skipped += 1
-                continue
+                return "skipped"
         tmp = out_base / f".tmp-shard={i:05d}"
         if tmp.exists():
             shutil.rmtree(tmp)
@@ -81,8 +89,20 @@ def run_sharded(
         }
         (tmp / DONE_MARKER).write_text(json.dumps(manifest))
         os.rename(tmp, target)
-        done += 1
-    return {"shards": len(shards), "processed": done, "skipped": skipped}
+        return "processed"
+
+    if max_concurrent <= 1:
+        outcomes = [do_shard(i, files) for i, files in enumerate(shards)]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            outcomes = list(pool.map(do_shard, range(len(shards)), shards))
+    return {
+        "shards": len(shards),
+        "processed": outcomes.count("processed"),
+        "skipped": outcomes.count("skipped"),
+    }
 
 
 def completed_shards(out_base: str | Path) -> list[int]:

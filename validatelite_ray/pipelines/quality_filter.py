@@ -446,10 +446,15 @@ def run(
     input_files: Sequence[str],
     out_dir: str,
     cfg: QualityFilterConfig | None = None,
-    files_per_shard: int = 1,
+    files_per_shard: int = 8,
     resume: bool = True,
+    shard_concurrency: int = 8,
 ) -> dict[str, Any]:
-    """End-to-end checkpointed run. Returns summary dict."""
+    """End-to-end checkpointed run. Returns summary dict.
+
+    ``shard_concurrency`` shards run as concurrent Ray Data jobs so the
+    resumable path saturates the cluster like the streaming path does
+    (each shard alone has limited internal parallelism)."""
     import ray
     import ray.data as rd
 
@@ -481,7 +486,9 @@ def run(
                 shard_counts[name] += int(pc.sum(pc.cast(t[col], pa.int64())).as_py() or 0)
         return {"rows": total, "rule_failed_records": shard_counts}
 
-    stats = ckpt.run_sharded(shards, labels_base, process, resume=resume)
+    stats = ckpt.run_sharded(
+        shards, labels_base, process, resume=resume, max_concurrent=shard_concurrency
+    )
 
     label_files = ckpt.shard_output_files(labels_base)
     rule_names = [r.name for r in cfg.rules()]

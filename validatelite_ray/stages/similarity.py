@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -252,9 +253,15 @@ def dedup_embedding_cosine(
     """
     import ray
 
-    full = ds.select_columns([id_col, vec_col]).take_all()
-    ids = np.array([r[id_col] for r in full], dtype=np.int64)
-    mat = _normalize(np.array([r[vec_col] for r in full], dtype=np.float64))
+    # exact dominance needs the full (id, vec) reference matrix in one
+    # place; collect the SLIM two columns as Arrow blocks (vectorized,
+    # no per-row Python). This is the small/mid-scale exact path — use
+    # ``dedup_embedding_cosine_lsh`` when the matrix exceeds the driver.
+    tbl = pa.concat_tables(
+        ray.get(ds.select_columns([id_col, vec_col]).to_arrow_refs())
+    )
+    ids = np.asarray(tbl[id_col], dtype=np.int64)
+    mat = _normalize(_to_matrix(tbl[vec_col]))
     order = np.argsort(ids)
     ids, mat = ids[order], mat[order]
     ref = ray.put({"ids": ids, "mat": mat})
@@ -269,6 +276,112 @@ def dedup_embedding_cosine(
         return pa.table({id_col: pa.array(b_ids[~dominated], pa.int64())})
 
     kept = ds.map_batches(keep_mask, batch_format="pyarrow", zero_copy_batch=True)
+    rows = sorted(r[id_col] for r in kept.take_all())
+    return pa.table({id_col: pa.array(rows, pa.int64())})
+
+
+def dedup_embedding_cosine_lsh(
+    ds,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 10,
+    n_tables: int = 12,
+    seed: int = 42,
+) -> pa.Table:
+    """Embedding-cosine near-dup dedup (keep-first) — the SCALE path.
+
+    Same keep-first dominance contract as ``dedup_embedding_cosine``
+    (a vector is dropped iff some lower-id vector has cosine ≥
+    ``threshold``) but fully distributed: no driver-side matrix, no
+    full broadcast (round-1 verdict on the exact path's
+    ``take_all``). Plan:
+
+    1. hash stage: every vector lands in ``n_tables`` random-hyperplane
+       buckets (planes derived deterministically from ``seed`` and the
+       vector dim → identical across tasks, nothing shipped);
+    2. ``groupby(table, bucket)`` → dominance *within* each bucket
+       (sorted by id, one matmul per bucket);
+    3. ``groupby(id)`` max-reduce: a vector is dropped iff dominated in
+       ANY bucket it shares with an earlier near-dup.
+
+    Recall < 1 by construction: a dominating pair is seen only if it
+    collides in ≥1 of the L tables — P = 1-(1-p^bits)^L with
+    p = 1-θ/π; at cos=0.9, bits=10, L=12 → ≈0.94 (raise ``n_tables`` /
+    lower ``bits`` to trade compute for recall). Shuffle volume is
+    ``n_tables`` × the (id, vec) pairs — the full rows never move.
+    Partitioning assumption: bucket sizes stay modest because random
+    hyperplanes split uniformly; a degenerate corpus (all vectors
+    near-identical) degrades to per-bucket O(b²) matmuls, which is
+    exactly the workload dedup must do anyway.
+    """
+    rng = np.random.default_rng(seed)
+    plane_seed = int(rng.integers(0, 2**31))
+
+    _planes_cache: dict = {}
+
+    def planes_for(d: int) -> np.ndarray:
+        got = _planes_cache.get(d)
+        if got is None:
+            got = _planes_cache[d] = np.random.default_rng(plane_seed).standard_normal(
+                (n_tables, bits, d)
+            )
+        return got
+
+    def hash_stage(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        mat = _normalize(_to_matrix(b[vec_col]))
+        if mat.size == 0:
+            return pa.table(
+                {"table": pa.array([], pa.int32()),
+                 "bucket": pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64()),
+                 vec_col: pa.array([], pa.list_(pa.float64()))}
+            )
+        pl = planes_for(mat.shape[1])
+        out_t, out_b, out_i = [], [], []
+        weights = 1 << np.arange(bits, dtype=np.int64)
+        for t_i in range(n_tables):
+            sgn = (mat @ pl[t_i].T) > 0          # (n, bits)
+            out_b.append(sgn @ weights)
+            out_t.append(np.full(len(ids), t_i, np.int32))
+            out_i.append(ids)
+        vec_arr = b[vec_col]
+        if isinstance(vec_arr, pa.ChunkedArray):
+            vec_arr = vec_arr.combine_chunks()
+        reps = pa.concat_arrays([vec_arr] * n_tables)
+        return pa.table(
+            {"table": pa.array(np.concatenate(out_t)),
+             "bucket": pa.array(np.concatenate(out_b)),
+             id_col: pa.array(np.concatenate(out_i)),
+             vec_col: reps}
+        )
+
+    def bucket_dominance(g: "pd.DataFrame"):
+        import pandas as pd
+
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        mat = _normalize(np.array(list(g[vec_col]), dtype=np.float64))
+        sims = mat @ mat.T
+        earlier = ids[None, :] < ids[:, None]     # row i dominated by col j<i
+        dominated = ((sims >= threshold) & earlier).any(axis=1)
+        return pd.DataFrame({id_col: ids, "dominated": dominated.astype(np.int64)})
+
+    from ray.data.aggregate import Max
+
+    hashed = ds.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
+    flags = (
+        hashed.groupby(["table", "bucket"])
+        .map_groups(bucket_dominance, batch_format="pandas")
+        .groupby(id_col)
+        .aggregate(Max("dominated", alias_name="dominated"))
+    )
+    kept = flags.map_batches(
+        lambda b: b.filter(pc.equal(b["dominated"], 0)).select([id_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     rows = sorted(r[id_col] for r in kept.take_all())
     return pa.table({id_col: pa.array(rows, pa.int64())})
 
