@@ -1,0 +1,150 @@
+"""SQLite database source: URL grammar, partitioned rowid reads, CLI e2e.
+
+Reference parity: cli/core/source_parser.py:180-233 (URL grammar with
+the table appended after the db-file suffix) and
+shared/database/connection.py:89-157 (scheme set); the execution is
+Ray-native (rowid-range partitioned Arrow reads, no SQLAlchemy).
+"""
+
+import sqlite3
+import subprocess
+import sys
+
+import pytest
+
+from validatelite_ray.sources.db import (
+    DbSpec,
+    is_db_url,
+    open_db_source,
+    parse_db_url,
+    read_sqlite,
+)
+from validatelite_ray.sources.io import SourceError
+
+
+@pytest.fixture(scope="module")
+def users_db(tmp_path_factory):
+    p = tmp_path_factory.mktemp("db") / "users.db"
+    con = sqlite3.connect(p)
+    con.execute(
+        "CREATE TABLE users (id INTEGER, name TEXT, age INTEGER, score REAL)"
+    )
+    rows = [(i, f"user{i}" if i % 7 else None, 20 + i % 60, i * 1.5) for i in range(1000)]
+    rows.append((1000, "old", 200, 0.0))  # range violation
+    con.executemany("INSERT INTO users VALUES (?,?,?,?)", rows)
+    con.commit()
+    con.close()
+    return str(p)
+
+
+class TestUrlGrammar:
+    def test_is_db_url(self):
+        assert is_db_url("sqlite:///x.db")
+        assert is_db_url("mysql://u:p@h:3306/db.t")
+        assert not is_db_url("/data/file.parquet")
+        assert not is_db_url("file.csv")
+
+    def test_sqlite_table_in_url(self):
+        spec = parse_db_url("sqlite:///data/users.db.users")
+        assert spec == DbSpec("sqlite", "/data/users.db", "users")
+
+    def test_sqlite_no_table(self):
+        spec = parse_db_url("sqlite:///data/users.db")
+        assert spec.path == "/data/users.db" and spec.table is None
+
+    def test_explicit_table_wins(self):
+        spec = parse_db_url("sqlite:///d/users.db.users", table="other")
+        assert spec.table == "other"
+
+    def test_mysql_parses_but_needs_driver(self):
+        spec = parse_db_url("mysql://u:p@h:3306/mydb.users")
+        assert spec.scheme == "mysql" and spec.table == "users"
+        with pytest.raises(SourceError, match="driver"):
+            open_db_source("mysql://u:p@h:3306/mydb.users")
+
+
+class TestSqliteRead:
+    def test_full_read_partitioned(self, ray_session, users_db):
+        ds = read_sqlite(users_db, "users", parallelism=4)
+        assert ds.count() == 1001
+        schema = ds.schema()
+        assert dict(zip(schema.names, [str(t) for t in schema.types])) == {
+            "id": "int64", "name": "string", "age": "int64", "score": "double"
+        }
+
+    def test_column_pruned(self, ray_session, users_db):
+        ds = read_sqlite(users_db, "users", columns=["id", "age"], parallelism=3)
+        assert ds.schema().names == ["id", "age"]
+        assert ds.count() == 1001
+
+    def test_rows_match_sqlite(self, ray_session, users_db):
+        got = sorted(
+            r["id"] for r in read_sqlite(users_db, "users", columns=["id"]).take_all()
+        )
+        assert got == list(range(1001))
+
+    def test_missing_table(self, users_db):
+        with pytest.raises(SourceError, match="not found"):
+            read_sqlite(users_db, "ghost")
+
+    def test_missing_file(self):
+        with pytest.raises(SourceError, match="not found"):
+            read_sqlite("/no/such.db", "t")
+
+    def test_empty_table_keeps_schema(self, ray_session, users_db):
+        con = sqlite3.connect(users_db)
+        con.execute("CREATE TABLE IF NOT EXISTS empty_t (a INTEGER, b TEXT)")
+        con.commit()
+        con.close()
+        ds = read_sqlite(users_db, "empty_t")
+        assert ds.count() == 0
+        assert ds.schema().names == ["a", "b"]
+
+    def test_rules_over_sqlite(self, ray_session, users_db):
+        from validatelite_ray.engine.engine import RuleEngine
+        from validatelite_ray.rules import spec as S
+
+        ds = read_sqlite(users_db, "users", columns=["name", "age"])
+        report = RuleEngine(
+            [S.not_null("name", name="nn"), S.value_range("age", 0, 120, name="rng")]
+        ).execute(ds)
+        assert report["nn"].failed_records == 1000 // 7 + 1  # ids 0,7,...,994
+        assert report["rng"].failed_records == 1
+
+
+def test_cli_check_sqlite_e2e(users_db):
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "validatelite_ray.cli", "check",
+            f"sqlite:///{users_db}", "--table", "users",
+            "--rule", "not_null(name)", "--rule", "range(age,0,120)",
+            "--num-cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=180,
+    )
+    assert proc.returncode == 1, proc.stderr  # FAILED rules → exit 1
+    assert "not_null_name" in proc.stdout and "FAILED" in proc.stdout
+
+
+def test_cli_check_sqlite_table_in_url(users_db):
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "validatelite_ray.cli", "check",
+            f"sqlite:///{users_db}.users", "--rule", "not_null(id)",
+            "--num-cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=180,
+    )
+    assert proc.returncode == 0, proc.stderr + proc.stdout
+    assert "PASSED" in proc.stdout
+
+
+def test_cli_check_sqlite_missing_table_exit3(users_db):
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "validatelite_ray.cli", "check",
+            f"sqlite:///{users_db}", "--rule", "not_null(id)", "--num-cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=180,
+    )
+    assert proc.returncode == 3  # source error: no table given

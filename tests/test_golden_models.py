@@ -1,0 +1,79 @@
+"""Golden-value regression tests for the deterministic model stand-ins.
+
+The langid and perplexity scorers are deterministic functions of the
+input text, so their outputs on the sf0.001 documents table are pinned
+as a fixture (tests/data/golden_langid_ppl_sf0001.json, generated once
+from the round-2 implementation). This gives the model stages hard
+correctness evidence beyond the driver's rows-only check: any silent
+behavior change — tokenizer drift, model-table change, batch-dependent
+state — fails here with the exact doc ids that moved.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+GOLDEN = Path(__file__).parent / "data" / "golden_langid_ppl_sf0001.json"
+
+
+@pytest.fixture(scope="module")
+def docs_batch(sf_dir):
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pa.Table.from_arrays(
+        [t["doc_id"].combine_chunks(), t["text"].combine_chunks()],
+        names=["doc_id", "text"],
+    )
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return json.loads(GOLDEN.read_text())
+
+
+def test_langid_matches_golden(docs_batch, golden):
+    from validatelite_ray.stages.langid import LangIdScorer
+
+    out = LangIdScorer("text")(docs_batch)
+    assert out["doc_id"].to_pylist() == golden["doc_id"]
+    got_lang = out["lang_pred"].to_pylist()
+    mism = [
+        (d, g, e)
+        for d, g, e in zip(golden["doc_id"], got_lang, golden["lang_pred"])
+        if g != e
+    ]
+    assert not mism, mism[:5]
+    assert np.allclose(
+        out["langid_score"].to_pylist(), golden["langid_score"], atol=1e-9
+    )
+
+
+def test_perplexity_matches_golden(docs_batch, golden):
+    from validatelite_ray.stages.perplexity import PerplexityScorer
+
+    out = PerplexityScorer("text")(docs_batch)
+    assert np.allclose(out["ppl_bits"].to_pylist(), golden["ppl_bits"], atol=1e-9)
+
+
+def test_golden_outputs_batch_invariant(docs_batch, golden):
+    """Scoring in small slices must equal scoring the whole table —
+    the stages hold no cross-batch state."""
+    from validatelite_ray.stages.langid import LangIdScorer
+    from validatelite_ray.stages.perplexity import PerplexityScorer
+
+    lang = LangIdScorer("text")
+    ppl = PerplexityScorer("text")
+    langs, bits = [], []
+    for start in range(0, len(docs_batch), 97):
+        piece = docs_batch.slice(start, 97)
+        piece = pa.Table.from_arrays(
+            [c.combine_chunks() for c in piece.columns], names=piece.column_names
+        )
+        out = ppl(lang(piece))
+        langs.extend(out["lang_pred"].to_pylist())
+        bits.extend(out["ppl_bits"].to_pylist())
+    assert langs == golden["lang_pred"]
+    assert np.allclose(bits, golden["ppl_bits"], atol=1e-9)

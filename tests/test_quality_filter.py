@@ -150,7 +150,7 @@ def test_resume_skips_done_shards_and_identical_metrics(ray_session, corpus, tmp
     metrics1 = pq.read_table(out / "metrics.parquet").to_pylist()
 
     # simulate a crash that lost one shard: delete it, then resume
-    victim = ckpt.shard_dir(out / "labels", 1)
+    victim = Path(ckpt.shard_dir(out / "labels", 1))
     shutil.rmtree(victim)
     shutil.rmtree(out / "kept")
     s2 = run(paths, str(out), files_per_shard=1)
@@ -163,7 +163,7 @@ def test_resume_skips_done_shards_and_identical_metrics(ray_session, corpus, tmp
 
 def test_manifest_contents(pipeline_out):
     out, _ = pipeline_out
-    marker = ckpt.shard_dir(out / "labels", 0) / ckpt.DONE_MARKER
+    marker = Path(ckpt.shard_dir(out / "labels", 0)) / ckpt.DONE_MARKER
     manifest = json.loads(marker.read_text())
     assert manifest["shard_id"] == 0
     assert manifest["input_files"]
@@ -177,7 +177,7 @@ def test_manifest_lineage_counts_sum_to_metrics(pipeline_out):
     rows = 0
     for i in ckpt.completed_shards(out / "labels"):
         manifest = json.loads(
-            (ckpt.shard_dir(out / "labels", i) / ckpt.DONE_MARKER).read_text()
+            (Path(ckpt.shard_dir(out / "labels", i)) / ckpt.DONE_MARKER).read_text()
         )
         rows += manifest["rows"]
         for name, failed in manifest["rule_failed_records"].items():
@@ -194,7 +194,7 @@ def test_resume_after_crash_mid_write(ray_session, corpus, tmp_path):
     s1 = run(paths, str(out), files_per_shard=1)
 
     # simulate: shard 2 died mid-write (stale tmp with junk, no marker)
-    victim = ckpt.shard_dir(out / "labels", 2)
+    victim = Path(ckpt.shard_dir(out / "labels", 2))
     shutil.rmtree(victim)
     stale = out / "labels" / ".tmp-shard=00002"
     stale.mkdir()

@@ -209,7 +209,7 @@ def test_resume_unchanged_shards_skip(tmp_path):
     assert calls == []
     assert stats["skipped"] == 2
     # manifests survive intact
-    m = json.loads((ckpt.shard_dir(base, 0) / ckpt.DONE_MARKER).read_text())
+    m = ckpt.read_manifest(base, 0)
     assert m["input_files"] == ["a.parquet"]
 
 
@@ -290,3 +290,48 @@ def test_quality_run_concurrent_shards_matches_sequential(ray_session, tmp_path)
     assert s_seq["kept_rows"] == s_par["kept_rows"]
     assert s_seq["rules"] == s_par["rules"]
     assert s_seq["total_rows"] == s_par["total_rows"] == 300
+
+
+# ---------------------------------------------------------------------------
+# cloud-FS-safe checkpointing: same protocol through a file:// URI
+# ---------------------------------------------------------------------------
+
+def test_run_sharded_over_file_uri(tmp_path):
+    from validatelite_ray.pipelines import checkpoint as ckpt
+
+    base = f"file://{tmp_path}/labels"
+
+    def process(files, out_dir):
+        # out_dir arrives as a URI on the same filesystem
+        assert out_dir.startswith("file://")
+        fs, p, _ = ckpt._fs_for(f"{out_dir}/out.parquet")
+        pq.write_table(pa.table({"x": [1, 2]}), p, filesystem=fs)
+        return {"rows": 2}
+
+    stats = ckpt.run_sharded([["a"], ["b"]], base, process)
+    assert stats == {"shards": 2, "processed": 2, "skipped": 0}
+    assert ckpt.completed_shards(base) == [0, 1]
+    files = ckpt.shard_output_files(base)
+    assert len(files) == 2 and all(f.startswith("file://") for f in files)
+    assert ckpt.read_manifest(base, 1)["rows"] == 2
+    # resume through the URI too
+    stats = ckpt.run_sharded([["a"], ["b"]], base, process)
+    assert stats["skipped"] == 2
+    # a shard dir without _DONE is partial garbage → redone
+    (tmp_path / "labels" / "shard=00001" / "_DONE").unlink()
+    stats = ckpt.run_sharded([["a"], ["b"]], base, process)
+    assert stats == {"shards": 2, "processed": 1, "skipped": 1}
+
+
+def test_quality_run_over_file_uri(ray_session, tmp_path):
+    from validatelite_ray.pipelines.quality_filter import QualityFilterConfig, run
+    from validatelite_ray.testing.codegen import write_corpus_shards
+
+    paths = write_corpus_shards(str(tmp_path / "c"), n_files=200, n_shards=2, seed=5)
+    cfg = QualityFilterConfig(batch_size=128)
+    plain = run(paths, str(tmp_path / "out_plain"), cfg, files_per_shard=1)
+    uri = run(paths, f"file://{tmp_path}/out_uri", cfg, files_per_shard=1)
+    assert uri["kept_rows"] == plain["kept_rows"]
+    assert uri["rules"] == plain["rules"]
+    assert (tmp_path / "out_uri" / "metrics.parquet").exists()
+    assert (tmp_path / "out_uri" / "kept").is_dir()

@@ -185,3 +185,57 @@ class TestSchemaCommand:
         assert s["total_rules"] == len(reports["customers"].results) + 2
         assert s["skipped_rules"] >= 2
         assert "customers" in payload["tables"]
+
+    def test_fields_payload_checks_map(self, customer_ds):
+        """Per-field checks map parity (ref cli/commands/schema.py:1526-1657):
+        existence/type from the SCHEMA phase plus per-rule statuses with
+        failed_records / skip_reason."""
+        reports = run_schema_command(self.PAYLOAD, {"customers": customer_ds})
+        payload = summarize(reports)
+        by_col = {
+            (f["table"], f["column"]): f["checks"] for f in payload["fields"]
+        }
+
+        c_id = by_col[("customers", "id")]
+        assert c_id["existence"]["status"] == "PASSED"
+        assert c_id["type"]["status"] == "PASSED"
+        assert c_id["not_null"] == {"status": "FAILED", "failed_records": 1}
+
+        c_age = by_col[("customers", "age")]
+        assert c_age["range"] == {"status": "FAILED", "failed_records": 2}
+
+        c_gender = by_col[("customers", "gender")]
+        assert c_gender["enum"] == {"status": "FAILED", "failed_records": 1}
+
+        c_qty = by_col[("customers", "qty")]
+        assert c_qty["desired_type"] == {"status": "FAILED", "failed_records": 1}
+
+        c_missing = by_col[("customers", "invalid_col")]
+        assert c_missing["existence"] == {
+            "status": "FAILED",
+            "failure_code": "FIELD_MISSING",
+        }
+        assert c_missing["type"]["status"] == "UNKNOWN"
+        assert c_missing["not_null"] == {
+            "status": "SKIPPED",
+            "skip_reason": "FIELD_MISSING",
+        }
+
+        # ghost table: no SCHEMA field_results, but the atomic rules
+        # still surface per-field SKIPPED entries
+        g_x = by_col[("ghost_table", "x")]
+        assert g_x["not_null"] == {
+            "status": "SKIPPED",
+            "skip_reason": "TABLE_NOT_EXISTS",
+        }
+
+    def test_schema_extras_strict_mode(self, customer_ds):
+        payload_cfg = {
+            "customers": {
+                "rules": [{"field": "id", "type": "integer"}],
+                "strict_mode": True,
+            }
+        }
+        reports = run_schema_command(payload_cfg, {"customers": customer_ds})
+        payload = summarize(reports)
+        assert payload["schema_extras"] == ["age", "gender", "name", "qty"]

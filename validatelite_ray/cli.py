@@ -191,7 +191,10 @@ def main(argv: list[str] | None = None) -> int:
     sub = parser.add_subparsers(dest="command")
     check = sub.add_parser("check", help="run validation rules against a source")
     check.add_argument("source", nargs="?", default=None,
-                       help="csv/tsv/json/jsonl/parquet file or parquet dir")
+                       help="csv/tsv/json/jsonl/parquet file, parquet dir, "
+                            "or a DB URL (sqlite:///file.db.TABLE)")
+    check.add_argument("--table", dest="db_table", default=None,
+                       help="table name for database-URL sources")
     check.add_argument("--rule", action="append", default=[],
                        help="inline rule, e.g. 'not_null(id)' (repeatable)")
     check.add_argument("--rules-file", default=None, help="JSON rules file")
@@ -278,7 +281,12 @@ def main(argv: list[str] | None = None) -> int:
 
         ray.data.DataContext.get_current().enable_progress_bars = False
         try:
-            ds = open_source(args.source)
+            from validatelite_ray.sources.db import is_db_url, open_db_source
+
+            if is_db_url(args.source):
+                ds = open_db_source(args.source, table=args.db_table)
+            else:
+                ds = open_source(args.source)
         except SourceError as exc:
             print(f"error: {exc}", file=sys.stderr)
             return EXIT_SOURCE_ERROR

@@ -162,11 +162,92 @@ def run_schema_command(
     return reports
 
 
+#: rule_type → key in the per-field ``checks`` map (reference:
+#: cli/commands/schema.py:1625-1645)
+_CHECK_KEYS = {
+    "NOT_NULL": "not_null",
+    "RANGE": "range",
+    "ENUM": "enum",
+    "REGEX": "regex",
+    "DATE_FORMAT": "date_format",
+    "LENGTH": "length",
+}
+
+
+def fields_payload(reports: Mapping[str, ExecutionReport]) -> list[dict[str, Any]]:
+    """Per-field ``checks`` map — the structure users script against
+    (reference: cli/commands/schema.py:1526-1657 ``fields`` assembly):
+    one entry per declared column with an ``existence`` and ``type``
+    check from the SCHEMA phase plus one entry per atomic/generated rule
+    (``not_null``/``range``/``enum``/``regex``/``date_format``/
+    ``desired_type``) carrying status, skip_reason and failed_records.
+    """
+    fields: list[dict[str, Any]] = []
+    index: dict[tuple[str, str], dict[str, Any]] = {}
+
+    def entry_for(table: str, column: str) -> dict[str, Any]:
+        got = index.get((table, column))
+        if got is None:
+            got = {"column": column, "table": table, "checks": {}}
+            index[(table, column)] = got
+            fields.append(got)
+        return got
+
+    for table, rep in reports.items():
+        for r in rep.results:
+            if r.rule_type != "SCHEMA":
+                continue
+            details = r.sample_rows[0] if r.sample_rows else {}
+            for item in details.get("field_results", []):
+                e = entry_for(table, item["column"])
+                exists = bool(item.get("exists", False))
+                missing = item.get("failure_code") == "FIELD_MISSING"
+                e["checks"]["existence"] = {
+                    "status": "FAILED" if missing else "PASSED",
+                    "failure_code": item.get("failure_code", "NONE"),
+                }
+                e["checks"]["type"] = {
+                    "status": (
+                        "UNKNOWN" if not exists else item.get("status", "UNKNOWN")
+                    ),
+                    "failure_code": item.get("failure_code", "NONE"),
+                }
+            # TABLE_NOT_EXISTS: SCHEMA failed with no field_results — the
+            # atomic rules below still surface per-field SKIPPED entries
+        for r in rep.results:
+            if r.rule_type == "SCHEMA" or not r.column:
+                continue
+            if r.rule_name.startswith("desired_"):
+                key = "desired_type"
+            else:
+                key = _CHECK_KEYS.get(r.rule_type, r.rule_type.lower())
+            check: dict[str, Any] = {"status": r.status}
+            if r.status == "SKIPPED":
+                check["skip_reason"] = r.message
+            if r.failed_records:
+                check["failed_records"] = int(r.failed_records)
+            entry_for(table, r.column)["checks"][key] = check
+    return fields
+
+
+def schema_extras_payload(reports: Mapping[str, ExecutionReport]) -> list[str]:
+    """Undeclared columns found under strict_mode, across all tables."""
+    extras: set[str] = set()
+    for rep in reports.values():
+        for r in rep.results:
+            if r.rule_type == "SCHEMA" and r.sample_rows:
+                extras.update(str(x) for x in r.sample_rows[0].get("extras", []))
+    return sorted(extras)
+
+
 def summarize(reports: Mapping[str, ExecutionReport]) -> dict[str, Any]:
-    """Aggregate JSON payload (reference shape, schema.py:1678-1696)."""
+    """Aggregate JSON payload (reference shape, schema.py:1655-1696):
+    summary counts + per-table reports + the per-field ``checks`` map
+    (+ ``schema_extras`` when strict mode surfaced undeclared columns).
+    """
     all_results = [r for rep in reports.values() for r in rep.results]
     statuses = [r.status for r in all_results]
-    return {
+    payload = {
         "summary": {
             "total_rules": len(all_results),
             "passed_rules": statuses.count("PASSED"),
@@ -178,4 +259,9 @@ def summarize(reports: Mapping[str, ExecutionReport]) -> dict[str, Any]:
         "tables": {
             table: rep.summary() for table, rep in reports.items()
         },
+        "fields": fields_payload(reports),
     }
+    extras = schema_extras_payload(reports)
+    if extras:
+        payload["schema_extras"] = extras
+    return payload

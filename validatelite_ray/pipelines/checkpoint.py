@@ -1,94 +1,191 @@
 """Partition-granular checkpointing for resumable batch runs.
 
 Ray Data has no built-in job checkpoint; this implements the layout the
-north rule requires: one output directory per input shard, written
-atomically (temp dir + rename), plus a ``_DONE`` marker holding a small
-JSON manifest. A restarted run lists the markers and processes only the
-missing shards, so a killed job resumes at shard granularity with
-identical final output.
+north rule requires: one output directory per input shard plus a
+``_DONE`` marker holding a small JSON manifest. A restarted run lists
+the markers and processes only the missing shards, so a killed job
+resumes at shard granularity with identical final output.
+
+All paths go through ``pyarrow.fs`` so the same code runs on local
+disk and object storage (S3/GCS URIs) — a multi-node cluster writes
+checkpoints to a shared store, not the driver's disk. Because object
+stores have no atomic rename, the commit protocol is marker-last:
+shard output files are written INTO the final directory and the
+``_DONE`` marker (an atomic single-object put) is written only after
+they are all flushed; on resume, a shard directory without its marker
+is partial garbage and is deleted and redone.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import shutil
+import posixpath
 import time
-from pathlib import Path
 from typing import Any, Callable, Sequence
 
 DONE_MARKER = "_DONE"
 
 
-def shard_dir(base: str | Path, shard_id: int) -> Path:
-    return Path(base) / f"shard={shard_id:05d}"
+def _split_uri(path) -> tuple[str, str]:
+    """→ (scheme prefix incl. '://' or '', fs-local path)."""
+    s = str(path)
+    if "://" in s:
+        scheme, rest = s.split("://", 1)
+        return scheme + "://", rest
+    return "", s
 
 
-def is_done(base: str | Path, shard_id: int) -> bool:
-    return (shard_dir(base, shard_id) / DONE_MARKER).exists()
+def _fs_for(path) -> tuple["pyarrow.fs.FileSystem", str, str]:  # noqa: F821
+    """→ (filesystem, fs-local path, scheme prefix to re-attach)."""
+    from pyarrow import fs as pafs
+
+    prefix, local = _split_uri(path)
+    if prefix:
+        fs, p = pafs.FileSystem.from_uri(str(path))
+        return fs, p, prefix
+    return pafs.LocalFileSystem(), local, ""
+
+
+def _exists(fs, p: str) -> bool:
+    from pyarrow.fs import FileType
+
+    return fs.get_file_info(p).type != FileType.NotFound
+
+
+def _rmtree(fs, p: str) -> None:
+    from pyarrow.fs import FileType
+
+    info = fs.get_file_info(p)
+    if info.type == FileType.NotFound:
+        return
+    if info.type == FileType.Directory:
+        fs.delete_dir(p)
+    else:
+        fs.delete_file(p)
+
+
+def _write_text(fs, p: str, text: str) -> None:
+    with fs.open_output_stream(p) as f:
+        f.write(text.encode())
+
+
+def _read_text(fs, p: str) -> str:
+    with fs.open_input_stream(p) as f:
+        return f.read().decode()
+
+
+def _listdir(fs, p: str):
+    from pyarrow.fs import FileSelector, FileType
+
+    if not _exists(fs, p):
+        return []
+    return fs.get_file_info(FileSelector(p, recursive=False))
+
+
+def list_files(dir_path, suffix: str = ".parquet") -> list[str]:
+    """Sorted files under ``dir_path`` with ``suffix`` — local path or
+    fs URI (the cloud-safe replacement for ``Path.glob``)."""
+    from pyarrow.fs import FileType
+
+    fs, p, prefix = _fs_for(dir_path)
+    out = [
+        prefix + i.path
+        for i in _listdir(fs, p)
+        if i.type == FileType.File and i.path.endswith(suffix)
+    ]
+    return sorted(out)
+
+
+def resolve_for_read(paths: Sequence[str]):
+    """→ (fs-local paths, filesystem | None) for ``ray.data.read_*`` /
+    ``pyarrow.parquet``. Ray resolves a filesystem from the FIRST path
+    and then requires plain (non-URI) paths for the rest, so a list of
+    URIs must be pre-resolved and passed with an explicit filesystem."""
+    paths = list(paths)
+    if not paths or "://" not in paths[0]:
+        return paths, None
+    fs, _, _ = _fs_for(paths[0])
+    return [_split_uri(p)[1] for p in paths], fs
+
+
+def shard_dir(base, shard_id: int) -> str:
+    return posixpath.join(str(base), f"shard={shard_id:05d}")
+
+
+def is_done(base, shard_id: int) -> bool:
+    fs, p, _ = _fs_for(posixpath.join(shard_dir(base, shard_id), DONE_MARKER))
+    return _exists(fs, p)
 
 
 def run_sharded(
     shards: Sequence[Sequence[str]],
-    out_base: str | Path,
+    out_base,
     process: Callable[[Sequence[str], str], dict[str, Any] | None],
     resume: bool = True,
     max_concurrent: int = 1,
 ) -> dict[str, Any]:
     """Process each shard (a list of input files) into its own directory.
 
-    ``process(files, tmp_dir)`` must write its output under ``tmp_dir``
-    and may return manifest extras. Already-done shards are skipped when
-    ``resume`` (the default). Returns run stats.
+    ``process(files, out_dir)`` must write its output under ``out_dir``
+    (a path/URI on the same filesystem as ``out_base``) and may return
+    manifest extras. Already-done shards are skipped when ``resume``
+    (the default). Returns run stats.
 
     ``max_concurrent > 1`` drives that many shards at once from a
     driver-side thread pool: each shard is its own Ray Data job, so K
     jobs keep the cluster busy even when one shard's file count caps its
     internal parallelism (round-1 verdict: the sequential loop
-    serialized the cluster). Atomicity is per shard (tmp dir + rename +
-    ``_DONE``), so a crash with K in flight loses at most the K
-    unfinished shards — exactly the resume granularity.
+    serialized the cluster). Atomicity is per shard (marker-last
+    commit), so a crash with K in flight loses at most the K unfinished
+    shards — exactly the resume granularity.
     """
-    out_base = Path(out_base)
-    out_base.mkdir(parents=True, exist_ok=True)
+    fs, base, prefix = _fs_for(out_base)
+    fs.create_dir(base, recursive=True)
     # stale completed shards from a previous run with MORE shards would
-    # otherwise be swept into shard_output_files — remove them
-    for p in out_base.glob("shard=*"):
-        try:
-            stale_id = int(p.name.split("=")[1])
-        except ValueError:  # pragma: no cover - foreign dir
-            continue
-        if stale_id >= len(shards):
-            shutil.rmtree(p)
+    # otherwise be swept into shard_output_files — remove them; also
+    # sweep legacy temp dirs from the old rename-based protocol
+    from pyarrow.fs import FileType
+
+    for info in _listdir(fs, base):
+        name = posixpath.basename(info.path)
+        if name.startswith(".tmp-shard="):
+            _rmtree(fs, info.path)
+        if info.type == FileType.Directory and name.startswith("shard="):
+            try:
+                stale_id = int(name.split("=")[1])
+            except ValueError:  # pragma: no cover - foreign dir
+                continue
+            if stale_id >= len(shards):
+                _rmtree(fs, info.path)
 
     def do_shard(i: int, files: Sequence[str]) -> str:
-        target = shard_dir(out_base, i)
-        if resume and (target / DONE_MARKER).exists():
+        target = posixpath.join(base, f"shard={i:05d}")
+        marker = posixpath.join(target, DONE_MARKER)
+        if resume and _exists(fs, marker):
             # a _DONE shard only counts if it was built from the SAME
             # input files — shards are identified positionally, so a
             # changed file list / files_per_shard must invalidate it
             try:
-                manifest = json.loads((target / DONE_MARKER).read_text())
+                manifest = json.loads(_read_text(fs, marker))
             except (OSError, json.JSONDecodeError):  # pragma: no cover
                 manifest = {}
             if manifest.get("input_files") == list(files):
                 return "skipped"
-        tmp = out_base / f".tmp-shard={i:05d}"
-        if tmp.exists():
-            shutil.rmtree(tmp)
-        if target.exists():
-            shutil.rmtree(target)
-        tmp.mkdir(parents=True)
+        # no marker (or stale manifest) → whatever is there is partial
+        _rmtree(fs, target)
+        fs.create_dir(target, recursive=True)
         t0 = time.time()
-        extras = process(files, str(tmp)) or {}
+        extras = process(files, prefix + target) or {}
         manifest = {
             "shard_id": i,
             "input_files": list(files),
             "elapsed_s": round(time.time() - t0, 3),
             **extras,
         }
-        (tmp / DONE_MARKER).write_text(json.dumps(manifest))
-        os.rename(tmp, target)
+        # marker-last commit: written only after the shard's output
+        # files are flushed; a single-object put is atomic on both the
+        # local FS and object stores
+        _write_text(fs, marker, json.dumps(manifest))
         return "processed"
 
     if max_concurrent <= 1:
@@ -105,22 +202,27 @@ def run_sharded(
     }
 
 
-def completed_shards(out_base: str | Path) -> list[int]:
+def completed_shards(out_base) -> list[int]:
+    from pyarrow.fs import FileType
+
+    fs, base, _ = _fs_for(out_base)
     out = []
-    base = Path(out_base)
-    if not base.exists():
-        return out
-    for p in sorted(base.glob("shard=*")):
-        if (p / DONE_MARKER).exists():
-            out.append(int(p.name.split("=")[1]))
-    return out
+    for info in _listdir(fs, base):
+        name = posixpath.basename(info.path)
+        if info.type == FileType.Directory and name.startswith("shard="):
+            if _exists(fs, posixpath.join(info.path, DONE_MARKER)):
+                out.append(int(name.split("=")[1]))
+    return sorted(out)
 
 
-def shard_output_files(out_base: str | Path) -> list[str]:
-    """All parquet files of completed shards."""
+def shard_output_files(out_base) -> list[str]:
+    """All parquet files of completed shards (paths/URIs)."""
     files: list[str] = []
     for i in completed_shards(out_base):
-        files.extend(
-            str(p) for p in sorted(shard_dir(out_base, i).glob("*.parquet"))
-        )
+        files.extend(list_files(shard_dir(out_base, i)))
     return files
+
+
+def read_manifest(out_base, shard_id: int) -> dict[str, Any]:
+    fs, p, _ = _fs_for(posixpath.join(shard_dir(out_base, shard_id), DONE_MARKER))
+    return json.loads(_read_text(fs, p))

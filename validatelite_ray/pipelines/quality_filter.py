@@ -33,7 +33,7 @@ ALL rules AND winning dedup.
 from __future__ import annotations
 
 import dataclasses
-from pathlib import Path
+
 from typing import Any, Sequence
 
 import numpy as np
@@ -378,26 +378,27 @@ def run_streaming(
     bench/throughput path: read → featurize → label → labels parquet,
     then dedup + final keep + kept parquet + metrics. Use ``run`` when
     resumability matters; the physical plan is otherwise identical."""
+    import posixpath
+
     import ray
     import ray.data as rd
 
     from validatelite_ray.stages.dedup import dedup_exact
 
-    import shutil
-
     cfg = cfg or QualityFilterConfig()
-    out = Path(out_dir)
-    labels_dir = out / "labels_stream"
+    out = str(out_dir)
+    labels_dir = posixpath.join(out, "labels_stream")
+    kept_dir = posixpath.join(out, "kept")
     # fresh outputs: write_parquet APPENDS part files into an existing
-    # directory, which would double-count on rerun
-    for stale in (labels_dir, out / "kept"):
-        if stale.exists():
-            shutil.rmtree(stale)
+    # directory, which would double-count on rerun (cloud-safe fs ops)
+    for stale in (labels_dir, kept_dir):
+        fs, p, _ = ckpt._fs_for(stale)
+        ckpt._rmtree(fs, p)
     # job 1 (heavy): read → featurize+score+label → labels parquet
     labeled = fused_label(rd.read_parquet(list(input_files)), cfg)
-    labeled.write_parquet(str(labels_dir))
+    labeled.write_parquet(labels_dir)
 
-    label_files = [str(p) for p in sorted(labels_dir.glob("*.parquet"))]
+    label_files, labels_fs = ckpt.resolve_for_read(ckpt.list_files(labels_dir))
     rule_names = [r.name for r in cfg.rules()]
     kept_cols = list(
         dict.fromkeys([*cfg.key_cols, "lang", "sha256", "uid", "content_scrubbed"])
@@ -405,9 +406,8 @@ def run_streaming(
 
     # job 2: dedup + kept output in ONE shuffle — rule-passing rows only,
     # groupby(sha256) keep-first (lexical min uid), written directly
-    kept_dir = out / "kept"
     passing = rd.read_parquet(
-        label_files, columns=kept_cols + ["keep_rules"]
+        label_files, columns=kept_cols + ["keep_rules"], filesystem=labels_fs
     ).map_batches(
         lambda b: b.filter(pc.equal(b["keep_rules"], True)).drop_columns(
             ["keep_rules"]
@@ -417,13 +417,14 @@ def run_streaming(
     )
     dedup_exact(
         passing, key="sha256", order_col="uid", strategy="broadcast"
-    ).write_parquet(str(kept_dir))
+    ).write_parquet(kept_dir)
 
     # job 3 (tiny): per-rule metrics + passing count from bool columns only
     metrics = metrics_from_labels(
         rd.read_parquet(
             label_files,
             columns=[f"fail_{n}" for n in rule_names] + ["keep_rules"],
+            filesystem=labels_fs,
         ),
         rule_names,
         count_true_cols=("keep_rules",),
@@ -433,7 +434,7 @@ def run_streaming(
     )
     passing_count = int(rows.pop("keep_rules"))
     n_total = int(metrics["total_records"][0].as_py())
-    kept_count = rd.read_parquet(str(kept_dir)).count()  # parquet metadata only
+    kept_count = rd.read_parquet(kept_dir).count()  # parquet metadata only
     return {
         "total_rows": n_total,
         "kept_rows": int(kept_count),
@@ -458,9 +459,11 @@ def run(
     import ray
     import ray.data as rd
 
+    import posixpath
+
     cfg = cfg or QualityFilterConfig()
-    out = Path(out_dir)
-    labels_base = out / "labels"
+    out = str(out_dir)
+    labels_base = posixpath.join(out, "labels")
 
     shards = [
         list(input_files[i : i + files_per_shard])
@@ -469,9 +472,9 @@ def run(
 
     rule_names_all = [r.name for r in cfg.rules()]
 
-    def process(files: Sequence[str], tmp_dir: str) -> dict[str, Any]:
+    def process(files: Sequence[str], shard_out: str) -> dict[str, Any]:
         ds = rd.read_parquet(list(files))
-        fused_label(ds, cfg).write_parquet(tmp_dir)
+        fused_label(ds, cfg).write_parquet(shard_out)
         # per-partition lineage: this shard's rule counts go into its
         # _DONE manifest (cheap column-pruned read of the shard output)
         import pyarrow.parquet as _pq
@@ -479,8 +482,9 @@ def run(
         cols = [f"fail_{n}" for n in rule_names_all]
         shard_counts: dict[str, int] = {n: 0 for n in rule_names_all}
         total = 0
-        for f in sorted(Path(tmp_dir).glob("*.parquet")):
-            t = _pq.read_table(f, columns=cols)
+        for f in ckpt.list_files(shard_out):
+            fs, p, _ = ckpt._fs_for(f)
+            t = _pq.read_table(p, columns=cols, filesystem=fs)
             total += t.num_rows
             for name, col in zip(rule_names_all, cols):
                 shard_counts[name] += int(pc.sum(pc.cast(t[col], pa.int64())).as_py() or 0)
@@ -490,23 +494,25 @@ def run(
         shards, labels_base, process, resume=resume, max_concurrent=shard_concurrency
     )
 
-    label_files = ckpt.shard_output_files(labels_base)
+    label_files, labels_fs = ckpt.resolve_for_read(
+        ckpt.shard_output_files(labels_base)
+    )
     rule_names = [r.name for r in cfg.rules()]
 
     # global dedup (phase B) — column-pruned read of the labels output
-    slim = rd.read_parquet(label_files, columns=["sha256", "uid", "keep_rules"])
+    slim = rd.read_parquet(
+        label_files, columns=["sha256", "uid", "keep_rules"], filesystem=labels_fs
+    )
     drops = compute_drop_list(slim)
     drop_ref = ray.put(drops)
 
     # final keep + kept-rows output (phase C) — clear first:
     # write_parquet appends part files into an existing directory
-    labels_full = rd.read_parquet(label_files)
+    labels_full = rd.read_parquet(label_files, filesystem=labels_fs)
     final = finalize_keep(labels_full, drop_ref)
-    kept_dir = out / "kept"
-    if kept_dir.exists():
-        import shutil as _shutil
-
-        _shutil.rmtree(kept_dir)
+    kept_dir = posixpath.join(out, "kept")
+    _fs, _p, _ = ckpt._fs_for(kept_dir)
+    ckpt._rmtree(_fs, _p)
     kept_cols = list(dict.fromkeys([*cfg.key_cols, "lang", "sha256", "content_scrubbed"]))
 
     def project_kept(b: pa.Table) -> pa.Table:
@@ -515,12 +521,14 @@ def run(
 
     final.map_batches(
         project_kept, batch_format="pyarrow", zero_copy_batch=True
-    ).write_parquet(str(kept_dir))
+    ).write_parquet(kept_dir)
 
     # metrics (per-rule counts + dedup accounting)
     metrics = metrics_from_labels(
         rd.read_parquet(
-            label_files, columns=[f"fail_{n}" for n in rule_names]
+            label_files,
+            columns=[f"fail_{n}" for n in rule_names],
+            filesystem=labels_fs,
         ),
         rule_names,
     )
@@ -528,9 +536,12 @@ def run(
 
     n_total = int(pc.sum(metrics["total_records"]).as_py() or 0) // max(len(rule_names), 1)
     n_dropped_dup = len(drops)
-    pq.write_table(metrics, out / "metrics.parquet")
+    _mfs, _mp, _ = ckpt._fs_for(posixpath.join(out, "metrics.parquet"))
+    pq.write_table(metrics, _mp, filesystem=_mfs)
 
-    kept_count = rd.read_parquet(str(kept_dir)).count() if any(kept_dir.glob("*")) else 0
+    kept_count = (
+        rd.read_parquet(kept_dir).count() if ckpt.list_files(kept_dir) else 0
+    )
     summary = {
         "shards": stats,
         "total_rows": n_total,
