@@ -83,6 +83,43 @@ def _q_date_format(sf_dir: str) -> pa.Table:
     return _counts_table(report, ["df"])
 
 
+_DOMAINS = np.array(["example.com", "test.org", "corp.net", "bad.biz"])
+
+
+def _q_enum_domain(sf_dir: str) -> pa.Table:
+    """ENUM extract_domain mode (email-domain allowlist, reference
+    SUBSTRING_INDEX(col,'@',-1) semantics) over a derived email column;
+    every 10th row NULL (NULL passes ENUM)."""
+    from validatelite_ray.engine.engine import RuleEngine
+    from validatelite_ray.rules.spec import RuleSpec
+    from validatelite_ray.rules.types import RuleType
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"]).astype(np.int64)
+        emails = np.char.add(
+            np.char.add(np.char.add("user", ids.astype("U12")), "@"),
+            _DOMAINS[ids % 4],
+        )
+        return pa.table(
+            {"email": pa.array(emails.tolist(), pa.string(), mask=(ids % 10 == 0))}
+        )
+
+    derived = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    rule = RuleSpec(
+        RuleType.ENUM,
+        "email",
+        {
+            "allowed_values": ["example.com", "test.org", "corp.net"],
+            "extract_domain": True,
+        },
+        name="dom",
+    )
+    report = RuleEngine([rule]).execute(derived)
+    return _counts_table(report, ["dom"])
+
+
 def _q_agg_lineitem(sf_dir: str) -> pa.Table:
     """TPC-H Q1-style grouped aggregate with exact integer accumulators."""
     from ray.data.aggregate import Count, Sum
@@ -206,6 +243,26 @@ def _q_window_events(sf_dir: str):
     )
 
 
+def _q_session_windows(sf_dir: str):
+    """Per-user session windows (30-min gap): gaps-and-islands via
+    groupby(user).map_groups; oracle is the classic lag/cumsum SQL."""
+    from validatelite_ray.stages.windows import session_windows
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return session_windows(ds, key_col="user_id", gap_us=1_800_000_000)
+
+
+def _q_sliding_windows(sf_dir: str):
+    """2h windows sliding by 1h over events: vectorized replication
+    into covering windows, then one groupby."""
+    from validatelite_ray.stages.windows import sliding_window_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return sliding_window_agg(
+        ds, key_col="event_type", window_us=7_200_000_000, step_us=3_600_000_000
+    )
+
+
 def _q_dedup_minhash(sf_dir: str):
     """MinHash-LSH near-dup clusters (not SQL-expressible — rows-only)."""
     from validatelite_ray.stages.dedup import dedup_minhash_lsh
@@ -255,6 +312,15 @@ def _q_dedup_embedding(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return dedup_embedding_cosine(ds, threshold=0.45)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    """Exact 3-gram Jaccard near-dup pairs at tau=0.5 (inverted-index
+    self-join; oracle-verified — the only near-dup metric that is)."""
+    from validatelite_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.5)
 
 
 def _q_dedup_embedding_lsh(sf_dir: str):
@@ -377,6 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "documents", ["source"], [S.regex("source", r"^src[0-9]$", name="rx")]
         ),
         "rule_date_format_derived": _q_date_format,
+        "rule_enum_domain_derived": _q_enum_domain,
         "rule_unique_events": _rule_query(
             "events", ["user_id"], [S.unique("user_id", name="u")]
         ),
@@ -400,8 +467,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "agg_lineitem_pricing": _q_agg_lineitem,
         "agg_events_window": _q_window_events,
+        "agg_events_session": _q_session_windows,
+        "agg_events_sliding": _q_sliding_windows,
         "dedup_exact_documents": _q_dedup_exact,
         "dedup_minhash_documents": _q_dedup_minhash,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "dedup_simhash_documents": _q_dedup_simhash,
         "ann_topk_embeddings": _q_ann_topk,
         "dedup_embedding_cosine": _q_dedup_embedding,
@@ -448,6 +518,19 @@ def oracle_sql() -> dict[str, str]:
             )
             + " FROM t"
         ),
+        "rule_enum_domain_derived": (
+            "WITH t AS (SELECT CASE WHEN doc_id % 10 = 0 THEN NULL "
+            "ELSE 'user' || doc_id || '@' || "
+            "CASE doc_id % 4 WHEN 0 THEN 'example.com' WHEN 1 THEN 'test.org' "
+            "WHEN 2 THEN 'corp.net' ELSE 'bad.biz' END END AS email "
+            "FROM documents) "
+            + head
+            + fail.format(
+                cond="email IS NOT NULL AND split_part(email, '@', 2) "
+                "NOT IN ('example.com', 'test.org', 'corp.net')"
+            )
+            + " FROM t"
+        ),
         "rule_unique_events": (
             "SELECT (SELECT count(*) FROM events) AS total_records, "
             "CAST(coalesce((SELECT sum(c - 1) FROM ("
@@ -487,8 +570,49 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
             "FROM events GROUP BY event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT)"
         ),
+        "agg_events_session": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events "
+            "WHERE user_id IS NOT NULL), "
+            "x AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL "
+            "OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)), "
+            "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us "
+            "ROWS UNBOUNDED PRECEDING) AS session_id FROM x) "
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "count(*) AS n, min(ts_us) AS start_us, max(ts_us) AS end_us, "
+            "CAST(sum(cents) AS BIGINT) AS sum_cents "
+            "FROM s GROUP BY user_id, session_id"
+        ),
+        "agg_events_sliding": (
+            "SELECT event_type, "
+            "CAST(epoch_us(ts) // 3600000000 - o.k AS BIGINT) AS window, "
+            "count(*) AS n, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+            "FROM events CROSS JOIN (VALUES (0), (1)) AS o(k) "
+            "GROUP BY 1, 2"
+        ),
         "dedup_exact_documents": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "ngram_jaccard_pairs": (
+            # exact 3-token-shingle Jaccard >= 0.5 over all doc pairs;
+            # tokens = ASCII \\w+ on lowered text (same class the Ray
+            # tokenizer uses)
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[0-9a-z_]+') AS t FROM documents), "
+            "tok AS (SELECT doc_id, unnest(t) AS w, "
+            "generate_subscripts(t, 1) AS i FROM toks), "
+            "sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s "
+            "FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1 "
+            "JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT u, v FROM inter "
+            "JOIN sizes su ON su.doc_id = u JOIN sizes sv ON sv.doc_id = v "
+            "WHERE i >= 0.5 * (su.n + sv.n - i)"
         ),
         "dedup_embedding_cosine": (
             "SELECT e.vec_id FROM embeddings e WHERE NOT EXISTS ("

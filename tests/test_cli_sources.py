@@ -97,7 +97,7 @@ class TestSources:
             assert spec.table == name.split(".")[0]
 
     def test_unsupported(self, tmp_path):
-        p = tmp_path / "x.xlsx"
+        p = tmp_path / "x.xls"  # legacy BIFF: still unsupported (.xlsx is)
         p.write_text("x")
         with pytest.raises(SourceError):
             parse_source(str(p))
@@ -184,3 +184,21 @@ class TestCliFilter:
     def test_filter_missing_source(self):
         proc = run_cli(["filter", "/no/such", "--out", "/tmp/x"])
         assert proc.returncode == 3
+
+
+class TestCliVerbose:
+    def test_verbose_mode(self, csv_file):
+        proc = run_cli([
+            "check", str(csv_file), "--rule", "not_null(name)",
+            "--rule", "unique(email)", "--verbose", "--samples", "1",
+            "--num-cpus", "4",
+        ])
+        assert proc.returncode == 1
+        out = proc.stdout
+        assert "Results:" in out
+        assert "not_null(name): FAILED" in out
+        assert "Failure rate:" in out
+        assert "sample:" in out
+        assert "Plan: fused scan" in out            # per-rule physical plan
+        assert "Plan: hash shuffle" in out          # UNIQUE strategy shown
+        assert "Summary:" in out and "Processing time:" in out

@@ -189,3 +189,63 @@ def test_ann_ivf_recall_on_clustered_vectors(ray_session):
               for r in ann_topk_ivf(ds, q_ids, q, k=5, n_clusters=8, n_probe=2).to_pylist()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_ngram_jaccard_pairs_exact(ray_session, near_dup_docs):
+    """Exact shingle-Jaccard pairs: exact dup pair always found; the
+    near-dup of doc 0 found at a moderate threshold; unrelated docs
+    never paired."""
+    from validatelite_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds, docs = near_dup_docs
+    pairs = {
+        (r["u"], r["v"])
+        for r in ngram_jaccard_pairs(ds, threshold=0.5).take_all()
+    }
+    assert (0, 2) in pairs                      # exact duplicates
+    assert (0, 1) in pairs and (0, 5) in pairs  # near-dups of 0
+    assert all(u not in (3, 4) and v not in (3, 4) for u, v in pairs)
+
+    # threshold 1.0: only the exact duplicate pair survives
+    strict = {
+        (r["u"], r["v"])
+        for r in ngram_jaccard_pairs(ds, threshold=1.0).take_all()
+    }
+    assert strict == {(0, 2)}
+
+
+def test_ngram_jaccard_matches_bruteforce(ray_session):
+    """Distributed inverted-index result == brute-force shingle sets."""
+    import re
+
+    import ray.data as rd
+
+    rng_texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "alpha beta gamma delta epsilon zeta eta iota",   # near-dup of 0
+        2: "one two three four five six seven eight nine",
+        3: "one two three four five six seven eight ten",    # near-dup of 2
+        4: "totally unrelated content with different words entirely",
+    }
+    t = pa.table({"doc_id": list(rng_texts), "text": list(rng_texts.values())})
+
+    def sset(s):
+        toks = re.findall(r"[0-9a-z_]+", s.lower())
+        return {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    expected = set()
+    for u in rng_texts:
+        for v in rng_texts:
+            if u < v:
+                a, b = sset(rng_texts[u]), sset(rng_texts[v])
+                j = len(a & b) / len(a | b)
+                if j >= 0.4:
+                    expected.add((u, v))
+
+    from validatelite_ray.stages.dedup import ngram_jaccard_pairs
+
+    got = {
+        (r["u"], r["v"])
+        for r in ngram_jaccard_pairs(rd.from_arrow(t), threshold=0.4).take_all()
+    }
+    assert got == expected and expected  # non-trivial fixture

@@ -1,0 +1,146 @@
+"""Excel (.xlsx) source: stdlib zip/XML reader, multi-sheet tables,
+CLI integration. The fixture xlsx is hand-assembled (zip of minimal
+OOXML parts) since no Excel writer library ships in this environment —
+which is exactly why the reader is stdlib-only."""
+
+import zipfile
+
+import pytest
+
+from validatelite_ray.sources.excel import (
+    list_sheets,
+    open_excel_tables,
+    read_excel_sheet,
+)
+from validatelite_ray.sources.io import SourceError, open_source, parse_source
+
+_CT = """<?xml version="1.0"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+ <Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+ <Default Extension="xml" ContentType="application/xml"/>
+ <Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+</Types>"""
+
+_ROOT_RELS = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+_WORKBOOK = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets>
+  <sheet name="users" sheetId="1" r:id="rId1"/>
+  <sheet name="orders" sheetId="2" r:id="rId2"/>
+ </sheets>
+</workbook>"""
+
+_WB_RELS = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+ <Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+</Relationships>"""
+
+_SHARED = """<?xml version="1.0"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="5" uniqueCount="5">
+ <si><t>id</t></si><si><t>name</t></si><si><t>age</t></si>
+ <si><t>alice</t></si><si><t>bob</t></si>
+</sst>"""
+
+# users: header (id,name,age); rows: (1,alice,30), (2,<missing name>,25),
+# (3,bob,200.5)  — a null cell and a float that blocks int inference
+_SHEET1 = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1">
+   <c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c>
+  </row>
+  <row r="2"><c r="A2"><v>1</v></c><c r="B2" t="s"><v>3</v></c><c r="C2"><v>30</v></c></row>
+  <row r="3"><c r="A3"><v>2</v></c><c r="C3"><v>25</v></c></row>
+  <row r="4"><c r="A4"><v>3</v></c><c r="B4" t="s"><v>4</v></c><c r="C4"><v>200.5</v></c></row>
+ </sheetData>
+</worksheet>"""
+
+# orders: inline strings + booleans
+_SHEET2 = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1">
+   <c r="A1" t="inlineStr"><is><t>sku</t></is></c>
+   <c r="B1" t="inlineStr"><is><t>shipped</t></is></c>
+  </row>
+  <row r="2"><c r="A2" t="inlineStr"><is><t>widget</t></is></c><c r="B2" t="b"><v>1</v></c></row>
+  <row r="3"><c r="A3" t="inlineStr"><is><t>gadget</t></is></c><c r="B3" t="b"><v>0</v></c></row>
+ </sheetData>
+</worksheet>"""
+
+
+@pytest.fixture(scope="module")
+def xlsx_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("xlsx") / "book.xlsx"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("[Content_Types].xml", _CT)
+        zf.writestr("_rels/.rels", _ROOT_RELS)
+        zf.writestr("xl/workbook.xml", _WORKBOOK)
+        zf.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
+        zf.writestr("xl/sharedStrings.xml", _SHARED)
+        zf.writestr("xl/worksheets/sheet1.xml", _SHEET1)
+        zf.writestr("xl/worksheets/sheet2.xml", _SHEET2)
+    return str(p)
+
+
+def test_list_sheets(xlsx_file):
+    assert list_sheets(xlsx_file) == ["users", "orders"]
+
+
+def test_read_sheet_types_and_nulls(xlsx_file):
+    t = read_excel_sheet(xlsx_file, "users")
+    assert t.column_names == ["id", "name", "age"]
+    assert t["id"].to_pylist() == [1, 2, 3]
+    assert str(t.schema.field("id").type) == "int64"      # all integral
+    assert t["name"].to_pylist() == ["alice", None, "bob"]  # missing cell → NULL
+    assert t["age"].to_pylist() == [30.0, 25.0, 200.5]
+    assert str(t.schema.field("age").type) == "double"    # mixed → float
+
+
+def test_read_sheet_inline_and_bool(xlsx_file):
+    t = read_excel_sheet(xlsx_file, "orders")
+    assert t["sku"].to_pylist() == ["widget", "gadget"]
+    assert t["shipped"].to_pylist() == [True, False]
+
+
+def test_multi_sheet_tables(ray_session, xlsx_file):
+    tables = open_excel_tables(xlsx_file)
+    assert set(tables) == {"users", "orders"}
+    assert tables["users"].count() == 3
+    assert tables["orders"].count() == 2
+
+
+def test_open_source_dispatch(ray_session, xlsx_file):
+    spec = parse_source(xlsx_file)
+    assert spec.fmt == "excel"
+    ds = open_source(xlsx_file)
+    assert ds.count() == 3  # first sheet
+
+
+def test_unknown_sheet(xlsx_file):
+    with pytest.raises(SourceError, match="sheet 'ghost'"):
+        read_excel_sheet(xlsx_file, "ghost")
+
+
+def test_bad_zip(tmp_path):
+    p = tmp_path / "junk.xlsx"
+    p.write_bytes(b"not a zip")
+    with pytest.raises(SourceError):
+        list_sheets(str(p))
+
+
+def test_rules_over_excel(ray_session, xlsx_file):
+    from validatelite_ray.engine.engine import RuleEngine
+    from validatelite_ray.rules import spec as S
+
+    report = RuleEngine(
+        [S.not_null("name", name="nn"), S.value_range("age", 0, 120, name="rng")]
+    ).execute(open_source(xlsx_file))
+    assert report["nn"].failed_records == 1
+    assert report["rng"].failed_records == 1

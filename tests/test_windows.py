@@ -1,0 +1,97 @@
+"""Session and sliding window operators over event streams."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _events_table():
+    # user 1: events at 0s, 60s, 4000s (gap>1800s breaks) → two sessions
+    # user 2: single event; user None: dropped
+    us = 1_000_000
+    rows = [
+        (1, 0 * us, 1.0),
+        (1, 60 * us, 2.0),
+        (1, 4000 * us, 3.0),
+        (2, 50 * us, 10.0),
+        (None, 70 * us, 99.0),
+    ]
+    return pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def test_session_windows(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.windows import session_windows
+
+    out = session_windows(
+        rd.from_arrow(_events_table()), key_col="user_id", ts_col="ts",
+        value_col="value", gap_us=1_800_000_000,
+    ).take_all()
+    by = {(r["user_id"], r["session_id"]): r for r in out}
+    assert set(by) == {(1, 1), (1, 2), (2, 1)}
+    s11 = by[(1, 1)]
+    assert s11["n"] == 2 and s11["start_us"] == 0 and s11["end_us"] == 60_000_000
+    assert s11["sum_cents"] == 300
+    s12 = by[(1, 2)]
+    assert s12["n"] == 1 and s12["sum_cents"] == 300
+    assert by[(2, 1)]["sum_cents"] == 1000
+
+
+def test_session_windows_tie_timestamps(ray_session):
+    """Equal timestamps for one user never split a session and the
+    result is deterministic regardless of input order."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.windows import session_windows
+
+    t = pa.table(
+        {
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+            "ts": pa.array([100, 100, 100], pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    out = session_windows(rd.from_arrow(t)).take_all()
+    assert len(out) == 1
+    assert out[0]["n"] == 3 and out[0]["sum_cents"] == 600
+
+
+def test_sliding_window_agg(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.windows import sliding_window_agg
+
+    hour_us = 3_600_000_000
+    t = pa.table(
+        {
+            "event_type": pa.array(["a", "a", "b"], pa.string()),
+            # a: events in hours 0 and 1; b: hour 0
+            "ts": pa.array([0, hour_us, 10], pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 5.0], pa.float64()),
+        }
+    )
+    out = sliding_window_agg(
+        rd.from_arrow(t), window_us=2 * hour_us, step_us=hour_us
+    ).take_all()
+    by = {(r["event_type"], r["window"]): r for r in out}
+    # 2h windows: window w covers hours [w, w+1]
+    assert by[("a", 0)]["n"] == 2 and by[("a", 0)]["sum_cents"] == 300
+    assert by[("a", 1)]["n"] == 1 and by[("a", 1)]["sum_cents"] == 200
+    assert by[("a", -1)]["n"] == 1  # hour-0 event also in the window starting at -1
+    assert by[("b", 0)]["n"] == 1 and by[("b", 0)]["sum_cents"] == 500
+
+
+def test_sliding_window_rejects_bad_step(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.windows import sliding_window_agg
+
+    with pytest.raises(ValueError):
+        sliding_window_agg(rd.from_arrow(_events_table()), window_us=5, step_us=2)

@@ -55,6 +55,61 @@ def _render_table(report, samples) -> str:
     return "\n".join(lines)
 
 
+#: rule_type → one-line physical-plan description (the verbose mode's
+#: analogue of the reference's per-rule SQL display: here there is no
+#: SQL — rules compile to Arrow kernels in one fused scan)
+_PLAN_BY_TYPE = {
+    "NOT_NULL": "fused scan: pc.is_null mask",
+    "LENGTH": "fused scan: utf8_length range mask",
+    "RANGE": "fused scan: numeric/cast range mask",
+    "ENUM": "fused scan: is_in value-set mask",
+    "REGEX": "fused scan: RE2 match_substring_regex mask",
+    "DATE_FORMAT": "fused scan: strptime round-trip mask",
+    "UNIQUE": "hash shuffle: pre-aggregated (key,count) -> sum(count-1)",
+    "SCHEMA": "metadata only: pyarrow schema introspection, no scan",
+}
+
+
+def _render_verbose(report, samples) -> str:
+    """Reference verbose shape (cli/core/output_formatter.py:183-313):
+    per-rule status line + failure rate + samples + per-rule timing,
+    closed by an overall summary — plus this engine's physical-plan
+    line per rule in place of the reference's generated SQL."""
+    lines = ["Results:"]
+    for r in report:
+        desc = (
+            f"{r.rule_type.lower()}({r.column})" if r.column else r.rule_name
+        )
+        if r.status == "PASSED":
+            lines.append(f"[ok] {desc}: PASSED (0 failures)")
+        elif r.status == "FAILED":
+            rate = 100.0 * r.failed_records / max(r.total_records, 1)
+            lines.append(f"[x] {desc}: FAILED ({r.failed_records} failures)")
+            lines.append(
+                f"  | Failure rate: {rate:.2f}% "
+                f"({r.failed_records} out of {r.total_records:,})"
+            )
+            for row in (samples or {}).get(r.rule_id, [])[:5]:
+                lines.append(f"  | sample: {json.dumps(row, default=str)[:160]}")
+        else:
+            lines.append(f"[!] {desc}: {r.status}")
+            if r.message:
+                lines.append(f"  | {r.status.title()}: {r.message}")
+        plan = _PLAN_BY_TYPE.get(r.rule_type)
+        if plan:
+            lines.append(f"  | Plan: {plan} [rule: {r.rule_name}]")
+        if r.execution_time_s:
+            lines.append(f"  | Performance: {r.execution_time_s:.2f}s")
+    s = report.summary()
+    denom = max(s["total_rules"] - s["skipped_rules"], 1)
+    lines.append(
+        f"\nSummary: {s['passed_rules']} passed, {s['failed_rules']} failed "
+        f"({100.0 * s['failed_rules'] / denom:.2f}% overall rule failure rate)"
+    )
+    lines.append(f"Processing time: {s['execution_time_s']:.2f}s")
+    return "\n".join(lines)
+
+
 def _schema_command(args) -> int:
     """``vlray schema payload.json --table users=users.csv ...`` —
     reference exit-code contract: 0 all pass, 1 any FAILED."""
@@ -202,6 +257,9 @@ def main(argv: list[str] | None = None) -> int:
                        help="emit the JSON report payload")
     check.add_argument("--quiet", action="store_true",
                        help="summary line only (reference 'quiet' mode)")
+    check.add_argument("--verbose", action="store_true",
+                       help="per-rule detail: failure rates, samples, "
+                            "physical plan, timings (reference 'verbose' mode)")
     check.add_argument("--samples", type=int, default=0,
                        help="collect up to N failing sample rows per rule")
     check.add_argument("--num-cpus", type=int, default=None)
@@ -314,6 +372,8 @@ def main(argv: list[str] | None = None) -> int:
                 f"{s['failed_rules']} failed, {s['error_rules']} error; "
                 f"{s['total_failed_records']} failing records"
             )
+        elif args.verbose:
+            print(_render_verbose(report, samples))
         else:
             print(_render_table(report, samples))
         return EXIT_OK if report.passed else EXIT_RULE_FAILURES

@@ -14,13 +14,15 @@ Input: Parquet table (repo, path, commit, lang, content). Stages:
    validatelite_ray.pipelines.checkpoint). This is the checkpoint: a
    killed run redoes only missing shards.
 4. ``dedup`` — global exact dedup on sha256 over the labels output:
-   winner = lexical min uid among rule-passing rows per hash. Two
-   physical strategies (stages/dedup.py): slim Min-aggregate +
-   broadcast winner filter (full rows never shuffle; the default for
-   the streaming path), or a full hash shuffle with optional salting
-   when the winner set exceeds memory. The checkpointed ``run`` path
-   instead broadcasts the much smaller *drop list* (passing
-   non-winners) so per-row keep/is_duplicate labels can be emitted.
+   winner = lexical min uid among rule-passing rows per hash. Decisions
+   are made on a SLIM column-pruned read (``dedup_decisions``: drop
+   pairs + tied winner pairs, O(#duplicated hashes) driver state), then
+   the wide columns are filtered in ONE pass; only rows of tied
+   (value-identical) pairs detour through a group-wise keep-first. The
+   checkpointed ``run`` path broadcasts the same drop list to emit
+   per-row keep/is_duplicate labels. ``stages/dedup.py`` keeps the
+   generic operator (full shuffle, salted two-phase, dup-only
+   broadcast) for standalone use.
 5. ``metrics`` — per-rule (total, failed) aggregated from the labels
    output exactly like ValidateLite's result records, plus per-shard
    lineage manifests carrying each shard's rule counts.
@@ -245,19 +247,27 @@ def fused_label(
     )
 
 
-def compute_drop_list(labels_ds) -> pa.Array:
-    """(sha256, uid) pair keys — ``sha256 + UID_SEP + uid`` strings — of
-    rule-passing rows that LOSE exact dedup (non-winners).
+def dedup_decisions(labels_ds) -> tuple[pa.Array, pa.Array]:
+    """→ (drop_pairs, tied_pairs): everything the kept-rows pass needs,
+    decided from SLIM columns only (sha256, uid, keep_rules); the wide
+    rows are then filtered in a SINGLE pass (round-1 verdict: job 2 of
+    the streaming path re-read the wide labels output three times).
 
-    Fully vectorized: shuffle only the slim (sha256, uid) pairs of
-    passing rows through a ``Min``/``Count`` aggregate; hashes with
-    count > 1 (the duplicated minority) come back to the driver as a
-    winner map, and a second slim pass emits passing non-winner uids.
-    Winner = lexical min uid per sha256.
+    * ``drop_pairs`` — ``sha256 + UID_SEP + uid`` keys of passing rows
+      that LOSE exact dedup (non-winners of a duplicated hash);
+    * ``tied_pairs`` — winner pairs occurring on MORE than one row
+      (value-identical re-ingested rows): indistinguishable by any
+      per-row value filter, so their rows go through a (tiny)
+      group-wise keep-first instead. Normally empty.
+
+    Winner = lexical min uid per sha256 (pair-keyed membership per the
+    round-1 ADVICE — order values collide across groups). Both outputs
+    are O(#duplicated hashes), never O(corpus).
     """
     import ray
     from ray.data.aggregate import Count, Min
 
+    empty = pa.array([], pa.string())
     pairs = labels_ds.map_batches(
         lambda b: b.filter(pc.equal(b["keep_rules"], True)).select(["sha256", "uid"]),
         batch_format="pyarrow",
@@ -272,31 +282,38 @@ def compute_drop_list(labels_ds) -> pa.Array:
         zero_copy_batch=True,
     ).take_all()
     if not dup_rows:
-        return pa.array([], pa.string())
+        return empty, empty
     dup_shas = pa.array([r["sha256"] for r in dup_rows], pa.string())
-    # winner membership must be tested on the (sha256, uid) PAIR — a
-    # loser whose uid happens to equal another group's winner uid must
-    # still be dropped (round-1 ADVICE). NOTE: if the same (sha256, uid)
-    # pair appears on multiple rows (a literally re-ingested row), the
-    # tied rows are indistinguishable by value and are all kept here;
-    # the kept-rows output resolves such ties via dedup_exact instead.
     winner_pairs = pa.array(
-        [f"{r['sha256']}{UID_SEP}{r['winner']}" for r in dup_rows], pa.string()
+        sorted(f"{r['sha256']}{UID_SEP}{r['winner']}" for r in dup_rows), pa.string()
     )
     ref = ray.put((dup_shas, winner_pairs))
 
-    def losers(b: pa.Table) -> pa.Table:
-        shas, pairs = ray.get(ref)
-        in_dup = pc.is_in(b["sha256"], value_set=shas)
+    def tag(b: pa.Table) -> pa.Table:
+        """One slim pass over the duplicated-hash rows: emit each row's
+        pair key tagged loser / winner-candidate."""
+        shas, wpairs = ray.get(ref)
+        b = b.filter(pc.is_in(b["sha256"], value_set=shas))
         pair = pc.binary_join_element_wise(b["sha256"], b["uid"], UID_SEP)
-        not_winner = pc.invert(pc.is_in(pair, value_set=pairs))
-        return pa.table(
-            {"pair": pc.binary_join_element_wise(b["sha256"], b["uid"], UID_SEP)}
-        ).filter(pc.and_(in_dup, not_winner))
+        is_winner = pc.is_in(pair, value_set=wpairs)
+        return pa.table({"pair": pair, "is_winner": is_winner})
 
-    dropped = pairs.map_batches(losers, batch_format="pyarrow", zero_copy_batch=True)
-    out = [r["pair"] for r in dropped.take_all()]
-    return pa.array(sorted(out), pa.string())
+    tagged = pairs.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    rows = (
+        tagged.groupby(["pair", "is_winner"])
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    drop = sorted(r["pair"] for r in rows if not r["is_winner"])
+    tied = sorted(r["pair"] for r in rows if r["is_winner"] and r["n"] > 1)
+    return pa.array(drop, pa.string()), pa.array(tied, pa.string())
+
+
+def compute_drop_list(labels_ds) -> pa.Array:
+    """Pair keys of passing rows that LOSE exact dedup — see
+    ``dedup_decisions`` (this is its first component; kept as the
+    stable surface for the checkpointed run and tests)."""
+    return dedup_decisions(labels_ds)[0]
 
 
 def finalize_keep(labels_ds, drop_ref):
@@ -383,7 +400,6 @@ def run_streaming(
     import ray
     import ray.data as rd
 
-    from validatelite_ray.stages.dedup import dedup_exact
 
     cfg = cfg or QualityFilterConfig()
     out = str(out_dir)
@@ -404,20 +420,47 @@ def run_streaming(
         dict.fromkeys([*cfg.key_cols, "lang", "sha256", "uid", "content_scrubbed"])
     )
 
-    # job 2: dedup + kept output in ONE shuffle — rule-passing rows only,
-    # groupby(sha256) keep-first (lexical min uid), written directly
-    passing = rd.read_parquet(
-        label_files, columns=kept_cols + ["keep_rules"], filesystem=labels_fs
-    ).map_batches(
-        lambda b: b.filter(pc.equal(b["keep_rules"], True)).drop_columns(
-            ["keep_rules"]
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    # job 2a (slim): decide dedup on (sha256, uid, keep_rules) only —
+    # drop pairs + tied winner pairs, O(#duplicated hashes)
+    slim = rd.read_parquet(
+        label_files, columns=["sha256", "uid", "keep_rules"], filesystem=labels_fs
     )
-    dedup_exact(
-        passing, key="sha256", order_col="uid", strategy="broadcast"
-    ).write_parquet(kept_dir)
+    drop_pairs, tied_pairs = dedup_decisions(slim)
+    decisions_ref = ray.put((drop_pairs, tied_pairs))
+
+    # job 2b (wide): ONE pass over the wide columns — filter losers,
+    # write kept rows; only rows of tied pairs (normally none) detour
+    # through a group-wise keep-first
+    def kept_filter(b: pa.Table, want_tied: bool) -> pa.Table:
+        drops, tied = ray.get(decisions_ref)
+        b = b.filter(pc.equal(b["keep_rules"], True)).drop_columns(["keep_rules"])
+        pair = pc.binary_join_element_wise(b["sha256"], b["uid"], UID_SEP)
+        if want_tied:
+            return b.filter(pc.is_in(pair, value_set=tied))
+        mask = pc.invert(pc.is_in(pair, value_set=drops)) if len(drops) else None
+        if len(tied):
+            not_tied = pc.invert(pc.is_in(pair, value_set=tied))
+            mask = not_tied if mask is None else pc.and_(mask, not_tied)
+        return b.filter(mask) if mask is not None else b
+
+    wide = rd.read_parquet(
+        label_files, columns=kept_cols + ["keep_rules"], filesystem=labels_fs
+    )
+    kept = wide.map_batches(
+        lambda b: kept_filter(b, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    if len(tied_pairs):
+        tied_resolved = (
+            wide.map_batches(
+                lambda b: kept_filter(b, True),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .groupby("sha256")
+            .map_groups(lambda g: g.head(1), batch_format="pandas")
+        )
+        kept = kept.union(tied_resolved)
+    kept.write_parquet(kept_dir)
 
     # job 3 (tiny): per-rule metrics + passing count from bool columns only
     metrics = metrics_from_labels(

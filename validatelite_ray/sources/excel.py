@@ -1,0 +1,192 @@
+"""Excel (.xlsx) source — multi-sheet = multi-table, like the reference
+(cli/core/source_parser.py:98-152 sheet discovery;
+cli/core/data_validator.py:392-551 per-sheet load).
+
+No Excel library ships in this environment, and none is needed for the
+read path: an .xlsx file is a zip of XML parts. This reader uses only
+the stdlib (zipfile + ElementTree) to parse ``xl/workbook.xml`` (sheet
+names), ``xl/sharedStrings.xml`` and each worksheet's cell XML. The
+first row is the header (pandas ``read_excel`` default the reference
+relies on); missing cells are NULL; per-column types are inferred
+(int64 if every value is integral, float64 if numeric, else string).
+
+Scale note: Excel is a driver-side, small-file format by nature — the
+parsed table enters Ray via ``ray.data.from_arrow``. (The reference
+stages it into SQLite row by row; at 10^12-file corpus scale Excel is
+not an input format, this exists for CLI surface parity.)
+
+Known limitation vs pandas: date-styled numeric cells surface as their
+raw Excel serial numbers (style-table date detection is not
+implemented); validate such columns as numbers or pre-convert.
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+from xml.etree import ElementTree
+
+import pyarrow as pa
+
+from validatelite_ray.sources.io import SourceError
+
+_NS = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+_REL_NS = {
+    "r": "http://schemas.openxmlformats.org/package/2006/relationships",
+}
+_RID_ATTR = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+)
+
+
+def _sheet_targets(zf: zipfile.ZipFile) -> dict[str, str]:
+    """sheet name → worksheet zip path, in workbook order."""
+    wb = ElementTree.fromstring(zf.read("xl/workbook.xml"))
+    rels = ElementTree.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    by_rid = {
+        rel.get("Id"): rel.get("Target")
+        for rel in rels.findall("r:Relationship", _REL_NS)
+    }
+    out: dict[str, str] = {}
+    for sheet in wb.findall("m:sheets/m:sheet", _NS):
+        target = by_rid.get(sheet.get(_RID_ATTR), "")
+        if target.startswith("/"):
+            target = target.lstrip("/")
+        elif not target.startswith("xl/"):
+            target = "xl/" + target
+        out[sheet.get("name")] = target
+    return out
+
+
+def list_sheets(path: str) -> list[str]:
+    try:
+        with zipfile.ZipFile(path) as zf:
+            return list(_sheet_targets(zf))
+    except (OSError, zipfile.BadZipFile, KeyError) as exc:
+        raise SourceError(f"cannot read xlsx {path!r}: {exc}") from exc
+
+
+def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    try:
+        root = ElementTree.fromstring(zf.read("xl/sharedStrings.xml"))
+    except KeyError:
+        return []
+    out = []
+    for si in root.findall("m:si", _NS):
+        out.append("".join(t.text or "" for t in si.iter(f"{{{_NS['m']}}}t")))
+    return out
+
+
+_COL_RE = re.compile(r"([A-Z]+)[0-9]+$")
+
+
+def _col_index(ref: str) -> int:
+    m = _COL_RE.match(ref or "")
+    if not m:
+        return -1
+    idx = 0
+    for ch in m.group(1):
+        idx = idx * 26 + (ord(ch) - 64)
+    return idx - 1
+
+
+def _cell_value(cell, shared: list[str]):
+    t = cell.get("t", "n")
+    v = cell.find("m:v", _NS)
+    if t == "inlineStr":
+        is_el = cell.find("m:is", _NS)
+        if is_el is None:
+            return None
+        return "".join(x.text or "" for x in is_el.iter(f"{{{_NS['m']}}}t"))
+    if v is None or v.text is None:
+        return None
+    if t == "s":
+        return shared[int(v.text)]
+    if t == "b":
+        return v.text == "1"
+    if t in ("str", "e"):
+        return v.text
+    try:  # numeric
+        f = float(v.text)
+        return f
+    except ValueError:
+        return v.text
+
+
+def _rows(zf: zipfile.ZipFile, target: str, shared: list[str]):
+    root = ElementTree.fromstring(zf.read(target))
+    for row in root.findall("m:sheetData/m:row", _NS):
+        cells: dict[int, object] = {}
+        for cell in row.findall("m:c", _NS):
+            idx = _col_index(cell.get("r", ""))
+            if idx >= 0:
+                cells[idx] = _cell_value(cell, shared)
+        yield cells
+
+
+def read_excel_sheet(path: str, sheet: str) -> pa.Table:
+    """One worksheet → Arrow table (header row = column names)."""
+    try:
+        with zipfile.ZipFile(path) as zf:
+            targets = _sheet_targets(zf)
+            if sheet not in targets:
+                raise SourceError(
+                    f"sheet {sheet!r} not in {path!r} (have: {list(targets)})"
+                )
+            shared = _shared_strings(zf)
+            rows = list(_rows(zf, targets[sheet], shared))
+    except (OSError, zipfile.BadZipFile, KeyError) as exc:
+        raise SourceError(f"cannot read xlsx {path!r}: {exc}") from exc
+    if not rows:
+        raise SourceError(f"sheet {sheet!r} in {path!r} is empty")
+    header_cells = rows[0]
+    n_cols = max(header_cells) + 1 if header_cells else 0
+    names = [
+        str(header_cells.get(i, f"col_{i}")) for i in range(n_cols)
+    ]
+    cols: list[list] = [[] for _ in range(n_cols)]
+    for cells in rows[1:]:
+        for i in range(n_cols):
+            cols[i].append(cells.get(i))
+    arrays = []
+    for vals in cols:
+        present = [v for v in vals if v is not None]
+        if present and all(isinstance(v, float) for v in present):
+            if all(v.is_integer() for v in present):
+                arrays.append(
+                    pa.array(
+                        [None if v is None else int(v) for v in vals], pa.int64()
+                    )
+                )
+            else:
+                arrays.append(pa.array(vals, pa.float64()))
+        elif present and all(isinstance(v, bool) for v in present):
+            arrays.append(pa.array(vals, pa.bool_()))
+        else:
+            arrays.append(
+                pa.array(
+                    [None if v is None else str(v) for v in vals], pa.string()
+                )
+            )
+    return pa.Table.from_arrays(arrays, names=names)
+
+
+def open_excel_source(path: str, sheet: str | None = None):
+    """.xlsx → Dataset (one sheet). ``sheet=None`` uses the first."""
+    import ray.data as rd
+
+    sheets = list_sheets(path)
+    if not sheets:
+        raise SourceError(f"{path!r} contains no sheets")
+    return rd.from_arrow(read_excel_sheet(path, sheet or sheets[0]))
+
+
+def open_excel_tables(path: str) -> dict[str, "ray.data.Dataset"]:  # noqa: F821
+    """Every sheet as its own table (the reference's multi-sheet =
+    multi-table mapping for the schema command)."""
+    import ray.data as rd
+
+    return {
+        name: rd.from_arrow(read_excel_sheet(path, name))
+        for name in list_sheets(path)
+    }

@@ -7,8 +7,9 @@ here every format reads *directly* into Arrow blocks with
 
 ``parse_source`` mirrors the reference CLI's source-string grammar
 (cli/core/source_parser.py:55-178): a path ending in .csv/.tsv/.json/
-.jsonl/.parquet (or a directory of parquet) — database URLs are out of
-scope for the Ray build (the corpus source is Parquet).
+.jsonl/.parquet/.xlsx (or a directory of parquet). Database URLs are
+handled by validatelite_ray.sources.db; Excel multi-sheet tables by
+validatelite_ray.sources.excel.
 """
 
 from __future__ import annotations
@@ -36,6 +37,7 @@ _SUFFIXES = {
     ".ndjson": "jsonl",
     ".parquet": "parquet",
     ".pq": "parquet",
+    ".xlsx": "excel",
 }
 
 
@@ -78,6 +80,10 @@ def open_source(source: str | SourceSpec, columns: list[str] | None = None):
         )
     elif spec.fmt in ("json", "jsonl"):
         ds = rd.read_json(spec.path)
+    elif spec.fmt == "excel":
+        from validatelite_ray.sources.excel import open_excel_source
+
+        ds = open_excel_source(spec.path)
     else:  # pragma: no cover
         raise SourceError(f"unhandled format {spec.fmt}")
     return ds.select_columns(columns) if columns else ds

@@ -257,6 +257,17 @@ class MinHasher:
         self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
         self.rows_per_band = num_perm // bands
 
+    def signature(self, text: str) -> np.ndarray | None:
+        """Single-document signature (convenience wrapper over the
+        vectorized batch path; None when the doc has no shingles)."""
+        sh, _ = _doc_shingle_hashes(pa.array([text], pa.string()), self.k)
+        if sh.size == 0:
+            return None
+        return np.array(
+            [((self.a[p] * sh + self.b[p]) % _MERSENNE).min() for p in range(self.num_perm)],
+            dtype=np.uint64,
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         sh, sh_doc = _doc_shingle_hashes(batch[self.text_col], self.k)
         empty = pa.table(
@@ -464,6 +475,101 @@ def dedup_minhash_lsh(
     return out.reset_index(drop=True)
 
 
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",  # noqa: F821
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> "ray.data.Dataset":  # noqa: F821
+    """ALL document pairs with k-token-shingle Jaccard ≥ ``threshold``
+    — the exact n-gram-Jaccard near-dup metric (SQL-expressible, unlike
+    the MinHash sketch, so this operator is oracle-verified end to end).
+
+    Distributed as an inverted-index self-join:
+
+    1. per doc: unique shingle hashes (the vectorized tokenize/hash
+       pipeline shared with MinHash; 64-bit hashes stand in for the
+       shingle strings — collision probability ~n²/2⁶⁵, negligible);
+    2. ``groupby(shingle)`` emits co-occurrence pairs (u < v) per
+       posting list — the all-to-all exchange; a shingle shared by m
+       docs yields m(m-1)/2 rows, so extremely common shingles are the
+       skew/quadratic hazard (that is inherent to the exact metric —
+       use MinHash-LSH when approximation is acceptable);
+    3. each posting row CARRIES its doc's set size (computed inside the
+       batch — a doc's shingles never span batches), so pair rows
+       arrive with (u, v, nu, nv) and ``groupby`` + Count yields the
+       intersection; the Jaccard test is a stateless filter. No driver
+       state, no broadcast — fully distributed.
+
+    Returns a Dataset (u, v).
+    """
+
+    def doc_shingles(b: pa.Table) -> pa.Table:
+        sh, sh_doc = _doc_shingle_hashes(b[text_col], k)
+        ids_np = np.asarray(b[id_col], dtype=np.int64)
+        if sh.size == 0:
+            return pa.table(
+                {"sh": pa.array([], pa.int64()), "doc": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        # unique (doc, shingle): sh_doc is nondecreasing
+        order = np.lexsort((sh, sh_doc))
+        d, h = sh_doc[order], sh[order]
+        keep = np.ones(d.size, bool)
+        keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        d, h = d[keep], h[keep]
+        set_sizes = np.bincount(d, minlength=len(ids_np))  # per-LOCAL-doc
+        return pa.table(
+            {
+                "sh": pa.array(h.view(np.int64)),
+                "doc": pa.array(ids_np[d]),
+                "n": pa.array(set_sizes[d]),
+            }
+        )
+
+    shingles = ds.map_batches(
+        doc_shingles, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    from ray.data.aggregate import Count
+
+    def cooccur(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc", kind="mergesort")
+        docs = g["doc"].to_numpy()
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype=np.int64) for c in ("u", "v", "nu", "nv")}
+        )
+        if docs.size < 2:
+            return empty
+        sizes = g["n"].to_numpy()
+        iu, iv = np.triu_indices(docs.size, k=1)
+        return pd.DataFrame(
+            {"u": docs[iu], "v": docs[iv], "nu": sizes[iu], "nv": sizes[iv]}
+        )
+
+    pairs = (
+        shingles.groupby("sh")
+        .map_groups(cooccur, batch_format="pandas")
+        .groupby(["u", "v", "nu", "nv"])  # nu/nv are functions of u/v
+        .aggregate(Count(alias_name="inter"))
+    )
+
+    def jaccard_filter(b: pa.Table) -> pa.Table:
+        inter = np.asarray(b["inter"], dtype=np.int64)
+        union = (
+            np.asarray(b["nu"], dtype=np.int64)
+            + np.asarray(b["nv"], dtype=np.int64)
+            - inter
+        )
+        mask = pa.array((union > 0) & (inter >= threshold * union))
+        return b.select(["u", "v"]).filter(mask)
+
+    return pairs.map_batches(
+        jaccard_filter, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dedup
 # ---------------------------------------------------------------------------
@@ -512,6 +618,10 @@ class SimHasher:
             sim |= (2 * votes > counts).astype(np.uint64) << np.uint64(b)
         out[present] = sim
         return out
+
+    def simhash(self, text: str) -> int:
+        """Single-document simhash (wrapper over the batch path)."""
+        return int(self._simhash_batch(pa.array([text], pa.string()))[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sh = self._simhash_batch(batch[self.text_col])

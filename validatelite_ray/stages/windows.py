@@ -1,0 +1,120 @@
+"""Event-time windowing beyond tumbling (SURVEY §2.11).
+
+Ray Data has no built-in event-time windows; these express the three
+standard shapes on the Dataset API:
+
+* tumbling — a groupby on the floored timestamp (``__ray_entry__``'s
+  ``agg_events_window``);
+* sliding — each event is replicated into the ``window/step`` windows
+  that cover it (vectorized per batch), then one groupby; data volume
+  multiplies by window/step, which is the honest cost of exact sliding
+  aggregates at scale;
+* session — gaps-and-islands per key: ``groupby(key).map_groups``
+  colocates a key's events, a vectorized diff over sorted timestamps
+  breaks sessions on ``gap_us``. Partitioning assumption: one key's
+  events fit a worker (a hot key with millions of events needs
+  pre-splitting by coarse time range first — same caveat as any
+  per-key session assignment).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def session_windows(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_us: int = 1_800_000_000,  # 30 min
+):
+    """Per-key session aggregates (n, start_us, end_us, sum_cents).
+
+    A session breaks when the gap between consecutive events of one key
+    exceeds ``gap_us``; ``session_id`` numbers a key's sessions in time
+    order starting at 1. NULL keys are dropped (the reference's NOT_NULL
+    convention for grouping columns).
+    """
+
+    def slim(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[key_col]))
+        return pa.table(
+            {
+                key_col: b[key_col],
+                "ts_us": pc.cast(b[ts_col], pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b[value_col], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts_us", kind="mergesort")
+        ts = g["ts_us"].to_numpy()
+        brk = np.ones(len(ts), dtype=np.int64)
+        brk[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(brk)
+        out = g.assign(session_id=sid).groupby("session_id", sort=True).agg(
+            n=("ts_us", "size"),
+            start_us=("ts_us", "min"),
+            end_us=("ts_us", "max"),
+            sum_cents=("cents", "sum"),
+        )
+        out = out.reset_index()
+        out.insert(0, key_col, g[key_col].iloc[0])
+        return out
+
+    return (
+        ds.map_batches(slim, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .map_groups(sessionize, batch_format="pandas")
+    )
+
+
+def sliding_window_agg(
+    ds,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_us: int = 7_200_000_000,  # 2 h
+    step_us: int = 3_600_000_000,    # 1 h
+):
+    """Sliding-window count + exact cents sum per (key, window start).
+
+    Windows start every ``step_us`` and span ``window_us``; an event at
+    time t lands in the ``window_us/step_us`` windows whose start index
+    w satisfies w ≤ t/step < w + window/step. Replication is a
+    vectorized per-batch concat — no shuffle until the final groupby.
+    ``window`` is the step index of the window start.
+    """
+    if window_us % step_us:
+        raise ValueError("window_us must be a multiple of step_us")
+    k = window_us // step_us
+
+    def replicate(b: pa.Table) -> pa.Table:
+        step_idx = pc.divide(pc.cast(b[ts_col], pa.int64()), step_us)
+        cents = pc.cast(pc.round(pc.multiply(b[value_col], 100.0)), pa.int64())
+        parts = []
+        for off in range(k):
+            parts.append(
+                pa.table(
+                    {
+                        key_col: b[key_col],
+                        "window": pc.subtract(step_idx, off),
+                        "cents": cents,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        ds.map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, "window"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+    )
