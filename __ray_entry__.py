@@ -206,6 +206,31 @@ def _q_quality(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_fingerprint(sf_dir: str):
+    """64-bit polynomial rolling-hash document fingerprints (vectorized
+    Horner over the utf8 buffer; mod-2^64 wraparound isn't
+    SQL-expressible → rows-only)."""
+    from validatelite_ray.stages.fingerprint import add_poly_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_poly_fingerprint(b, "text", "fingerprint").select(
+            ["doc_id", "fingerprint"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q_winnow(sf_dir: str):
+    """Winnowed (MOSS) shared-run fingerprints per doc (rows-only —
+    sliding-window min over mod-2^64 hashes isn't SQL-expressible)."""
+    from validatelite_ray.stages.fingerprint import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return winnow_fingerprints(ds, k=5, window=4)
+
+
 def _q_scrub_email(sf_dir: str):
     from validatelite_ray.stages.scrub import scrub_email_only
 
@@ -358,6 +383,33 @@ def _q_perplexity(sf_dir: str):
     ).select_columns(["doc_id", "ppl_bits"])
 
 
+def _q_multimodal_features(sf_dir: str):
+    """Image decode → feature-extract as an actor-pool map_batches over
+    binary payload rows (deterministic FakeCodec — real codecs aren't
+    in this environment; the Ray plumbing is the real thing: small
+    batch_size for wide rows, stateful codec per actor). Rows-only.
+    The fake corpus is seeded, so output is deterministic; sf_dir only
+    scales row count via the documents table size."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.multimodal import (
+        FakeCodec,
+        ImageFeatureStage,
+        make_fake_image_table,
+    )
+
+    n = max(_read(sf_dir, "documents", ["doc_id"]).count() // 4, 16)
+    ds = rd.from_arrow(make_fake_image_table(int(n), seed=42))
+    return ds.map_batches(
+        ImageFeatureStage,
+        fn_constructor_kwargs={"codec": FakeCodec()},
+        batch_format="pyarrow",
+        batch_size=32,          # wide binary rows: budget bytes, not rows
+        concurrency=2,
+    ).drop_columns(["thumb_8x8"])  # fixed-size-list unsupported by the
+    # driver's pandas hash compare; shape is covered by unit tests
+
+
 def _q_schema_check(sf_dir: str) -> pa.Table:
     """SCHEMA rule over orders → per-field check results (rows-only)."""
     from validatelite_ray.engine.engine import RuleEngine
@@ -479,8 +531,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": _q_langid,
         "perplexity_documents": _q_perplexity,
         "rule_schema_orders": _q_schema_check,
+        "multimodal_image_features": _q_multimodal_features,
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
+        "text_fingerprint": _q_fingerprint,
+        "text_winnow_fingerprints": _q_winnow,
         "scrub_email": _q_scrub_email,
     }
 

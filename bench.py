@@ -106,7 +106,20 @@ def bench_once() -> dict:
 
     # --- checkpointed (resumable) flagship path ------------------------
     # reported in extras (not the headline total) so round-over-round
-    # bench totals stay comparable; target: within ~1.2x of streaming
+    # bench totals stay comparable; target: within ~1.2x of streaming.
+    # Skipped inside scaling legs (efficiency is measured on qf_corpus).
+    if os.environ.get("VLRAY_SKIP_CKPT_BENCH"):
+        ray.shutdown()
+        total = round(sum(timings.values()), 3)
+        return {
+            "metric": "end-to-end wall time: quality-filter corpus + rule suites",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": _sf_label(SF_DIR),
+            "num_cpus": NUM_CPUS,
+            **extras,
+        }
     from validatelite_ray.pipelines.quality_filter import run as run_ckpt
 
     ckpt_dir = Path("/tmp/vlray_bench_out_ckpt")
@@ -185,7 +198,7 @@ def scaling() -> dict:
     through. A real cluster adds nodes (and memory buses) — per-node
     parallelism stays in the linear region — so N=2 vs 4N=8 on one box
     is the faithful analogue of N vs 4N nodes. A larger corpus
-    (VLRAY_SCALING_CORPUS_FILES, default 192000) amortizes fixed
+    (VLRAY_SCALING_CORPUS_FILES, default 384000) amortizes fixed
     per-job overheads as a real cluster run would.
     """
 
@@ -194,8 +207,11 @@ def scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             VLRAY_BENCH_CORPUS_FILES=os.environ.get(
-                "VLRAY_SCALING_CORPUS_FILES", "192000"
+                "VLRAY_SCALING_CORPUS_FILES", "384000"
             ),
+            # scaling efficiency is measured on qf_corpus only — skip
+            # the checkpointed-path and rule-suite timings in each leg
+            VLRAY_SKIP_CKPT_BENCH="1",
         )
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True,

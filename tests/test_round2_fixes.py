@@ -335,3 +335,85 @@ def test_quality_run_over_file_uri(ray_session, tmp_path):
     assert uri["rules"] == plain["rules"]
     assert (tmp_path / "out_uri" / "metrics.parquet").exists()
     assert (tmp_path / "out_uri" / "kept").is_dir()
+
+
+# ---------------------------------------------------------------------------
+# fingerprint.py shared the slice-offset bug pattern
+# ---------------------------------------------------------------------------
+
+def test_sha256_on_sliced_array():
+    import hashlib
+
+    from validatelite_ray.stages.fingerprint import sha256_hex_array
+
+    arr = pa.array(["aaa", "bbb", None, "ddd"], pa.large_string())
+    got = sha256_hex_array(arr.slice(1)).to_pylist()
+    assert got == [
+        hashlib.sha256(b"bbb").hexdigest(),
+        None,
+        hashlib.sha256(b"ddd").hexdigest(),
+    ]
+
+
+def test_poly_fingerprint_on_sliced_array():
+    from validatelite_ray.stages.fingerprint import poly_fingerprints
+
+    arr = pa.array(["xyz", "hello world", "q"], pa.large_string())
+    assert list(poly_fingerprints(arr.slice(1))) == list(poly_fingerprints(arr)[1:])
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup: winner decisions + the value-identical-rows detour
+# ---------------------------------------------------------------------------
+
+def test_dedup_winner_decisions_shapes(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.pipelines.quality_filter import (
+        UID_SEP,
+        dedup_winner_decisions,
+    )
+
+    t = pa.table(
+        {
+            "sha256": ["h1", "h1", "h1", "h2", "h3", "h3"],
+            "uid": ["u2", "u1", "u3", "z1", "t1", "t1"],  # h3: exact tie
+            "keep_rules": [True, True, True, True, True, True],
+        }
+    )
+    d = dedup_winner_decisions(rd.from_arrow(t))
+    assert d.dup_shas.to_pylist() == ["h1", "h3"]
+    assert d.winner_pairs.to_pylist() == sorted(
+        [f"h1{UID_SEP}u1", f"h3{UID_SEP}t1"]
+    )
+    assert d.tied_pairs.to_pylist() == [f"h3{UID_SEP}t1"]
+    assert d.n_losers == 2      # h1: u2,u3
+    assert d.n_extra_rows == 3  # h1: 2 extra, h3: 1 extra
+
+
+def test_streaming_run_collapses_reingested_rows(ray_session, tmp_path):
+    """A literally duplicated input row (same repo/path/commit AND
+    content) must yield exactly ONE kept row through run_streaming."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from validatelite_ray.pipelines.quality_filter import (
+        QualityFilterConfig,
+        run_streaming,
+    )
+    from validatelite_ray.testing.codegen import generate_corpus
+
+    table = generate_corpus(n_files=120, seed=3)
+    dup = table.slice(0, 4)  # re-ingest 4 rows verbatim
+    both = pa.concat_tables([table, dup])
+    src = tmp_path / "in.parquet"
+    pq.write_table(both, src)
+
+    out = tmp_path / "out"
+    s = run_streaming([str(src)], str(out), QualityFilterConfig(batch_size=64))
+    kept = rd.read_parquet(str(out / "kept")).take_all()
+    shas = [r["sha256"] for r in kept]
+    assert len(shas) == len(set(shas))  # one row per content hash
+    uids = [r["uid"] for r in kept]
+    assert len(uids) == len(set(uids))  # ties collapsed to one row
+    assert s["kept_rows"] == len(kept)

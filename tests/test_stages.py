@@ -206,3 +206,65 @@ class TestSimilarityHelpers:
         q1 = [r for r in rows if r["query_id"] == 1]
         assert [r["neighbor_id"] for r in q1] == [11, 10]
         assert [r["rank"] for r in q1] == [1, 2]
+
+
+class TestWinnowing:
+    def test_shared_run_guarantee(self):
+        """Docs sharing a run of >= k+window-1 tokens share >= 1 fingerprint
+        (the winnowing guarantee); unrelated docs share none."""
+        import pyarrow as pa
+
+        from validatelite_ray.stages.fingerprint import winnow_fingerprints_batch
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        a = "intro words " + shared + " closing remarks here"
+        b = "different opening " + shared + " and another ending"
+        c = "nothing in common with those documents at all whatsoever friend"
+        col = pa.array([a, b, c], pa.string())
+        h, d = winnow_fingerprints_batch(col, k=5, window=4)
+        fps = {i: set(h[d == i]) for i in range(3)}
+        assert fps[0] & fps[1]            # shared run detected
+        assert not (fps[0] & fps[2])
+        assert not (fps[1] & fps[2])
+
+    def test_density(self):
+        import pyarrow as pa
+
+        from validatelite_ray.stages.fingerprint import winnow_fingerprints_batch
+
+        words = " ".join(f"w{i}" for i in range(200))
+        h, d = winnow_fingerprints_batch(pa.array([words]), k=5, window=4)
+        n_shingles = 200 - 5 + 1
+        # winnowing density ~2/(w+1); distinct-per-doc can only shrink it
+        assert 0.1 * n_shingles < len(h) < 0.8 * n_shingles
+
+    def test_short_doc_keeps_min(self):
+        import pyarrow as pa
+
+        from validatelite_ray.stages.fingerprint import winnow_fingerprints_batch
+
+        h, d = winnow_fingerprints_batch(
+            pa.array(["one two three four five six"]), k=5, window=8
+        )
+        assert len(h) >= 1 and set(d) == {0}
+
+    def test_dataset_operator(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from validatelite_ray.stages.fingerprint import winnow_fingerprints
+
+        t = pa.table(
+            {
+                "doc_id": [10, 20],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog today",
+                    "the quick brown fox jumps over the lazy dog tonight",
+                ],
+            }
+        )
+        rows = winnow_fingerprints(rd.from_arrow(t)).take_all()
+        by = {}
+        for r in rows:
+            by.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+        assert by[10] & by[20]

@@ -14,15 +14,16 @@ Input: Parquet table (repo, path, commit, lang, content). Stages:
    validatelite_ray.pipelines.checkpoint). This is the checkpoint: a
    killed run redoes only missing shards.
 4. ``dedup`` — global exact dedup on sha256 over the labels output:
-   winner = lexical min uid among rule-passing rows per hash. Decisions
-   are made on a SLIM column-pruned read (``dedup_decisions``: drop
-   pairs + tied winner pairs, O(#duplicated hashes) driver state), then
-   the wide columns are filtered in ONE pass; only rows of tied
+   winner = lexical min uid among rule-passing rows per hash. ONE
+   custom-aggregate shuffle over the slim columns
+   (``dedup_winner_decisions``: winners + tie flags + loser counts,
+   O(#duplicated hashes) driver state), then the wide columns are
+   filtered in ONE pass by winner-pair membership; only rows of tied
    (value-identical) pairs detour through a group-wise keep-first. The
-   checkpointed ``run`` path broadcasts the same drop list to emit
-   per-row keep/is_duplicate labels. ``stages/dedup.py`` keeps the
-   generic operator (full shuffle, salted two-phase, dup-only
-   broadcast) for standalone use.
+   checkpointed ``run`` path additionally enumerates the loser pairs
+   (``compute_drop_list``) to emit per-row keep/is_duplicate labels.
+   ``stages/dedup.py`` keeps the generic operator (full shuffle, salted
+   two-phase, dup-only broadcast) for standalone use.
 5. ``metrics`` — per-rule (total, failed) aggregated from the labels
    output exactly like ValidateLite's result records, plus per-shard
    lineage manifests carrying each shard's rule counts.
@@ -247,73 +248,121 @@ def fused_label(
     )
 
 
-def dedup_decisions(labels_ds) -> tuple[pa.Array, pa.Array]:
-    """→ (drop_pairs, tied_pairs): everything the kept-rows pass needs,
-    decided from SLIM columns only (sha256, uid, keep_rules); the wide
-    rows are then filtered in a SINGLE pass (round-1 verdict: job 2 of
-    the streaming path re-read the wide labels output three times).
+@dataclasses.dataclass
+class WinnerDecisions:
+    """Everything dedup needs, from ONE slim shuffle (see
+    ``dedup_winner_decisions``). All O(#duplicated hashes)."""
 
-    * ``drop_pairs`` — ``sha256 + UID_SEP + uid`` keys of passing rows
-      that LOSE exact dedup (non-winners of a duplicated hash);
-    * ``tied_pairs`` — winner pairs occurring on MORE than one row
-      (value-identical re-ingested rows): indistinguishable by any
-      per-row value filter, so their rows go through a (tiny)
-      group-wise keep-first instead. Normally empty.
+    dup_shas: pa.Array          # hashes with >1 passing row
+    winner_pairs: pa.Array      # sha+SEP+min_uid per duplicated hash
+    tied_pairs: pa.Array        # winner pairs occurring on >1 row
+    n_losers: int               # passing rows that lose dedup outright
+    n_extra_rows: int           # rows beyond one-per-hash (incl. ties)
 
-    Winner = lexical min uid per sha256 (pair-keyed membership per the
-    round-1 ADVICE — order values collide across groups). Both outputs
-    are O(#duplicated hashes), never O(corpus).
+
+def dedup_winner_decisions(labels_ds) -> WinnerDecisions:
+    """Decide exact dedup from SLIM columns in a SINGLE shuffle.
+
+    One custom aggregate per sha256 over passing (sha256, uid) pairs
+    computes (min uid, row count, count of rows equal to the min) —
+    vectorized per sorted group block. That yields the duplicated
+    hashes, their winner pairs, the tied winner pairs (value-identical
+    re-ingested rows, which no per-row value filter can reduce — they
+    detour through a tiny group-wise keep-first), and the loser counts.
+    Round-2 history: the first version ran a second full scan+groupby
+    for tie detection, whose fixed overhead cost ~15% of the flagship's
+    8-cpu wall time; the custom aggregate folds it into the one
+    exchange. Winner membership stays pair-keyed (round-1 ADVICE).
     """
-    import ray
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import AggregateFn, Count, Min
 
-    empty = pa.array([], pa.string())
+    def merge(a, b):
+        """State = (min uid so far, #rows equal to that min)."""
+        if a is None:
+            return b
+        if b is None:
+            return a
+        if a[0] < b[0]:
+            return a
+        if b[0] < a[0]:
+            return b
+        return (a[0], a[1] + b[1])
+
+    def acc_block(acc, block):
+        uids = block["uid"]
+        mn = pc.min(uids).as_py()
+        mc = int(pc.sum(pc.cast(pc.equal(uids, mn), pa.int64())).as_py())
+        return merge(acc, (mn, mc))
+
+    min_count = AggregateFn(
+        init=lambda k: None,
+        merge=merge,
+        name="mc",
+        accumulate_block=acc_block,
+        finalize=lambda a: int(a[1]),
+    )
     pairs = labels_ds.map_batches(
         lambda b: b.filter(pc.equal(b["keep_rules"], True)).select(["sha256", "uid"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    agg = pairs.groupby("sha256").aggregate(
-        Min("uid", alias_name="winner"), Count(alias_name="c")
-    )
-    dup_rows = agg.map_batches(
-        lambda b: b.filter(pc.greater(b["c"], 1)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).take_all()
-    if not dup_rows:
-        return empty, empty
-    dup_shas = pa.array([r["sha256"] for r in dup_rows], pa.string())
-    winner_pairs = pa.array(
-        sorted(f"{r['sha256']}{UID_SEP}{r['winner']}" for r in dup_rows), pa.string()
-    )
-    ref = ray.put((dup_shas, winner_pairs))
-
-    def tag(b: pa.Table) -> pa.Table:
-        """One slim pass over the duplicated-hash rows: emit each row's
-        pair key tagged loser / winner-candidate."""
-        shas, wpairs = ray.get(ref)
-        b = b.filter(pc.is_in(b["sha256"], value_set=shas))
-        pair = pc.binary_join_element_wise(b["sha256"], b["uid"], UID_SEP)
-        is_winner = pc.is_in(pair, value_set=wpairs)
-        return pa.table({"pair": pair, "is_winner": is_winner})
-
-    tagged = pairs.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     rows = (
-        tagged.groupby(["pair", "is_winner"])
-        .aggregate(Count(alias_name="n"))
+        pairs.groupby("sha256")
+        .aggregate(Min("uid", alias_name="winner"), Count(alias_name="c"), min_count)
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["c"], 1)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         .take_all()
     )
-    drop = sorted(r["pair"] for r in rows if not r["is_winner"])
-    tied = sorted(r["pair"] for r in rows if r["is_winner"] and r["n"] > 1)
-    return pa.array(drop, pa.string()), pa.array(tied, pa.string())
+    dup_shas, winner_pairs, tied_pairs = [], [], []
+    n_losers = n_extra = 0
+    for r in rows:
+        mn, c, mc = r["winner"], r["c"], r["mc"]
+        sha = r["sha256"]
+        pair = f"{sha}{UID_SEP}{mn}"
+        dup_shas.append(sha)
+        winner_pairs.append(pair)
+        if mc > 1:
+            tied_pairs.append(pair)
+        n_losers += c - mc
+        n_extra += c - 1
+    return WinnerDecisions(
+        dup_shas=pa.array(sorted(dup_shas), pa.string()),
+        winner_pairs=pa.array(sorted(winner_pairs), pa.string()),
+        tied_pairs=pa.array(sorted(tied_pairs), pa.string()),
+        n_losers=int(n_losers),
+        n_extra_rows=int(n_extra),
+    )
 
 
 def compute_drop_list(labels_ds) -> pa.Array:
-    """Pair keys of passing rows that LOSE exact dedup — see
-    ``dedup_decisions`` (this is its first component; kept as the
-    stable surface for the checkpointed run and tests)."""
-    return dedup_decisions(labels_ds)[0]
+    """(sha256, uid) pair keys — ``sha256 + UID_SEP + uid`` strings — of
+    passing rows that LOSE exact dedup (non-winners). One decision
+    shuffle + one slim enumeration scan; kept as a stable surface (the
+    run paths use ``dedup_winner_decisions`` + membership filters and
+    never enumerate losers)."""
+    import ray
+
+    d = dedup_winner_decisions(labels_ds)
+    if not len(d.dup_shas):
+        return pa.array([], pa.string())
+    ref = ray.put((d.dup_shas, d.winner_pairs))
+
+    def losers(b: pa.Table) -> pa.Table:
+        shas, wpairs = ray.get(ref)
+        b = b.filter(pc.equal(b["keep_rules"], True))
+        b = b.filter(pc.is_in(b["sha256"], value_set=shas))
+        pair = pc.binary_join_element_wise(b["sha256"], b["uid"], UID_SEP)
+        return pa.table({"pair": pair}).filter(
+            pc.invert(pc.is_in(pair, value_set=wpairs))
+        )
+
+    out = labels_ds.map_batches(
+        losers, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    return pa.array(sorted(r["pair"] for r in out), pa.string())
 
 
 def finalize_keep(labels_ds, drop_ref):
@@ -419,29 +468,60 @@ def run_streaming(
     kept_cols = list(
         dict.fromkeys([*cfg.key_cols, "lang", "sha256", "uid", "content_scrubbed"])
     )
+    # slim reads feed groupby shuffles, whose fixed per-block overhead
+    # dominates at few-KB block sizes: target ~2 blocks per CPU instead
+    # of one block per labels part file (cluster-relative, so the same
+    # code on a big cluster gets proportionally many blocks)
+    slim_blocks = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
 
-    # job 2a (slim): decide dedup on (sha256, uid, keep_rules) only —
-    # drop pairs + tied winner pairs, O(#duplicated hashes)
+    # job 3 (independent of dedup): per-rule metrics from bool columns
+    # only — launched on a thread so it overlaps the dedup jobs
+    def metrics_job() -> pa.Table:
+        return metrics_from_labels(
+            rd.read_parquet(
+                label_files,
+                columns=[f"fail_{n}" for n in rule_names] + ["keep_rules"],
+                filesystem=labels_fs,
+                override_num_blocks=slim_blocks,
+            ),
+            rule_names,
+            count_true_cols=("keep_rules",),
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    metrics_future = pool.submit(metrics_job)
+
+    # job 2a (slim): ONE decision shuffle on (sha256, uid, keep_rules)
+    # — winners / ties / loser counts, O(#duplicated hashes)
     slim = rd.read_parquet(
-        label_files, columns=["sha256", "uid", "keep_rules"], filesystem=labels_fs
+        label_files,
+        columns=["sha256", "uid", "keep_rules"],
+        filesystem=labels_fs,
+        override_num_blocks=slim_blocks,
     )
-    drop_pairs, tied_pairs = dedup_decisions(slim)
-    decisions_ref = ray.put((drop_pairs, tied_pairs))
+    d = dedup_winner_decisions(slim)
+    tied_pairs = d.tied_pairs
+    decisions_ref = ray.put((d.dup_shas, d.winner_pairs, d.tied_pairs))
 
-    # job 2b (wide): ONE pass over the wide columns — filter losers,
-    # write kept rows; only rows of tied pairs (normally none) detour
-    # through a group-wise keep-first
+    # job 2b (wide): ONE pass over the wide columns — a row is kept iff
+    # its hash is not duplicated OR it is the (untied) winner pair;
+    # rows of tied pairs (normally none) detour through a tiny
+    # group-wise keep-first. No loser enumeration anywhere.
     def kept_filter(b: pa.Table, want_tied: bool) -> pa.Table:
-        drops, tied = ray.get(decisions_ref)
+        dup_shas, wpairs, tied = ray.get(decisions_ref)
         b = b.filter(pc.equal(b["keep_rules"], True)).drop_columns(["keep_rules"])
+        if not len(dup_shas):
+            return b if not want_tied else b.slice(0, 0)
         pair = pc.binary_join_element_wise(b["sha256"], b["uid"], UID_SEP)
         if want_tied:
             return b.filter(pc.is_in(pair, value_set=tied))
-        mask = pc.invert(pc.is_in(pair, value_set=drops)) if len(drops) else None
+        not_dup = pc.invert(pc.is_in(b["sha256"], value_set=dup_shas))
+        winner = pc.is_in(pair, value_set=wpairs)
         if len(tied):
-            not_tied = pc.invert(pc.is_in(pair, value_set=tied))
-            mask = not_tied if mask is None else pc.and_(mask, not_tied)
-        return b.filter(mask) if mask is not None else b
+            winner = pc.and_(winner, pc.invert(pc.is_in(pair, value_set=tied)))
+        return b.filter(pc.or_(not_dup, winner))
 
     wide = rd.read_parquet(
         label_files, columns=kept_cols + ["keep_rules"], filesystem=labels_fs
@@ -462,16 +542,8 @@ def run_streaming(
         kept = kept.union(tied_resolved)
     kept.write_parquet(kept_dir)
 
-    # job 3 (tiny): per-rule metrics + passing count from bool columns only
-    metrics = metrics_from_labels(
-        rd.read_parquet(
-            label_files,
-            columns=[f"fail_{n}" for n in rule_names] + ["keep_rules"],
-            filesystem=labels_fs,
-        ),
-        rule_names,
-        count_true_cols=("keep_rules",),
-    )
+    metrics = metrics_future.result()
+    pool.shutdown()
     rows = dict(
         zip(metrics["rule_name"].to_pylist(), metrics["failed_records"].to_pylist())
     )
@@ -541,10 +613,31 @@ def run(
         ckpt.shard_output_files(labels_base)
     )
     rule_names = [r.name for r in cfg.rules()]
+    slim_blocks = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+    # metrics are independent of dedup — overlap them on a thread
+    from concurrent.futures import ThreadPoolExecutor
+
+    def metrics_job() -> pa.Table:
+        return metrics_from_labels(
+            rd.read_parquet(
+                label_files,
+                columns=[f"fail_{n}" for n in rule_names],
+                filesystem=labels_fs,
+                override_num_blocks=slim_blocks,
+            ),
+            rule_names,
+        )
+
+    _pool = ThreadPoolExecutor(max_workers=1)
+    _metrics_future = _pool.submit(metrics_job)
 
     # global dedup (phase B) — column-pruned read of the labels output
     slim = rd.read_parquet(
-        label_files, columns=["sha256", "uid", "keep_rules"], filesystem=labels_fs
+        label_files,
+        columns=["sha256", "uid", "keep_rules"],
+        filesystem=labels_fs,
+        override_num_blocks=slim_blocks,
     )
     drops = compute_drop_list(slim)
     drop_ref = ray.put(drops)
@@ -566,15 +659,9 @@ def run(
         project_kept, batch_format="pyarrow", zero_copy_batch=True
     ).write_parquet(kept_dir)
 
-    # metrics (per-rule counts + dedup accounting)
-    metrics = metrics_from_labels(
-        rd.read_parquet(
-            label_files,
-            columns=[f"fail_{n}" for n in rule_names],
-            filesystem=labels_fs,
-        ),
-        rule_names,
-    )
+    # metrics (per-rule counts + dedup accounting) — computed overlapped
+    metrics = _metrics_future.result()
+    _pool.shutdown()
     import pyarrow.parquet as pq
 
     n_total = int(pc.sum(metrics["total_records"]).as_py() or 0) // max(len(rule_names), 1)

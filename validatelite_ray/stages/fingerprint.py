@@ -21,13 +21,27 @@ import pyarrow.compute as pc
 
 
 def sha256_hex_array(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Hex sha256 per element (None → None). UTF-8 bytes of the value."""
+    """Hex sha256 per element (None → None). UTF-8 bytes of the value.
+
+    sha256 has no vectorized kernel, but the per-row work is pure C:
+    hash memoryview slices of the utf8 buffer directly — no Python
+    string materialization, no re-encode (flagship hot path)."""
+    from validatelite_ray.stages.text import _utf8_buffer
+
+    chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
     out: list[str | None] = []
-    for chunk in arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]:
-        buf = chunk.to_pylist()
+    for chunk in chunks:
+        data, offsets = _utf8_buffer(chunk)
+        mv = memoryview(data)
+        valid = (
+            np.ones(len(chunk), dtype=bool)
+            if chunk.null_count == 0
+            else np.asarray(pc.is_valid(chunk))
+        )
+        sha = hashlib.sha256
         out.extend(
-            None if v is None else hashlib.sha256(v.encode("utf-8")).hexdigest()
-            for v in buf
+            sha(mv[offsets[i] : offsets[i + 1]]).hexdigest() if valid[i] else None
+            for i in range(len(chunk))
         )
     return pa.array(out, pa.string())
 
@@ -40,16 +54,12 @@ _POLY_BASE = np.uint64(1099511628211)  # FNV prime as the radix
 
 
 def _utf8_buffer_and_offsets(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """(concatenated utf8 bytes as uint8, int64 offsets) of a string array."""
-    arr = arr.cast(pa.large_string())
-    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1)
-    data_buf = arr.buffers()[2]
-    data = (
-        np.frombuffer(data_buf, dtype=np.uint8, count=int(offsets[-1]))
-        if data_buf is not None
-        else np.empty(0, dtype=np.uint8)
-    )
-    return data, offsets
+    """(concatenated utf8 bytes as uint8, int64 offsets), slice-aware
+    (delegates to the shared reader in stages/text.py — round-1 ADVICE
+    found the from-position-0 version silently wrong on sliced arrays)."""
+    from validatelite_ray.stages.text import _utf8_buffer
+
+    return _utf8_buffer(arr)
 
 
 def poly_fingerprints(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
@@ -90,3 +100,80 @@ def add_poly_fingerprint(
 ) -> pa.Table:
     fp = poly_fingerprints(batch[column])
     return batch.append_column(out, pa.array(fp.view(np.int64), pa.int64()))
+
+
+def winnow_fingerprints_batch(
+    text_col: pa.Array | pa.ChunkedArray, k: int = 5, window: int = 4
+) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token shingle, slide
+    a ``window`` over the hash sequence, keep each window's minimum
+    (rightmost on ties). Guarantees any shared run of ≥ k+window-1
+    tokens contributes a shared fingerprint, at ~2/(window+1) density.
+
+    → (selected hash uint64, local doc index), distinct per doc.
+    Fully vectorized: sliding_window_view over the flat doc-ordered
+    shingle array; windows crossing a doc boundary are masked out.
+    """
+    from validatelite_ray.stages.dedup import _doc_shingle_hashes
+
+    sh, sh_doc = _doc_shingle_hashes(text_col, k)
+    if sh.size == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    if sh.size < window:
+        # every doc shorter than the window keeps its global min
+        picks = []
+        for d in np.unique(sh_doc):
+            seg = sh[sh_doc == d]
+            picks.append((seg.min(), d))
+        h = np.array([p[0] for p in picks], np.uint64)
+        d = np.array([p[1] for p in picks], np.int64)
+        return h, d
+    win = np.lib.stride_tricks.sliding_window_view(sh, window)
+    win_doc_ok = sh_doc[: len(sh) - window + 1] == sh_doc[window - 1 :]
+    # rightmost minimum per window: argmin on the reversed window
+    rev_arg = np.argmin(win[:, ::-1], axis=1)
+    sel_pos = np.arange(win.shape[0]) + (window - 1 - rev_arg)
+    sel_pos = sel_pos[win_doc_ok]
+    # a doc shorter than the window has NO valid window — keep its min
+    short_docs = np.setdiff1d(np.unique(sh_doc), np.unique(sh_doc[sel_pos]))
+    extra_h, extra_d = [], []
+    for d in short_docs:
+        seg = sh[sh_doc == d]
+        extra_h.append(seg.min())
+        extra_d.append(d)
+    h = np.concatenate([sh[sel_pos], np.array(extra_h, np.uint64)])
+    d = np.concatenate([sh_doc[sel_pos], np.array(extra_d, np.int64)])
+    # distinct (doc, hash)
+    order = np.lexsort((h, d))
+    d, h = d[order], h[order]
+    keep = np.ones(d.size, bool)
+    keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+    return h[keep], d[keep]
+
+
+def winnow_fingerprints(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+):
+    """Dataset → (id, fingerprint) rows, one per distinct winnowed
+    fingerprint per document. Downstream: groupby(fingerprint) finds
+    shared-run candidates (plagiarism/near-dup detection) without
+    moving document text."""
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        h, d = winnow_fingerprints_batch(b[text_col], k=k, window=window)
+        ids_col = b[id_col]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        return pa.table(
+            {
+                id_col: ids_col.take(pa.array(d)),
+                "fingerprint": pa.array(h.view(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
