@@ -157,6 +157,46 @@ def _q_agg_lineitem(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_topk_orders(sf_dir: str):
+    """Global top-10 orders by price (ds.sort + limit — the §2.8 sort/
+    limit surface; deterministic via the orderkey tiebreak)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "price_cents": pc.cast(
+                        pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+def _q_distinct_parts(sf_dir: str) -> pa.Table:
+    """Distinct-count via pre-aggregated shuffle (per-block unique →
+    groupby) — the reference's SELECT DISTINCT surface."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+    uniq = (
+        ds.map_batches(
+            lambda b: pa.table({"l_partkey": pc.unique(b["l_partkey"])}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("l_partkey")
+        .aggregate(Count(alias_name="c"))
+    )
+    return pa.table({"n_parts": pa.array([uniq.count()], pa.int64())})
+
+
 def _q_dedup_exact(sf_dir: str):
     """Exact dedup on sha256(text): keep the minimum doc_id per group."""
     from ray.data.aggregate import Min
@@ -518,6 +558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ],
         ),
         "agg_lineitem_pricing": _q_agg_lineitem,
+        "sort_topk_orders": _q_topk_orders,
+        "distinct_parts_lineitem": _q_distinct_parts,
         "agg_events_window": _q_window_events,
         "agg_events_session": _q_session_windows,
         "agg_events_sliding": _q_sliding_windows,
@@ -624,6 +666,14 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n, "
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
             "FROM events GROUP BY event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT)"
+        ),
+        "sort_topk_orders": (
+            "SELECT o_orderkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents "
+            "FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+        ),
+        "distinct_parts_lineitem": (
+            "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem"
         ),
         "agg_events_session": (
             "WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, "

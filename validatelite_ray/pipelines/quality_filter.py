@@ -51,7 +51,11 @@ from validatelite_ray.stages.fingerprint import add_sha256
 from validatelite_ray.stages.langid import LangIdScorer
 from validatelite_ray.stages.perplexity import PerplexityScorer
 from validatelite_ray.stages.scrub import add_scrubbed
-from validatelite_ray.stages.text import add_quality_stats, add_shingle_dup_fraction
+from validatelite_ray.stages.text import (
+    add_quality_stats,
+    add_shingle_dup_fraction,
+    add_text_features,
+)
 
 UID_SEP = "\x1f"
 
@@ -120,8 +124,7 @@ def featurize(ds, cfg: QualityFilterConfig):
 
     def stats(b: pa.Table) -> pa.Table:
         b = add_sha256(b, text, "sha256")
-        b = add_quality_stats(b, text)
-        b = add_shingle_dup_fraction(b, text, k=cfg.shingle_k)
+        b = add_text_features(b, text, k=cfg.shingle_k)  # one tokenize
         b = add_scrubbed(b, text, "content_scrubbed")
         # stable dedup tiebreak key from the row identity columns
         uid = None
@@ -184,8 +187,7 @@ class FusedLabelStage:
         cfg = self.cfg
         text = cfg.text_col
         b = add_sha256(batch, text, "sha256")
-        b = add_quality_stats(b, text)
-        b = add_shingle_dup_fraction(b, text, k=cfg.shingle_k)
+        b = add_text_features(b, text, k=cfg.shingle_k)  # one tokenize
         b = add_scrubbed(b, text, "content_scrubbed")
         uid = None
         for col in cfg.key_cols:

