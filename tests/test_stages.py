@@ -268,3 +268,38 @@ class TestWinnowing:
         for r in rows:
             by.setdefault(r["doc_id"], set()).add(r["fingerprint"])
         assert by[10] & by[20]
+
+
+class TestAudio:
+    def test_fake_audio_roundtrip(self):
+        from validatelite_ray.stages.multimodal import (
+            FakeAudioCodec,
+            encode_fake_audio,
+        )
+
+        clip = FakeAudioCodec().decode(encode_fake_audio(3200, seed=5))
+        assert clip["sample_rate"] == 16000
+        assert clip["samples"].shape == (3200,)
+
+    def test_audio_feature_stage(self):
+        from validatelite_ray.stages.multimodal import (
+            AudioFeatureStage,
+            FakeAudioCodec,
+            make_fake_audio_table,
+        )
+
+        t = make_fake_audio_table(6)
+        out = AudioFeatureStage(codec=FakeAudioCodec())(t)
+        assert out.num_rows == 6
+        assert all(0 < v <= 1.0 for v in out["rms"].to_pylist())
+        assert all(0 <= v <= 1.0 for v in out["zero_crossing_rate"].to_pylist())
+        assert out["duration_ms"].to_pylist() == t["meta_duration_ms"].to_pylist()
+
+    def test_audio_stub_raises_without_codec(self):
+        from validatelite_ray.stages.multimodal import (
+            AudioFeatureStage,
+            make_fake_audio_table,
+        )
+
+        with pytest.raises(NotImplementedError):
+            AudioFeatureStage(codec=None)(make_fake_audio_table(2))

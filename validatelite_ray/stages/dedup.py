@@ -481,6 +481,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_posting: int | None = None,
 ) -> "ray.data.Dataset":  # noqa: F821
     """ALL document pairs with k-token-shingle Jaccard ≥ ``threshold``
     — the exact n-gram-Jaccard near-dup metric (SQL-expressible, unlike
@@ -501,6 +502,14 @@ def ngram_jaccard_pairs(
        arrive with (u, v, nu, nv) and ``groupby`` + Count yields the
        intersection; the Jaccard test is a stateless filter. No driver
        state, no broadcast — fully distributed.
+
+    ``max_posting`` is the scale knob for the quadratic hazard: a
+    posting list longer than the cap (a stop-shingle shared by
+    thousands of docs) is SKIPPED instead of expanded — standard
+    stop-shingle removal. This undercounts intersections, so detected
+    pairs' Jaccard is a lower bound (pairs can only be missed, never
+    invented). Leave ``None`` (exact, the oracle-verified default)
+    unless the corpus has mega-hot shingles.
 
     Returns a Dataset (u, v).
     """
@@ -540,7 +549,7 @@ def ngram_jaccard_pairs(
         empty = pd.DataFrame(
             {c: pd.Series([], dtype=np.int64) for c in ("u", "v", "nu", "nv")}
         )
-        if docs.size < 2:
+        if docs.size < 2 or (max_posting is not None and docs.size > max_posting):
             return empty
         sizes = g["n"].to_numpy()
         iu, iv = np.triu_indices(docs.size, k=1)

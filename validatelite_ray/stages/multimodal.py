@@ -105,6 +105,93 @@ class ImageFeatureStage:
         )
 
 
+_FAKE_AUDIO_MAGIC = b"FAKA"
+
+
+def encode_fake_audio(n_samples: int, sample_rate: int = 16000, seed: int = 0) -> bytes:
+    """Deterministic fake 'encoded audio': header + seeded int16 PCM."""
+    rng = np.random.default_rng(seed)
+    body = rng.integers(-32768, 32767, size=min(n_samples, 65536), dtype=np.int16)
+    return (
+        _FAKE_AUDIO_MAGIC
+        + struct.pack("<iii", n_samples, sample_rate, seed)
+        + body.tobytes()
+    )
+
+
+class FakeAudioCodec:
+    """Deterministic stand-in for an audio decoder (soundfile/ffmpeg absent)."""
+
+    def decode(self, payload: bytes) -> dict:
+        if payload is None or payload[:4] != _FAKE_AUDIO_MAGIC:
+            raise ValueError("not a FAKA payload")
+        n, rate, seed = struct.unpack("<iii", payload[4:16])
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32767, size=n, dtype=np.int16)
+        return {"sample_rate": rate, "samples": samples}
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: decode → per-clip audio features.
+
+    Same contract as ``ImageFeatureStage``: ``codec=None`` raises
+    NotImplementedError (no audio libs in this environment); a codec
+    (FakeAudioCodec for tests, soundfile/ffmpeg wrapper in production)
+    is held per actor. Output: item_id, duration_ms, rms,
+    zero_crossing_rate — the numpy feature math is real and vectorized
+    per clip.
+    """
+
+    def __init__(self, codec: FakeAudioCodec | None = None, payload_col: str = "payload"):
+        self.codec = codec
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.codec is None:
+            raise NotImplementedError(
+                "audio decode requires a codec (soundfile/ffmpeg not available "
+                "in this environment); pass codec=FakeAudioCodec() for the stub"
+            )
+        ids, durs, rmss, zcrs = [], [], [], []
+        for item_id, payload in zip(
+            batch["item_id"].to_pylist(), batch[self.payload_col].to_pylist()
+        ):
+            clip = self.codec.decode(payload)
+            x = clip["samples"].astype(np.float64) / 32768.0
+            ids.append(item_id)
+            durs.append(int(1000 * len(x) / clip["sample_rate"]))
+            rmss.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+            zcrs.append(
+                float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                if len(x) > 1
+                else 0.0
+            )
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "duration_ms": pa.array(durs, pa.int32()),
+                "rms": pa.array(rmss, pa.float64()),
+                "zero_crossing_rate": pa.array(zcrs, pa.float64()),
+            }
+        )
+
+
+def make_fake_audio_table(n: int = 64, seed: int = 42) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("item_id", "modality", "media_type", "payload",
+                            "meta_width", "meta_height", "meta_duration_ms")}
+    for i in range(n):
+        n_samples = int(rng.integers(1600, 48000))
+        rows["item_id"].append(i)
+        rows["modality"].append("audio")
+        rows["media_type"].append("audio/fake")
+        rows["payload"].append(encode_fake_audio(n_samples, seed=i))
+        rows["meta_width"].append(0)
+        rows["meta_height"].append(0)
+        rows["meta_duration_ms"].append(n_samples * 1000 // 16000)
+    return pa.table(rows, schema=MULTIMODAL_SCHEMA)
+
+
 class FrameSampleStage:
     """Actor-pool stage signature for video frame sampling (STUB).
 
