@@ -295,7 +295,11 @@ def _q_window_events(sf_dir: str):
 
     def windowed(b: pa.Table) -> pa.Table:
         epoch_us = pc.cast(b["ts"], pa.int64())
-        window = pc.divide(epoch_us, 3_600_000_000)  # integer μs → hour bucket
+        # numpy floor division — Arrow's divide truncates toward zero,
+        # which would disagree with SQL // on pre-epoch timestamps
+        window = pa.array(
+            np.floor_divide(np.asarray(epoch_us, dtype=np.int64), 3_600_000_000)
+        )
         cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
         return pa.table(
             {"event_type": b["event_type"], "window": window, "cents": cents}

@@ -95,3 +95,114 @@ def test_sliding_window_rejects_bad_step(ray_session):
 
     with pytest.raises(ValueError):
         sliding_window_agg(rd.from_arrow(_events_table()), window_us=5, step_us=2)
+
+
+class TestWindowProperties:
+    """Property tests vs brute-force reference implementations."""
+
+    def _brute_sessions(self, rows, gap_us):
+        from collections import defaultdict
+
+        by_user = defaultdict(list)
+        for uid, ts, val in rows:
+            if uid is not None:
+                by_user[uid].append((ts, round(val * 100)))
+        out = {}
+        for uid, evs in by_user.items():
+            evs.sort()
+            sid = 0
+            last = None
+            for ts, cents in evs:
+                if last is None or ts - last > gap_us:
+                    sid += 1
+                    out[(uid, sid)] = [0, ts, ts, 0]
+                rec = out[(uid, sid)]
+                rec[0] += 1
+                rec[2] = max(rec[2], ts)
+                rec[3] += cents
+                last = ts
+        return out
+
+    def test_sessions_match_bruteforce_random(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(11)
+        n = 400
+        uids = rng.integers(1, 12, size=n).astype(object)
+        uids[rng.random(n) < 0.05] = None
+        ts = rng.integers(0, 3_600_000_000, size=n)
+        vals = np.round(rng.random(n) * 100, 2)
+        rows = list(zip(uids.tolist(), ts.tolist(), vals.tolist()))
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+        from validatelite_ray.stages.windows import session_windows
+
+        gap = 120_000_000  # 2 min
+        got = {
+            (r["user_id"], r["session_id"]): [
+                r["n"], r["start_us"], r["end_us"], r["sum_cents"]
+            ]
+            for r in session_windows(rd.from_arrow(t), gap_us=gap).take_all()
+        }
+        expected = self._brute_sessions(rows, gap)
+        assert got == expected
+
+    def test_sliding_match_bruteforce_random(self, ray_session):
+        from collections import defaultdict
+
+        import ray.data as rd
+
+        rng = np.random.default_rng(13)
+        n = 300
+        kinds = rng.choice(["a", "b", "c"], size=n)
+        ts = rng.integers(0, 20 * 3_600_000_000, size=n)
+        vals = np.round(rng.random(n) * 9, 2)
+        step = 3_600_000_000
+        k = 3  # 3h window, 1h step
+        expected = defaultdict(lambda: [0, 0])
+        for kind, t_us, v in zip(kinds, ts, vals):
+            h = t_us // step
+            for w in range(h - k + 1, h + 1):
+                rec = expected[(kind, w)]
+                rec[0] += 1
+                rec[1] += round(v * 100)
+        t = pa.table(
+            {
+                "event_type": pa.array(kinds.tolist(), pa.string()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+        from validatelite_ray.stages.windows import sliding_window_agg
+
+        got = {
+            (r["event_type"], r["window"]): [r["n"], r["sum_cents"]]
+            for r in sliding_window_agg(
+                rd.from_arrow(t), window_us=k * step, step_us=step
+            ).take_all()
+        }
+        assert got == dict(expected)
+
+
+def test_sliding_pre_epoch_floor_semantics(ray_session):
+    """Negative (pre-1970) timestamps must bucket with FLOOR division,
+    matching SQL's // — truncation would shift them one window right."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.windows import sliding_window_agg
+
+    hour = 3_600_000_000
+    t = pa.table(
+        {
+            "event_type": pa.array(["a"], pa.string()),
+            "ts": pa.array([-1], pa.timestamp("us")),  # hour index -1, not 0
+            "value": pa.array([1.0], pa.float64()),
+        }
+    )
+    out = sliding_window_agg(rd.from_arrow(t), window_us=hour, step_us=hour).take_all()
+    assert len(out) == 1 and out[0]["window"] == -1

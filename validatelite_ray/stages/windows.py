@@ -96,7 +96,14 @@ def sliding_window_agg(
     k = window_us // step_us
 
     def replicate(b: pa.Table) -> pa.Table:
-        step_idx = pc.divide(pc.cast(b[ts_col], pa.int64()), step_us)
+        # FLOOR division (numpy), not pc.divide: Arrow's integer divide
+        # truncates toward zero, which disagrees with SQL's // on
+        # pre-epoch (negative) timestamps
+        step_idx = pa.array(
+            np.floor_divide(
+                np.asarray(pc.cast(b[ts_col], pa.int64()), dtype=np.int64), step_us
+            )
+        )
         cents = pc.cast(pc.round(pc.multiply(b[value_col], 100.0)), pa.int64())
         parts = []
         for off in range(k):
