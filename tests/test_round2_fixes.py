@@ -417,3 +417,16 @@ def test_streaming_run_collapses_reingested_rows(ray_session, tmp_path):
     uids = [r["uid"] for r in kept]
     assert len(uids) == len(set(uids))  # ties collapsed to one row
     assert s["kept_rows"] == len(kept)
+
+
+def test_perplexity_on_sliced_array():
+    from validatelite_ray.stages.perplexity import PerplexityScorer
+
+    ppl = PerplexityScorer("text")
+    arr = pa.array(
+        ["first doc entirely", "the quick brown fox", "zzz qqq xxx"],
+        pa.large_string(),
+    )
+    full = ppl.score_array(arr)
+    sliced = ppl.score_array(arr.slice(1))
+    assert np.allclose(sliced, full[1:])

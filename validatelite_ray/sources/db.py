@@ -101,6 +101,9 @@ def read_sqlite(
 
     import ray.data as rd
 
+    # Ray worker tasks run with their own cwd — the path must be
+    # absolute by the time it is captured in the fetch closure
+    path = str(Path(path).absolute())
     if not Path(path).exists():
         raise SourceError(f"sqlite database not found: {path}")
     if not re.fullmatch(r"[\w$]+", table or ""):

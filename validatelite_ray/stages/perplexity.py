@@ -59,16 +59,18 @@ class PerplexityScorer:
 
     def score_array(self, arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
         """Mean bits/byte per document, vectorized over the whole batch."""
+        from validatelite_ray.stages.text import _utf8_buffer
+
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
-        arr = arr.cast(pa.large_string())
-        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1)
+        # slice-aware shared reader (a raw buffers() read from position 0
+        # is silently wrong on zero-copy sliced arrays — round-2 sweep)
+        data, offsets = _utf8_buffer(arr)
         n_docs = len(offsets) - 1
         total = int(offsets[-1])
         out = np.zeros(n_docs, dtype=np.float64)
         if total < 2:
             return out
-        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8, count=total)
         pair_idx = data[:-1].astype(np.int32) * 256 + data[1:]
         nll = self.nll[pair_idx].astype(np.float64)
         starts = offsets[:-1].copy()
