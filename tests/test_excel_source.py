@@ -144,3 +144,37 @@ def test_rules_over_excel(ray_session, xlsx_file):
     ).execute(open_source(xlsx_file))
     assert report["nn"].failed_records == 1
     assert report["rng"].failed_records == 1
+
+
+def test_schema_command_workbook_multisheet(xlsx_file, tmp_path):
+    """vlray schema --workbook book.xlsx: every sheet is its own table."""
+    import json
+    import subprocess
+    import sys
+
+    payload = {
+        "users": {
+            "rules": [
+                {"field": "id", "type": "integer", "required": True},
+                {"field": "age", "type": "float", "min": 0, "max": 120},
+            ]
+        },
+        "orders": {
+            "rules": [{"field": "sku", "type": "string", "required": True}]
+        },
+    }
+    pf = tmp_path / "payload.json"
+    pf.write_text(json.dumps(payload))
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "validatelite_ray.cli", "schema", str(pf),
+            "--workbook", xlsx_file, "--json", "--num-cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=180,
+    )
+    assert proc.returncode == 1, proc.stderr  # age 200.5 out of range
+    out = json.loads(proc.stdout)
+    assert set(out["tables"]) == {"users", "orders"}
+    by_col = {(f["table"], f["column"]): f["checks"] for f in out["fields"]}
+    assert by_col[("users", "age")]["range"]["failed_records"] == 1
+    assert by_col[("orders", "sku")]["not_null"]["status"] == "PASSED"

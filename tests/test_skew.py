@@ -53,3 +53,45 @@ def test_unique_rule_on_skewed_column(ray_session, hot_key_ds):
     r = RuleEngine([S.unique("sha256", name="u")]).execute(hashed)["u"]
     assert r.failed_records == n_hot - 1
     assert r.total_records == n_hot + n_unique
+
+
+def test_minhash_hot_bucket_identical_docs(ray_session):
+    """200 identical docs = one mega LSH bucket per band: the star-edge
+    cap must keep candidate pairs linear and still cluster them all."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from validatelite_ray.stages.dedup import dedup_minhash_lsh
+
+    blob = "the same file content repeated across a mega repo " * 4
+    texts = [blob] * 200 + [
+        f"unique document number {i} about topic {i * 7} with words {i * 13}"
+        for i in range(50)
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    clusters = dedup_minhash_lsh(
+        rd.from_arrow(t), jaccard_threshold=0.8, concurrency=2
+    )
+    by_doc = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    roots = {by_doc[i] for i in range(200)}
+    assert len(roots) == 1            # all identical docs in ONE cluster
+    assert all(i not in by_doc for i in range(200, 250))
+
+
+def test_ngram_jaccard_posting_cap(ray_session):
+    """max_posting skips mega posting lists: identical-doc pairs above
+    the cap disappear (documented lower bound), unrelated docs are
+    unaffected, and the exact default still finds everything."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from validatelite_ray.stages.dedup import ngram_jaccard_pairs
+
+    blob = "zq xw vj kp mn bt " * 5     # rare tokens: no cross-doc shingles
+    texts = [blob] * 30 + ["totally different words here now okay fine"] * 1
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ds = rd.from_arrow(t)
+    exact = ngram_jaccard_pairs(ds, threshold=0.9).count()
+    assert exact == 30 * 29 // 2       # all identical pairs found
+    capped = ngram_jaccard_pairs(ds, threshold=0.9, max_posting=10).count()
+    assert capped == 0                 # hot postings skipped, not expanded

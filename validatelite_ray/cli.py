@@ -149,6 +149,17 @@ def _schema_command(args) -> int:
 
         ray.data.DataContext.get_current().enable_progress_bars = False
         datasets = {}
+        # --workbook: every sheet of an .xlsx becomes its own table
+        # (the reference's multi-sheet = multi-table mapping,
+        # cli/core/source_parser.py:98-152)
+        for wb in getattr(args, "workbook", []) or []:
+            try:
+                from validatelite_ray.sources.excel import open_excel_tables
+
+                datasets.update(open_excel_tables(wb))
+            except SourceError as exc:
+                print(f"error: workbook {wb!r}: {exc}", file=_sys.stderr)
+                return EXIT_SOURCE_ERROR
         for name, src in bindings.items():
             try:
                 datasets[name] = open_source(src)
@@ -286,6 +297,11 @@ def main(argv: list[str] | None = None) -> int:
     schema.add_argument(
         "--table", action="append", default=[], metavar="NAME=SOURCE",
         help="bind a payload table to a data source (repeatable)",
+    )
+    schema.add_argument(
+        "--workbook", action="append", default=[], metavar="BOOK.xlsx",
+        help="bind every sheet of an Excel workbook as its own table "
+             "(multi-sheet = multi-table; repeatable)",
     )
     schema.add_argument("--json", dest="as_json", action="store_true")
     schema.add_argument("--num-cpus", type=int, default=None)
