@@ -202,3 +202,23 @@ class TestCliVerbose:
         assert "Plan: fused scan" in out            # per-rule physical plan
         assert "Plan: hash shuffle" in out          # UNIQUE strategy shown
         assert "Summary:" in out and "Processing time:" in out
+
+
+class TestCliFilterStreaming:
+    def test_filter_streaming(self, tmp_path):
+        from validatelite_ray.testing.codegen import write_corpus_shards
+
+        corpus = tmp_path / "corpus"
+        write_corpus_shards(str(corpus), n_files=150, n_shards=2, seed=21)
+        out = tmp_path / "out"
+        p = run_cli(["filter", str(corpus), "--out", str(out),
+                     "--streaming", "--num-cpus", "4"])
+        assert p.returncode == 0, p.stderr
+        s = json.loads(p.stdout)
+        assert s["total_rows"] == 150 and s["kept_rows"] > 0
+        assert (out / "kept").is_dir() and (out / "labels_stream").is_dir()
+        # rerun overwrites cleanly (no double-counted part files)
+        p2 = run_cli(["filter", str(corpus), "--out", str(out),
+                      "--streaming", "--num-cpus", "4"])
+        s2 = json.loads(p2.stdout)
+        assert s2["kept_rows"] == s["kept_rows"]
