@@ -157,6 +157,56 @@ def _q_agg_lineitem(sf_dir: str) -> pa.Table:
     )
 
 
+def _seg_rollup(joined):
+    """(joined orders⋈customer) → per-segment count + exact cents sum."""
+    from ray.data.aggregate import Count, Sum
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="sum_cents"))
+    )
+
+
+def _q_join_segment_revenue(sf_dir: str):
+    """orders ⋈ customer via Ray's partitioned hash join (both sides
+    shuffle on the key) → per-segment revenue rollup."""
+    from validatelite_ray.stages.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=8
+    )
+    return _seg_rollup(joined)
+
+
+def _q_join_broadcast_segment_revenue(sf_dir: str):
+    """Same rollup via the map-side broadcast join: the customer dim is
+    ray.put once, every orders batch joins against it with Arrow's C++
+    hash join — the orders side never shuffles."""
+    import pyarrow.parquet as pq
+
+    from validatelite_ray.stages.joins import broadcast_hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = broadcast_hash_join(orders, cust, left_on="o_custkey", right_on="c_custkey")
+    return _seg_rollup(joined)
+
+
 def _q_topk_orders(sf_dir: str):
     """Global top-10 orders by price (ds.sort + limit — the §2.8 sort/
     limit surface; deterministic via the orderkey tiebreak)."""
@@ -563,6 +613,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "agg_lineitem_pricing": _q_agg_lineitem,
         "sort_topk_orders": _q_topk_orders,
+        "join_segment_revenue": _q_join_segment_revenue,
+        "join_broadcast_segment_revenue": _q_join_broadcast_segment_revenue,
         "distinct_parts_lineitem": _q_distinct_parts,
         "agg_events_window": _q_window_events,
         "agg_events_session": _q_session_windows,
@@ -670,6 +722,18 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n, "
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
             "FROM events GROUP BY event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT)"
+        ),
+        "join_segment_revenue": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_cents FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "join_broadcast_segment_revenue": (
+            "SELECT c_mktsegment, count(*) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_cents FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
         ),
         "sort_topk_orders": (
             "SELECT o_orderkey, "

@@ -1,0 +1,68 @@
+"""Join strategies: broadcast map-side join and partitioned hash join."""
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture()
+def sides(ray_session):
+    import ray.data as rd
+
+    big = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 2, 3, 5], pa.int64()),
+                "v": pa.array([10, 20, 21, 30, 50], pa.int64()),
+            }
+        )
+    )
+    small = pa.table(
+        {
+            "key": pa.array([1, 2, 3, 4], pa.int64()),
+            "label": pa.array(["a", "b", "c", "d"], pa.string()),
+        }
+    )
+    return big, small
+
+
+def test_broadcast_inner(sides):
+    from validatelite_ray.stages.joins import broadcast_hash_join
+
+    big, small = sides
+    rows = sorted(
+        (r["k"], r["v"], r["label"])
+        for r in broadcast_hash_join(big, small, left_on="k", right_on="key").take_all()
+    )
+    assert rows == [(1, 10, "a"), (2, 20, "b"), (2, 21, "b"), (3, 30, "c")]
+
+
+def test_broadcast_left_outer_keeps_unmatched(sides):
+    from validatelite_ray.stages.joins import broadcast_hash_join
+
+    big, small = sides
+    rows = sorted(
+        (r["k"], r["label"])
+        for r in broadcast_hash_join(
+            big, small, left_on="k", right_on="key", join_type="left outer"
+        ).take_all()
+    )
+    assert rows == [(1, "a"), (2, "b"), (2, "b"), (3, "c"), (5, None)]
+
+
+def test_hash_join_matches_broadcast(sides):
+    import ray.data as rd
+
+    from validatelite_ray.stages.joins import broadcast_hash_join, hash_join
+
+    big, small = sides
+    shuffled = hash_join(
+        big, rd.from_arrow(small), on="k", right_on="key", num_partitions=4
+    )
+    a = sorted(
+        (r["k"], r["v"], r["label"]) for r in shuffled.take_all()
+    )
+    b = sorted(
+        (r["k"], r["v"], r["label"])
+        for r in broadcast_hash_join(big, small, left_on="k", right_on="key").take_all()
+    )
+    assert a == b

@@ -1,0 +1,69 @@
+"""Joins — the two strategies a quality/validation pipeline needs.
+
+The reference has no joins (multi-table rules are reserved hooks:
+shared/schema/base.py:129-190, rule_schema.py:468-498); a corpus-scale
+engine does. Two physical strategies, chosen by the small side's size:
+
+* ``broadcast_hash_join`` — the small side is ``ray.put`` ONCE and
+  every batch hash-joins against it with Arrow's C++ join
+  (``pyarrow.Table.join``). The big side never shuffles: this is the
+  map-side join that every enrichment lookup (dim tables, allowlists,
+  per-repo metadata) should use. Small side must fit a worker's heap.
+* ``hash_join`` — thin wrapper over ``Dataset.join`` (Ray's
+  partitioned hash join): BOTH sides shuffle on the key across
+  ``num_partitions`` aggregators. The only choice when both sides are
+  large; partitions should scale with the cluster (default
+  2 × cluster CPUs).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def broadcast_hash_join(
+    big,
+    small: pa.Table,
+    left_on: str,
+    right_on: str | None = None,
+    join_type: str = "inner",
+):
+    """Map-side join: ``small`` broadcast once, joined per batch.
+
+    ``join_type``: 'inner' or 'left outer' (Arrow's names). Column
+    collisions follow ``pyarrow.Table.join`` semantics.
+    """
+    import ray
+
+    right_on = right_on or left_on
+    small_ref = ray.put(small)
+
+    def join_batch(b: pa.Table) -> pa.Table:
+        rhs = ray.get(small_ref)
+        return b.join(
+            rhs, keys=[left_on], right_keys=[right_on], join_type=join_type
+        )
+
+    return big.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    join_type: str = "inner",
+    num_partitions: int | None = None,
+):
+    """Partitioned (shuffle) hash join of two Datasets."""
+    import ray
+
+    if num_partitions is None:
+        num_partitions = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on or on,),
+    )
