@@ -442,6 +442,16 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, threshold=0.5)
 
 
+def _q_dedup_embedding_blocked(sf_dir: str):
+    """Distributed EXACT keep-first dominance (block cascade over
+    sorted id ranges; bit-identical to the broadcast exact path, no
+    driver-side matrix)."""
+    from validatelite_ray.stages.similarity import dedup_embedding_cosine_blocked
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return dedup_embedding_cosine_blocked(ds, threshold=0.45)
+
+
 def _q_dedup_embedding_lsh(sf_dir: str):
     """Bucketed (hyperplane-LSH) embedding-cosine dedup — the scale path
     (approximate recall, so rows-only: no SQL oracle by design)."""
@@ -625,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_documents": _q_dedup_simhash,
         "ann_topk_embeddings": _q_ann_topk,
         "dedup_embedding_cosine": _q_dedup_embedding,
+        "dedup_embedding_cosine_blocked": _q_dedup_embedding_blocked,
         "dedup_embedding_cosine_lsh": _q_dedup_embedding_lsh,
         "langid_documents": _q_langid,
         "perplexity_documents": _q_perplexity,
@@ -786,6 +797,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT u, v FROM inter "
             "JOIN sizes su ON su.doc_id = u JOIN sizes sv ON sv.doc_id = v "
             "WHERE i >= 0.5 * (su.n + sv.n - i)"
+        ),
+        "dedup_embedding_cosine_blocked": (
+            # same exact semantics as dedup_embedding_cosine — the
+            # distributed block-cascade must hash-match the identical SQL
+            "SELECT e.vec_id FROM embeddings e WHERE NOT EXISTS ("
+            "SELECT 1 FROM embeddings o WHERE o.vec_id < e.vec_id "
+            "AND list_cosine_similarity(o.embedding, e.embedding) >= 0.45) "
+            "ORDER BY e.vec_id"
         ),
         "dedup_embedding_cosine": (
             "SELECT e.vec_id FROM embeddings e WHERE NOT EXISTS ("

@@ -68,3 +68,45 @@ def test_lsh_dedup_no_neardups_keeps_all(ray_session):
     )
     kept = dedup_embedding_cosine_lsh(rd.from_arrow(t), threshold=0.99)
     assert len(kept) == 100
+
+
+def test_blocked_exact_matches_broadcast_exact(planted_vectors):
+    """The distributed block-cascade exact dedup is bit-identical to
+    the broadcast exact path."""
+    from validatelite_ray.stages.similarity import (
+        dedup_embedding_cosine,
+        dedup_embedding_cosine_blocked,
+    )
+
+    ds, _ = planted_vectors
+    a = dedup_embedding_cosine(ds, threshold=0.9)["vec_id"].to_pylist()
+    b = dedup_embedding_cosine_blocked(ds, threshold=0.9)["vec_id"].to_pylist()
+    assert a == b
+
+
+def test_blocked_exact_small_blocks(ray_session):
+    """Multiple small blocks (forced via repartition) still agree."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.similarity import (
+        dedup_embedding_cosine,
+        dedup_embedding_cosine_blocked,
+    )
+
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((120, 8))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dups = base[:30] + 0.03 * rng.standard_normal((30, 8))
+    dups /= np.linalg.norm(dups, axis=1, keepdims=True)
+    mat = np.vstack([base, dups])
+    ids = rng.permutation(len(mat))  # unsorted input ids
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(7)
+    a = dedup_embedding_cosine(ds, threshold=0.9)["vec_id"].to_pylist()
+    b = dedup_embedding_cosine_blocked(ds, threshold=0.9)["vec_id"].to_pylist()
+    assert a == b and len(a) < len(mat)

@@ -280,6 +280,58 @@ def dedup_embedding_cosine(
     return pa.table({id_col: pa.array(rows, pa.int64())})
 
 
+def dedup_embedding_cosine_blocked(
+    ds,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """EXACT keep-first dominance, fully distributed (no driver matrix).
+
+    Same contract and bit-identical result as ``dedup_embedding_cosine``
+    (drop a vector iff some lower-id vector has cosine ≥ threshold).
+    Plan: sort the slim (id, vec) columns by id → Arrow blocks cover
+    disjoint ascending id ranges → one Ray task per block computes its
+    rows' dominance against blocks 0..i, fetching ONE comparison block
+    at a time (peak task memory = 2 blocks, not the corpus). This is
+    the O(n²/2) compute the exact metric inherently costs, spread as a
+    triangular task set — raw ``ray.remote`` because a triangular
+    cross-block dependency is not expressible on the Dataset API
+    (the documented escape hatch). Use the LSH variant when
+    approximate recall is acceptable; use this when exactness matters
+    more than the quadratic compute.
+    """
+    import ray
+
+    slim = ds.select_columns([id_col, vec_col]).sort(id_col)
+    refs = slim.to_arrow_refs()
+
+    @ray.remote
+    def block_keep(i: int, block_refs):
+        cur = ray.get(block_refs[-1])
+        ids = np.asarray(cur[id_col], dtype=np.int64)
+        if not len(ids):
+            return ids
+        mat = _normalize(_to_matrix(cur[vec_col]))
+        dominated = np.zeros(len(ids), dtype=bool)
+        for r in block_refs:  # one comparison block in memory at a time
+            other = ray.get(r)
+            o_ids = np.asarray(other[id_col], dtype=np.int64)
+            if not len(o_ids):
+                continue
+            o_mat = _normalize(_to_matrix(other[vec_col]))
+            sims = mat @ o_mat.T
+            earlier = o_ids[None, :] < ids[:, None]
+            dominated |= ((sims >= threshold) & earlier).any(axis=1)
+        return ids[~dominated]
+
+    outs = ray.get(
+        [block_keep.remote(i, refs[: i + 1]) for i in range(len(refs))]
+    )
+    kept = np.sort(np.concatenate([o for o in outs if len(o)])) if outs else np.empty(0)
+    return pa.table({id_col: pa.array(kept.astype(np.int64), pa.int64())})
+
+
 def dedup_embedding_cosine_lsh(
     ds,
     threshold: float = 0.9,
