@@ -430,3 +430,33 @@ def test_perplexity_on_sliced_array():
     full = ppl.score_array(arr)
     sliced = ppl.score_array(arr.slice(1))
     assert np.allclose(sliced, full[1:])
+
+
+def test_streaming_run_all_rows_fail(ray_session, tmp_path):
+    """Every row failing the rules → empty dedup input, zero kept rows,
+    and the decision shuffle handles the empty dataset."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from validatelite_ray.pipelines.quality_filter import (
+        QualityFilterConfig,
+        run_streaming,
+    )
+
+    n = 50
+    t = pa.table(
+        {
+            "repo": [f"r{i}" for i in range(n)],
+            "path": [f"p{i}" for i in range(n)],
+            "commit": [f"c{i}" for i in range(n)],
+            "lang": ["py"] * n,
+            "content": ["x" * 3] * n,  # below min_chars=10 → size rule fails
+        }
+    )
+    src = tmp_path / "in.parquet"
+    pq.write_table(t, src)
+    s = run_streaming([str(src)], str(tmp_path / "out"), QualityFilterConfig())
+    assert s["total_rows"] == n
+    assert s["kept_rows"] == 0
+    assert s["dropped_duplicates"] == 0
+    assert s["rules"]["size"] == n

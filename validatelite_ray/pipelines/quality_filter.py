@@ -551,7 +551,10 @@ def run_streaming(
     )
     passing_count = int(rows.pop("keep_rules"))
     n_total = int(metrics["total_records"][0].as_py())
-    kept_count = rd.read_parquet(kept_dir).count()  # parquet metadata only
+    # parquet metadata only; an all-dropped run writes no files at all
+    kept_count = (
+        rd.read_parquet(kept_dir).count() if ckpt.list_files(kept_dir) else 0
+    )
     return {
         "total_rows": n_total,
         "kept_rows": int(kept_count),
