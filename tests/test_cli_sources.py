@@ -222,3 +222,40 @@ class TestCliFilterStreaming:
                       "--streaming", "--num-cpus", "4"])
         s2 = json.loads(p2.stdout)
         assert s2["kept_rows"] == s["kept_rows"]
+
+
+class TestCsvSniffing:
+    def test_semicolon_csv(self, ray_session, tmp_path):
+        from validatelite_ray.sources.io import open_source, sniff_delimiter
+
+        p = tmp_path / "semi.csv"
+        p.write_text("id;name;age\n1;alice;30\n2;bob;25\n")
+        assert sniff_delimiter(str(p)) == ";"
+        ds = open_source(str(p))
+        assert ds.schema().names == ["id", "name", "age"]
+        assert ds.count() == 2
+
+    def test_comma_still_default(self, ray_session, tmp_path):
+        from validatelite_ray.sources.io import open_source
+
+        p = tmp_path / "plain.csv"
+        p.write_text("a,b\n1,2\n")
+        assert open_source(str(p)).count() == 1
+
+    def test_bad_lines_skipped(self, ray_session, tmp_path):
+        from validatelite_ray.sources.io import open_source
+
+        p = tmp_path / "corrupt.csv"
+        p.write_text("a,b\n1,2\n3,4,EXTRA,COLS\n5,6\n")
+        ds = open_source(str(p))
+        rows = sorted((r["a"], r["b"]) for r in ds.take_all())
+        assert rows == [(1, 2), (5, 6)]  # inconsistent row skipped
+
+    def test_latin1_encoding(self, ray_session, tmp_path):
+        from validatelite_ray.sources.io import open_source
+
+        p = tmp_path / "enc.csv"
+        p.write_bytes("name,city\nJos\xe9,K\xf6ln\n".encode("latin-1"))
+        ds = open_source(str(p), encoding="latin-1")
+        row = ds.take_all()[0]
+        assert row["name"] == "José" and row["city"] == "Köln"

@@ -261,6 +261,9 @@ def main(argv: list[str] | None = None) -> int:
                             "or a DB URL (sqlite:///file.db.TABLE)")
     check.add_argument("--table", dest="db_table", default=None,
                        help="table name for database-URL sources")
+    check.add_argument("--encoding", default=None,
+                       help="text encoding for CSV/TSV sources (reference "
+                            "encoding parameter; default utf8)")
     check.add_argument("--rule", action="append", default=[],
                        help="inline rule, e.g. 'not_null(id)' (repeatable)")
     check.add_argument("--rules-file", default=None, help="JSON rules file")
@@ -360,7 +363,7 @@ def main(argv: list[str] | None = None) -> int:
             if is_db_url(args.source):
                 ds = open_db_source(args.source, table=args.db_table)
             else:
-                ds = open_source(args.source)
+                ds = open_source(args.source, encoding=args.encoding)
         except SourceError as exc:
             print(f"error: {exc}", file=sys.stderr)
             return EXIT_SOURCE_ERROR

@@ -58,8 +58,33 @@ def parse_source(source: str) -> SourceSpec:
     return SourceSpec(str(p), fmt, p.stem.replace("-", "_"))
 
 
-def open_source(source: str | SourceSpec, columns: list[str] | None = None):
-    """SourceSpec/path → ray.data.Dataset (column-pruned where supported)."""
+def sniff_delimiter(path: str, encoding: str = "utf8") -> str:
+    """Reference separator sniffing (data_validator.py:326-337): try
+    ``,`` then ``;`` then ``\\t`` — first that yields more than one
+    column on the header line wins; fall back to comma."""
+    try:
+        with open(path, "rb") as f:
+            head = f.readline()
+        line = head.decode(encoding, errors="replace").rstrip("\r\n")
+    except OSError:
+        return ","
+    for sep in (",", ";", "\t"):
+        if len(line.split(sep)) > 1:
+            return sep
+    return ","
+
+
+def open_source(
+    source: str | SourceSpec,
+    columns: list[str] | None = None,
+    encoding: str | None = None,
+):
+    """SourceSpec/path → ray.data.Dataset (column-pruned where supported).
+
+    CSV behavior mirrors the reference's ingest (data_validator.py:
+    326-382): separator sniffing across ``, ; \\t``, an ``encoding``
+    override, and bad-line recovery (inconsistent rows are skipped
+    rather than failing the whole file)."""
     import ray.data as rd
 
     spec = source if isinstance(source, SourceSpec) else parse_source(source)
@@ -70,14 +95,23 @@ def open_source(source: str | SourceSpec, columns: list[str] | None = None):
     # empty strings read as NULL — matching the reference's pandas
     # read_csv staging (empty cell → NaN → SQL NULL)
     convert = pacsv.ConvertOptions(strings_can_be_null=True)
-    if spec.fmt == "csv":
-        ds = rd.read_csv(spec.path, convert_options=convert)
-    elif spec.fmt == "tsv":
-        ds = rd.read_csv(
-            spec.path,
-            parse_options=pacsv.ParseOptions(delimiter="\t"),
-            convert_options=convert,
+    read_opts = pacsv.ReadOptions(encoding=encoding) if encoding else None
+    if spec.fmt in ("csv", "tsv"):
+        delim = (
+            "\t"
+            if spec.fmt == "tsv"
+            else sniff_delimiter(spec.path, encoding or "utf8")
         )
+        parse = pacsv.ParseOptions(
+            delimiter=delim,
+            # reference recovery path: skip minor corruption (rows with
+            # inconsistent column counts) instead of failing the file
+            invalid_row_handler=lambda row: "skip",
+        )
+        kwargs = {"parse_options": parse, "convert_options": convert}
+        if read_opts is not None:
+            kwargs["read_options"] = read_opts
+        ds = rd.read_csv(spec.path, **kwargs)
     elif spec.fmt in ("json", "jsonl"):
         ds = rd.read_json(spec.path)
     elif spec.fmt == "excel":
