@@ -78,6 +78,14 @@ class QualityFilterConfig:
     batch_size: int = 512
     scorer_concurrency: int = 2
     scorer_num_cpus: float = 0.5
+    #: dedup-decision resolution strategy switch: when the decision
+    #: shuffle reports at most this many duplicated hash groups, the
+    #: winner pairs are broadcast (ray.put once, is_in per batch —
+    #: cheapest on mostly-unique corpora); above it the decision table
+    #: STAYS a Dataset and kept rows are resolved with a distributed
+    #: left-outer hash join (no O(#duplicated hashes) driver state —
+    #: the safe path for 30-50%-duplicated web-scale corpora)
+    dedup_broadcast_max_groups: int = 200_000
 
     def rules(self) -> list[RuleSpec]:
         """Quality thresholds expressed as ordinary ValidateLite rules
@@ -262,19 +270,21 @@ class WinnerDecisions:
     n_extra_rows: int           # rows beyond one-per-hash (incl. ties)
 
 
-def dedup_winner_decisions(labels_ds) -> WinnerDecisions:
-    """Decide exact dedup from SLIM columns in a SINGLE shuffle.
+def dedup_decision_table(labels_ds):
+    """Decide exact dedup from SLIM columns in a SINGLE shuffle; the
+    result is a Ray **Dataset** (sha256, winner, c, mc) with one row per
+    DUPLICATED hash — it never has to fit on the driver.
 
     One custom aggregate per sha256 over passing (sha256, uid) pairs
     computes (min uid, row count, count of rows equal to the min) —
-    vectorized per sorted group block. That yields the duplicated
-    hashes, their winner pairs, the tied winner pairs (value-identical
-    re-ingested rows, which no per-row value filter can reduce — they
-    detour through a tiny group-wise keep-first), and the loser counts.
-    Round-2 history: the first version ran a second full scan+groupby
-    for tie detection, whose fixed overhead cost ~15% of the flagship's
-    8-cpu wall time; the custom aggregate folds it into the one
-    exchange. Winner membership stays pair-keyed (round-1 ADVICE).
+    vectorized per sorted group block. Round-2 history: the first
+    version ran a second full scan+groupby for tie detection, whose
+    fixed overhead cost ~15% of the flagship's 8-cpu wall time; the
+    custom aggregate folds it into the one exchange. Round-3: the
+    decision rows used to be ``take_all()``-ed into driver string
+    arrays unconditionally; now they stay a (materialized, object-
+    store-resident) Dataset and ``select_kept`` chooses broadcast vs
+    join resolution from the duplicated-group count.
     """
     from ray.data.aggregate import AggregateFn, Count, Min
 
@@ -308,7 +318,7 @@ def dedup_winner_decisions(labels_ds) -> WinnerDecisions:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    rows = (
+    return (
         pairs.groupby("sha256")
         .aggregate(Min("uid", alias_name="winner"), Count(alias_name="c"), min_count)
         .map_batches(
@@ -316,8 +326,14 @@ def dedup_winner_decisions(labels_ds) -> WinnerDecisions:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        .take_all()
+        .materialize()
     )
+
+
+def decisions_from_rows(rows) -> WinnerDecisions:
+    """Build the broadcastable ``WinnerDecisions`` arrays from decision-
+    table rows (only called when the duplicated-group count is under the
+    broadcast budget)."""
     dup_shas, winner_pairs, tied_pairs = [], [], []
     n_losers = n_extra = 0
     for r in rows:
@@ -337,6 +353,158 @@ def dedup_winner_decisions(labels_ds) -> WinnerDecisions:
         n_losers=int(n_losers),
         n_extra_rows=int(n_extra),
     )
+
+
+def dedup_winner_decisions(labels_ds) -> WinnerDecisions:
+    """Driver-side decision arrays (stable surface for small corpora and
+    for ``compute_drop_list``); the run paths go through
+    ``dedup_decision_table`` + ``select_kept`` and only collect the
+    rows when they are under the broadcast budget."""
+    return decisions_from_rows(dedup_decision_table(labels_ds).take_all())
+
+
+def select_kept(wide_ds, dec, broadcast_max_groups: int = 200_000):
+    """Resolve exact dedup over the wide labels rows: return the kept
+    rows (``keep_rules`` consumed and dropped).
+
+    ``dec`` is the materialized decision Dataset from
+    ``dedup_decision_table``. Two physical strategies:
+
+    * **broadcast** (duplicated groups ≤ ``broadcast_max_groups``): the
+      winner pairs are collected once and ``ray.put``; every batch
+      filters with ``is_in``. Zero extra shuffle — right for the
+      mostly-unique corpus where duplicated hashes are a tiny minority.
+    * **bucket cogroup** (above the budget): the decision table STAYS
+      distributed. Both the passing rows and the decision rows get a
+      ``__bucket = hash(sha256) % NB`` column under one aligned schema,
+      are unioned, and ONE sort-shuffle ``groupby(__bucket)`` colocates
+      every hash group with its decision row; each bucket then runs the
+      exact same vectorized membership filter LOCALLY. Driver state is
+      O(1) — the scale path for heavily-duplicated web corpora. NB
+      scales with the cluster, so a bucket is always a bounded slice.
+      (Ray's ``Dataset.join`` was deliberately avoided here: its hash
+      partitioner is a per-row Python loop and it breaks when a filtered
+      input's first block is empty; the sort-based groupby exchange is
+      vectorized and robust. Semantics: ref
+      core/executors/uniqueness_executor.py:98-123.)
+
+    Rows of TIED winner pairs (value-identical re-ingested rows, which
+    no per-row value filter can reduce) resolve through a group-wise
+    keep-first in both strategies; normally there are none.
+    """
+    import ray
+
+    n_dup = dec.count()
+
+    def passing(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["keep_rules"], True)).drop_columns(["keep_rules"])
+
+    if n_dup == 0:
+        return wide_ds.map_batches(
+            passing, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def head1(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    if n_dup <= broadcast_max_groups:
+        d = decisions_from_rows(dec.take_all())
+        decisions_ref = ray.put((d.dup_shas, d.winner_pairs, d.tied_pairs))
+
+        def kept_filter(b: pa.Table, want_tied: bool) -> pa.Table:
+            dup_shas, wpairs, tied = ray.get(decisions_ref)
+            b = passing(b)
+            pair = pc.binary_join_element_wise(b["sha256"], b["uid"], UID_SEP)
+            if want_tied:
+                return b.filter(pc.is_in(pair, value_set=tied))
+            not_dup = pc.invert(pc.is_in(b["sha256"], value_set=dup_shas))
+            winner = pc.is_in(pair, value_set=wpairs)
+            if len(tied):
+                winner = pc.and_(winner, pc.invert(pc.is_in(pair, value_set=tied)))
+            return b.filter(pc.or_(not_dup, winner))
+
+        kept = wide_ds.map_batches(
+            lambda b: kept_filter(b, False),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        if len(d.tied_pairs):
+            tied_resolved = (
+                wide_ds.map_batches(
+                    lambda b: kept_filter(b, True),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                .groupby("sha256")
+                .map_groups(head1, batch_format="pyarrow")
+            )
+            kept = kept.union(tied_resolved)
+        return kept
+
+    # ---- bucket-cogroup path: decision table stays a Dataset ----
+    from validatelite_ray.stages.dedup import _token_hashes
+
+    nb = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    sch = wide_ds.schema()
+    out_names = [n for n in sch.names if n != "keep_rules"]
+    out_types = {n: t for n, t in zip(sch.names, sch.types)}
+
+    def _bucket(shas) -> pa.Array:
+        if isinstance(shas, pa.ChunkedArray):
+            shas = shas.combine_chunks()
+        return pa.array(
+            (_token_hashes(shas) % np.uint64(nb)).astype(np.int32), pa.int32()
+        )
+
+    def tag_passing(b: pa.Table) -> pa.Table:
+        b = passing(b)
+        cols = {n: b[n] for n in out_names}
+        cols["winner"] = pa.nulls(len(b), pa.string())
+        cols["mc"] = pa.nulls(len(b), pa.int64())
+        cols["__bucket"] = _bucket(b["sha256"])
+        return pa.table(cols)
+
+    def tag_dec(b: pa.Table) -> pa.Table:
+        cols = {
+            n: (b["sha256"] if n == "sha256" else pa.nulls(len(b), out_types[n]))
+            for n in out_names
+        }
+        cols["winner"] = b["winner"]
+        cols["mc"] = pc.cast(b["mc"], pa.int64())
+        cols["__bucket"] = _bucket(b["sha256"])
+        return pa.table(cols)
+
+    tagged = wide_ds.map_batches(
+        tag_passing, batch_format="pyarrow", zero_copy_batch=True
+    ).union(dec.map_batches(tag_dec, batch_format="pyarrow", zero_copy_batch=True))
+
+    def _plain(arr) -> pa.Array:
+        return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+    def resolve(g: pa.Table) -> pa.Table:
+        is_dec = pc.is_valid(g["winner"])
+        decs = g.filter(is_dec)
+        rows = g.filter(pc.invert(is_dec))
+        dup_shas = _plain(decs["sha256"])
+        wpairs = _plain(
+            pc.binary_join_element_wise(decs["sha256"], decs["winner"], UID_SEP)
+        )
+        tied = _plain(wpairs.filter(_plain(pc.greater(decs["mc"], 1))))
+        pair = _plain(pc.binary_join_element_wise(rows["sha256"], rows["uid"], UID_SEP))
+        not_dup = pc.invert(pc.is_in(rows["sha256"], value_set=dup_shas))
+        winner = pc.is_in(pair, value_set=wpairs)
+        if len(tied):
+            winner = pc.and_(winner, pc.invert(pc.is_in(pair, value_set=tied)))
+        kept = rows.filter(pc.or_(not_dup, winner))
+        if len(tied):
+            tmask = pc.is_in(pair, value_set=tied)
+            trows = rows.filter(tmask)
+            tpairs = np.asarray(pair.filter(tmask))
+            _, first_idx = np.unique(tpairs, return_index=True)
+            kept = pa.concat_tables([kept, trows.take(pa.array(np.sort(first_idx)))])
+        return kept.select(out_names)
+
+    return tagged.groupby("__bucket").map_groups(resolve, batch_format="pyarrow")
 
 
 def compute_drop_list(labels_ds) -> pa.Array:
@@ -496,52 +664,24 @@ def run_streaming(
     metrics_future = pool.submit(metrics_job)
 
     # job 2a (slim): ONE decision shuffle on (sha256, uid, keep_rules)
-    # — winners / ties / loser counts, O(#duplicated hashes)
+    # — a Dataset of winners / ties / loser counts, O(#duplicated
+    # hashes) in the OBJECT STORE (driver state only under the
+    # broadcast budget)
     slim = rd.read_parquet(
         label_files,
         columns=["sha256", "uid", "keep_rules"],
         filesystem=labels_fs,
         override_num_blocks=slim_blocks,
     )
-    d = dedup_winner_decisions(slim)
-    tied_pairs = d.tied_pairs
-    decisions_ref = ray.put((d.dup_shas, d.winner_pairs, d.tied_pairs))
+    dec = dedup_decision_table(slim)
 
-    # job 2b (wide): ONE pass over the wide columns — a row is kept iff
-    # its hash is not duplicated OR it is the (untied) winner pair;
-    # rows of tied pairs (normally none) detour through a tiny
-    # group-wise keep-first. No loser enumeration anywhere.
-    def kept_filter(b: pa.Table, want_tied: bool) -> pa.Table:
-        dup_shas, wpairs, tied = ray.get(decisions_ref)
-        b = b.filter(pc.equal(b["keep_rules"], True)).drop_columns(["keep_rules"])
-        if not len(dup_shas):
-            return b if not want_tied else b.slice(0, 0)
-        pair = pc.binary_join_element_wise(b["sha256"], b["uid"], UID_SEP)
-        if want_tied:
-            return b.filter(pc.is_in(pair, value_set=tied))
-        not_dup = pc.invert(pc.is_in(b["sha256"], value_set=dup_shas))
-        winner = pc.is_in(pair, value_set=wpairs)
-        if len(tied):
-            winner = pc.and_(winner, pc.invert(pc.is_in(pair, value_set=tied)))
-        return b.filter(pc.or_(not_dup, winner))
-
+    # job 2b (wide): ONE pass over the wide columns — broadcast is_in
+    # membership on mostly-unique corpora, distributed left-outer join
+    # above the duplicated-group budget. No loser enumeration anywhere.
     wide = rd.read_parquet(
         label_files, columns=kept_cols + ["keep_rules"], filesystem=labels_fs
     )
-    kept = wide.map_batches(
-        lambda b: kept_filter(b, False), batch_format="pyarrow", zero_copy_batch=True
-    )
-    if len(tied_pairs):
-        tied_resolved = (
-            wide.map_batches(
-                lambda b: kept_filter(b, True),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            .groupby("sha256")
-            .map_groups(lambda g: g.head(1), batch_format="pandas")
-        )
-        kept = kept.union(tied_resolved)
+    kept = select_kept(wide, dec, cfg.dedup_broadcast_max_groups)
     kept.write_parquet(kept_dir)
 
     metrics = metrics_future.result()
@@ -627,41 +767,43 @@ def run(
         return metrics_from_labels(
             rd.read_parquet(
                 label_files,
-                columns=[f"fail_{n}" for n in rule_names],
+                columns=[f"fail_{n}" for n in rule_names] + ["keep_rules"],
                 filesystem=labels_fs,
                 override_num_blocks=slim_blocks,
             ),
             rule_names,
+            count_true_cols=("keep_rules",),
         )
 
     _pool = ThreadPoolExecutor(max_workers=1)
     _metrics_future = _pool.submit(metrics_job)
 
-    # global dedup (phase B) — column-pruned read of the labels output
+    # global dedup (phase B) — column-pruned read of the labels output;
+    # the decision table is a Dataset (broadcast only under the budget)
     slim = rd.read_parquet(
         label_files,
         columns=["sha256", "uid", "keep_rules"],
         filesystem=labels_fs,
         override_num_blocks=slim_blocks,
     )
-    drops = compute_drop_list(slim)
-    drop_ref = ray.put(drops)
+    dec = dedup_decision_table(slim)
 
-    # final keep + kept-rows output (phase C) — clear first:
-    # write_parquet appends part files into an existing directory
-    labels_full = rd.read_parquet(label_files, filesystem=labels_fs)
-    final = finalize_keep(labels_full, drop_ref)
+    # kept-rows output (phase C) — clear first: write_parquet appends
+    # part files into an existing directory
     kept_dir = posixpath.join(out, "kept")
     _fs, _p, _ = ckpt._fs_for(kept_dir)
     ckpt._rmtree(_fs, _p)
     kept_cols = list(dict.fromkeys([*cfg.key_cols, "lang", "sha256", "content_scrubbed"]))
 
-    def project_kept(b: pa.Table) -> pa.Table:
-        kept = b.filter(pc.equal(b["keep"], True))
-        return kept.select([c for c in kept_cols if c in kept.column_names])
-
-    final.map_batches(
-        project_kept, batch_format="pyarrow", zero_copy_batch=True
+    wide = rd.read_parquet(
+        label_files,
+        columns=list(dict.fromkeys([*kept_cols, "uid", "keep_rules"])),
+        filesystem=labels_fs,
+    )
+    select_kept(wide, dec, cfg.dedup_broadcast_max_groups).map_batches(
+        lambda b: b.select(kept_cols),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     ).write_parquet(kept_dir)
 
     # metrics (per-rule counts + dedup accounting) — computed overlapped
@@ -669,10 +811,16 @@ def run(
     _pool.shutdown()
     import pyarrow.parquet as pq
 
-    n_total = int(pc.sum(metrics["total_records"]).as_py() or 0) // max(len(rule_names), 1)
-    n_dropped_dup = len(drops)
+    mrows = dict(
+        zip(metrics["rule_name"].to_pylist(), metrics["failed_records"].to_pylist())
+    )
+    passing_count = int(mrows.pop("keep_rules"))
+    n_total = int(metrics["total_records"][0].as_py())
+    # keep_rules is an internal accounting row — the persisted metrics
+    # table carries the per-rule records only (reference result shape)
+    keep_mask = pc.invert(pc.equal(metrics["rule_name"], "keep_rules"))
     _mfs, _mp, _ = ckpt._fs_for(posixpath.join(out, "metrics.parquet"))
-    pq.write_table(metrics, _mp, filesystem=_mfs)
+    pq.write_table(metrics.filter(keep_mask), _mp, filesystem=_mfs)
 
     kept_count = (
         rd.read_parquet(kept_dir).count() if ckpt.list_files(kept_dir) else 0
@@ -681,14 +829,8 @@ def run(
         "shards": stats,
         "total_rows": n_total,
         "kept_rows": int(kept_count),
-        "dropped_duplicates": n_dropped_dup,
-        "rules": {
-            name: int(failed)
-            for name, failed in zip(
-                metrics["rule_name"].to_pylist(),
-                metrics["failed_records"].to_pylist(),
-            )
-        },
+        "dropped_duplicates": int(passing_count - kept_count),
+        "rules": mrows,
         "out_dir": str(out),
     }
     return summary
