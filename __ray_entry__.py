@@ -390,6 +390,16 @@ def _q_dedup_minhash(sf_dir: str):
     return dedup_minhash_lsh(ds, id_col="doc_id", text_col="text", concurrency=2)
 
 
+def _q_dedup_simhash_clusters(sf_dir: str):
+    """SimHash end-to-end near-dup clusters: band groupby + in-bucket
+    Hamming verify + connected components (rows-only; pytest carries a
+    brute-force-Hamming oracle on a planted fixture)."""
+    from validatelite_ray.stages.dedup import dedup_simhash_clusters
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_simhash_clusters(ds, id_col="doc_id", text_col="text", concurrency=2)
+
+
 def _q_dedup_simhash(sf_dir: str):
     """Per-doc 64-bit simhash + band blocks (deterministic; rows-only)."""
     from validatelite_ray.stages.dedup import SimHasher
@@ -633,6 +643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_documents": _q_dedup_minhash,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "dedup_simhash_documents": _q_dedup_simhash,
+        "dedup_simhash_clusters": _q_dedup_simhash_clusters,
         "ann_topk_embeddings": _q_ann_topk,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_embedding_cosine_blocked": _q_dedup_embedding_blocked,

@@ -1,0 +1,105 @@
+"""Golden-value regression tests for the deterministic sketch stages.
+
+MinHash band signatures, SimHash values, and winnowing fingerprints are
+pure deterministic functions of the input text, so their outputs on the
+sf0.001 documents table are pinned bit-exactly
+(tests/data/golden_sketches_sf0001.json, generated once from the
+round-3 implementation). This gives the rows-only sketch queries hard
+correctness evidence: any silent drift — tokenizer change, hash-mixing
+change, batch-dependent state, slice-offset bugs — fails here with the
+exact values that moved.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+GOLDEN = Path(__file__).parent / "data" / "golden_sketches_sf0001.json"
+
+
+@pytest.fixture(scope="module")
+def docs_batch(sf_dir):
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pa.Table.from_arrays(
+        [t["doc_id"].combine_chunks(), t["text"].combine_chunks()],
+        names=["doc_id", "text"],
+    )
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return json.loads(GOLDEN.read_text())
+
+
+def test_minhash_bands_match_golden(docs_batch, golden):
+    from validatelite_ray.stages.dedup import MinHasher
+
+    mh = MinHasher(id_col="doc_id", text_col="text")(docs_batch)
+    bh = np.asarray(mh["band_hash"], dtype=np.int64)
+    assert len(mh) == golden["minhash_rows"]
+    checksum = int(np.sum(bh.view(np.uint64), dtype=np.uint64) % np.uint64(2**63))
+    assert checksum == golden["minhash_checksum"]
+    doc = np.asarray(mh["doc_id"], dtype=np.int64)
+    band = np.asarray(mh["band"], dtype=np.int64)
+    m = doc % 25 == 0
+    assert doc[m].tolist() == golden["minhash_sample"]["doc_id"]
+    assert band[m].tolist() == golden["minhash_sample"]["band"]
+    assert bh[m].tolist() == golden["minhash_sample"]["band_hash"]
+
+
+def test_minhash_batch_invariant(docs_batch, golden):
+    """Hashing in small slices must equal hashing the whole table (the
+    round-2 slice-offset bug class)."""
+    from validatelite_ray.stages.dedup import MinHasher
+
+    mh = MinHasher(id_col="doc_id", text_col="text")
+    total = np.uint64(0)
+    rows = 0
+    for start in range(0, len(docs_batch), 83):
+        piece = docs_batch.slice(start, 83)
+        piece = pa.Table.from_arrays(
+            [c.combine_chunks() for c in piece.columns], names=piece.column_names
+        )
+        out = mh(piece)
+        rows += len(out)
+        total += np.sum(
+            np.asarray(out["band_hash"], dtype=np.int64).view(np.uint64),
+            dtype=np.uint64,
+        )
+    assert rows == golden["minhash_rows"]
+    assert int(total % np.uint64(2**63)) == golden["minhash_checksum"]
+
+
+def test_simhash_matches_golden(docs_batch, golden):
+    from validatelite_ray.stages.dedup import SimHasher
+
+    sh = SimHasher(text_col="text")._simhash_batch(docs_batch["text"]).view(np.int64)
+    assert docs_batch["doc_id"].to_pylist() == golden["simhash"]["doc_id"]
+    assert sh.tolist() == golden["simhash"]["simhash"]
+
+
+def test_simhash_batch_invariant(docs_batch, golden):
+    from validatelite_ray.stages.dedup import SimHasher
+
+    hasher = SimHasher(text_col="text")
+    got = []
+    for start in range(0, len(docs_batch), 101):
+        piece = docs_batch["text"].slice(start, 101).combine_chunks()
+        got.extend(hasher._simhash_batch(piece).view(np.int64).tolist())
+    assert got == golden["simhash"]["simhash"]
+
+
+def test_winnow_matches_golden(docs_batch, golden):
+    from validatelite_ray.stages.fingerprint import winnow_fingerprints_batch
+
+    h, d = winnow_fingerprints_batch(docs_batch["text"], k=5, window=4)
+    assert int(h.size) == golden["winnow_rows"]
+    checksum = int(np.sum(h, dtype=np.uint64) % np.uint64(2**63))
+    assert checksum == golden["winnow_checksum"]
+    first5 = d < 5
+    assert d[first5].tolist() == golden["winnow_sample"]["local_doc"]
+    assert h[first5].view(np.int64).tolist() == golden["winnow_sample"]["fingerprint"]

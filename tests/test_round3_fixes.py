@@ -164,3 +164,116 @@ def test_run_checkpointed_join_path(ray_session, tmp_path):
     assert s_ckpt["kept_rows"] == s_stream["kept_rows"]
     assert s_ckpt["dropped_duplicates"] == s_stream["dropped_duplicates"]
     assert s_ckpt["rules"] == s_stream["rules"]
+
+
+# ---------------------------------------------------------------------------
+# SimHash end-to-end clusters (round-3 verdict item 3)
+# ---------------------------------------------------------------------------
+
+def _simhash_corpus():
+    """Deterministic corpus with planted near-dup clusters: variants of a
+    base document differing by a few words (small Hamming), plus
+    unrelated documents."""
+    rng = np.random.default_rng(123)
+    words = [f"tok{i}" for i in range(400)]
+    docs = []
+    doc_id = 0
+
+    def base_text(seed, n=120):
+        r = np.random.default_rng(seed)
+        return " ".join(words[i] for i in r.integers(0, len(words), n))
+
+    for c in range(6):  # 6 planted clusters of 3 near-identical variants
+        base = base_text(1000 + c).split()
+        for v in range(3):
+            t = list(base)
+            # vary a couple of words per variant
+            for j in range(v):
+                t[10 * (j + 1)] = words[(c * 7 + j) % len(words)]
+            docs.append((doc_id, " ".join(t)))
+            doc_id += 1
+    for u in range(40):  # unrelated docs
+        docs.append((doc_id, base_text(5000 + u)))
+        doc_id += 1
+    perm = rng.permutation(len(docs))
+    return pa.table(
+        {
+            "doc_id": pa.array([int(docs[i][0]) for i in perm], pa.int64()),
+            "text": pa.array([docs[i][1] for i in perm], pa.string()),
+        }
+    )
+
+
+def _brute_force_simhash_clusters(table, max_hamming=3):
+    """Oracle: per-doc simhash (same hasher), ALL-pairs Hamming,
+    union-find."""
+    from validatelite_ray.stages.dedup import (
+        SimHasher,
+        _connected_components,
+        hamming64,
+    )
+
+    hasher = SimHasher(text_col="text")
+    sims = hasher._simhash_batch(table["text"]).view(np.int64)
+    ids = table["doc_id"].to_pylist()
+    edges = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if hamming64(int(sims[i]), int(sims[j])) <= max_hamming:
+                edges.append(tuple(sorted((ids[i], ids[j]))))
+    roots = _connected_components(sorted(set(edges)))
+    clusters: dict[int, set] = {}
+    for doc, root in roots.items():
+        clusters.setdefault(root, set()).add(doc)
+    return {frozenset(s) for s in clusters.values()}
+
+
+def test_simhash_clusters_match_bruteforce_oracle(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.dedup import dedup_simhash_clusters
+
+    t = _simhash_corpus()
+    expected = _brute_force_simhash_clusters(t)
+    assert len(expected) >= 3  # several planted clusters are detectable
+
+    out = dedup_simhash_clusters(
+        rd.from_arrow(t), id_col="doc_id", text_col="text"
+    )
+    got: dict[int, set] = {}
+    for doc, root in zip(out["doc_id"], out["cluster_id"]):
+        got.setdefault(root, set()).add(doc)
+    assert {frozenset(s) for s in got.values()} == expected
+
+
+def test_simhash_clusters_identical_docs_hot_bucket(ray_session):
+    """A hash duplicated beyond all_pairs_max still forms ONE cluster
+    (star edges keep it connected)."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.dedup import dedup_simhash_clusters
+
+    text = " ".join(f"w{i}" for i in range(50))
+    n = 100
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array([text] * n, pa.string()),
+        }
+    )
+    out = dedup_simhash_clusters(
+        rd.from_arrow(t), id_col="doc_id", text_col="text", all_pairs_max=16
+    )
+    assert len(out) == n
+    assert out["cluster_id"].nunique() == 1
+
+
+def test_popcount64_matches_python(ray_session):
+    from validatelite_ray.stages.dedup import hamming64, popcount64
+
+    rng = np.random.default_rng(9)
+    xs = rng.integers(0, 2**63, size=1000, dtype=np.int64).view(np.uint64)
+    ys = rng.integers(0, 2**63, size=1000, dtype=np.int64).view(np.uint64)
+    got = popcount64(xs ^ ys)
+    for i in range(0, 1000, 97):
+        assert int(got[i]) == hamming64(int(xs[i]), int(ys[i]))

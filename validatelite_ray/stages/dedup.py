@@ -776,3 +776,121 @@ class SimHasher:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR); input/output uint64."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+class _SimHashBands(SimHasher):
+    """Fan-out stage for the end-to-end operator: one row per
+    (doc, band) — (band, band_val, doc, simhash) — ready for the LSH
+    groupby. Two docs within Hamming distance ``n_blocks - 1`` share at
+    least one band value (pigeonhole), so grouping on (band, band_val)
+    has no false negatives at ``max_hamming ≤ n_blocks - 1``."""
+
+    def __init__(self, id_col: str, text_col: str, n_blocks: int):
+        super().__init__(text_col=text_col, n_blocks=n_blocks)
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = self._simhash_batch(batch[self.text_col])
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        nb = self.n_blocks
+        width = 64 // nb
+        mask = np.uint64((1 << width) - 1)
+        vals = np.empty((len(batch), nb), np.uint64)
+        for i in range(nb):
+            # salt the band value with the band index so band i and
+            # band j collisions never share a groupby key
+            vals[:, i] = _mix64(((sh >> np.uint64(i * width)) & mask) * _GOLDEN + np.uint64(i))
+        return pa.table(
+            {
+                "band_val": pa.array(vals.ravel().view(np.int64)),
+                "doc": ids.take(pa.array(np.repeat(np.arange(len(batch)), nb))),
+                "simhash": pa.array(np.repeat(sh.view(np.int64), nb)),
+            }
+        )
+
+
+def dedup_simhash_clusters(
+    ds: "ray.data.Dataset",  # noqa: F821
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+    concurrency: int = 4,
+    all_pairs_max: int = 64,
+) -> "pd.DataFrame":
+    """End-to-end SimHash near-dup clustering (the missing round-2
+    operator): simhash + band fan-out → (band_val) groupby (the
+    all-to-all exchange; band values are splitmix-mixed so no skew
+    beyond true duplicates) → vectorized Hamming verification INSIDE
+    each bucket (both signatures are already colocated, so unlike
+    MinHash-LSH no second verification pass is needed) → min-label
+    connected components on the verified edges.
+
+    Guarantee: every pair within Hamming ≤ ``n_blocks - 1`` shares a
+    band (pigeonhole) — exact recall at default ``max_hamming=3``,
+    ``n_blocks=4``. Buckets larger than ``all_pairs_max`` (true-dup
+    blobs) fall back to star edges to the minimum doc, like the MinHash
+    bucket expansion.
+
+    Returns pandas (id_col, cluster_id) for docs in clusters of
+    size ≥ 2; only verified near-dup edges ever reach the driver.
+    """
+    bands_ds = ds.map_batches(
+        _SimHashBands,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col, n_blocks=n_blocks),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=1024,
+    )
+
+    def bucket_edges(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"u": pa.array([], g.schema.field("doc").type),
+             "v": pa.array([], g.schema.field("doc").type)}
+        )
+        if g.num_rows < 2:
+            return empty
+        order = pc.sort_indices(g["doc"])
+        g = g.take(order)
+        docs = g["doc"]
+        if isinstance(docs, pa.ChunkedArray):
+            docs = docs.combine_chunks()
+        sims = np.asarray(g["simhash"], dtype=np.int64).view(np.uint64)
+        n = len(docs)
+        if n <= all_pairs_max:
+            iu, iv = np.triu_indices(n, k=1)
+        else:
+            iu = np.zeros(n - 1, np.int64)
+            iv = np.arange(1, n, dtype=np.int64)
+        ham = popcount64(sims[iu] ^ sims[iv])
+        keep = ham <= max_hamming
+        return pa.table(
+            {"u": docs.take(pa.array(iu[keep])), "v": docs.take(pa.array(iv[keep]))}
+        )
+
+    edge_rows = (
+        bands_ds.groupby("band_val")
+        .map_groups(bucket_edges, batch_format="pyarrow")
+        .take_all()
+    )
+    edges = sorted({(r["u"], r["v"]) for r in edge_rows})
+    roots = _connected_components(edges)
+    if not roots:
+        return pd.DataFrame({id_col: [], "cluster_id": []})
+    out = pd.DataFrame(
+        {id_col: list(roots.keys()), "cluster_id": list(roots.values())}
+    ).sort_values(id_col)
+    return out.reset_index(drop=True)
