@@ -1,0 +1,25 @@
+"""Stub network-database driver for testing the mysql/postgresql read
+path without network or client libraries.
+
+``stub_factory`` satisfies the ``sources.db`` driver contract
+(``factory(spec) -> DB-API connection``) by mapping the URL's database
+name onto a local SQLite file at ``/tmp/vlray_dbstub_<database>.sqlite``
+— path derivation is from the spec alone, so the factory works inside
+Ray worker tasks with no shared state. SQLite speaks enough of the
+common DB-API/SQL surface (``cursor``, ``LIMIT 0`` probes, ``MIN/MAX``,
+``BETWEEN`` range scans) to exercise the real partition planning and
+Arrow conversion; a production deployment drops in pymysql/psycopg
+instead (see ``sources/db.py:_driver_for``).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+
+def stub_path(database: str) -> str:
+    return f"/tmp/vlray_dbstub_{database}.sqlite"
+
+
+def stub_factory(spec):
+    return sqlite3.connect(stub_path(spec.database))
