@@ -1,0 +1,162 @@
+"""Legacy .xls (BIFF8/OLE2) source: container parsing, record decode,
+type inference parity with the .xlsx reader, CLI schema --workbook e2e.
+
+Fixtures are assembled by validatelite_ray.testing.xlswriter (a minimal
+[MS-CFB]+[MS-XLS] writer) since no Excel library ships here. Reference
+surface: cli/core/data_validator.py:392-551 reads .xls via pandas.
+"""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from validatelite_ray.sources.io import SourceError
+from validatelite_ray.sources.xls import (
+    _decode_rk,
+    extract_workbook_stream,
+    list_xls_sheets,
+    read_xls_sheet,
+)
+from validatelite_ray.testing.xlswriter import write_xls
+
+
+@pytest.fixture(scope="module")
+def xls_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("xls") / "book.xls"
+    write_xls(
+        str(p),
+        {
+            "users": [
+                ["id", "name", "age"],
+                [1, "alice", 30],
+                [2, None, 25],
+                [3, "bob", 200.5],  # float blocks int inference; violation
+            ],
+            "orders": [
+                ["oid", "sku", "qty"],
+                [10, "widget", 4],
+                [11, None, 2],
+            ],
+        },
+    )
+    return str(p)
+
+
+def test_list_sheets(xls_file):
+    assert list_xls_sheets(xls_file) == ["users", "orders"]
+
+
+def test_read_sheet_types_and_nulls(xls_file):
+    t = read_xls_sheet(xls_file, "users")
+    assert t.column_names == ["id", "name", "age"]
+    assert str(t.schema.field("id").type) == "int64"
+    assert str(t.schema.field("age").type) == "double"
+    assert t["name"].to_pylist() == ["alice", None, "bob"]
+    assert t["age"].to_pylist() == [30.0, 25.0, 200.5]
+
+
+def test_excel_dispatch_on_magic(xls_file):
+    """The .xlsx entry points transparently read .xls via the CFB magic."""
+    from validatelite_ray.sources.excel import list_sheets, read_excel_sheet
+
+    assert list_sheets(xls_file) == ["users", "orders"]
+    t = read_excel_sheet(xls_file, "orders")
+    assert t["sku"].to_pylist() == ["widget", None]
+
+
+def test_value_fidelity_roundtrip(tmp_path):
+    p = tmp_path / "vals.xls"
+    write_xls(
+        str(p),
+        {
+            "s": [
+                ["i", "f", "b", "s"],
+                [-123456789, 2.5, True, "héllo"],
+                [1 << 40, -1e-9, False, "x" * 300],
+            ]
+        },
+    )
+    t = read_xls_sheet(str(p), "s")
+    assert t["i"].to_pylist() == [-123456789, 1 << 40]
+    assert t["f"].to_pylist() == [2.5, -1e-9]
+    assert t["b"].to_pylist() == [True, False]
+    assert t["s"].to_pylist() == ["héllo", "x" * 300]
+
+
+def test_rk_decode():
+    # 30-bit int, int/100, and truncated-double encodings
+    assert _decode_rk((42 << 2) | 2) == 42.0
+    assert _decode_rk((4242 << 2) | 3) == 42.42
+    import struct
+
+    bits = struct.unpack("<Q", struct.pack("<d", 1.5))[0]
+    assert _decode_rk((bits >> 32) & ~0x3) == 1.5
+
+
+def test_bad_magic_clear_error(tmp_path):
+    p = tmp_path / "junk.xls"
+    p.write_bytes(b"not an ole2 file at all")
+    with pytest.raises(SourceError, match="magic"):
+        list_xls_sheets(str(p))
+
+
+def test_biff5_clear_error(tmp_path):
+    """A BIFF5 BOF (version 0x0500) is rejected with a clear message."""
+    import struct
+
+    from validatelite_ray.sources.xls import parse_workbook
+
+    bof5 = struct.pack("<HHHH", 0x0809, 4, 0x0500, 0x0005)
+    with pytest.raises(SourceError, match="BIFF"):
+        parse_workbook(bof5)
+
+
+def test_missing_sheet(xls_file):
+    with pytest.raises(SourceError, match="ghost"):
+        read_xls_sheet(xls_file, "ghost")
+
+
+def test_rules_over_xls(ray_session, xls_file):
+    from validatelite_ray.engine.engine import RuleEngine
+    from validatelite_ray.rules import spec as S
+    from validatelite_ray.sources.excel import open_excel_source
+
+    ds = open_excel_source(xls_file, sheet="users")
+    report = RuleEngine(
+        [S.not_null("name", name="nn"), S.value_range("age", 0, 120, name="rng")]
+    ).execute(ds)
+    assert report["nn"].failed_records == 1
+    assert report["rng"].failed_records == 1
+
+
+def test_schema_command_workbook_xls(xls_file, tmp_path):
+    """vlray schema --workbook book.xls: the round-2 verdict's last
+    Excel gap — every .xls sheet binds as its own table."""
+    payload = {
+        "users": {
+            "rules": [
+                {"field": "id", "type": "integer", "required": True},
+                {"field": "age", "type": "float", "min": 0, "max": 120},
+            ]
+        },
+        "orders": {
+            "rules": [{"field": "sku", "type": "string", "required": True}]
+        },
+    }
+    pf = tmp_path / "payload.json"
+    pf.write_text(json.dumps(payload))
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "validatelite_ray.cli", "schema", str(pf),
+            "--workbook", xls_file, "--json", "--num-cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=180,
+    )
+    assert proc.returncode == 1, proc.stderr  # age 200.5 out of range
+    out = json.loads(proc.stdout)
+    assert set(out["tables"]) == {"users", "orders"}
+    by_col = {(f["table"], f["column"]): f["checks"] for f in out["fields"]}
+    assert by_col[("users", "age")]["range"]["failed_records"] == 1
+    assert by_col[("orders", "sku")]["not_null"]["failed_records"] == 1

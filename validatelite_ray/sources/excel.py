@@ -59,6 +59,10 @@ def _sheet_targets(zf: zipfile.ZipFile) -> dict[str, str]:
 
 
 def list_sheets(path: str) -> list[str]:
+    if _is_cfb(path):
+        from validatelite_ray.sources.xls import list_xls_sheets
+
+        return list_xls_sheets(path)
     try:
         with zipfile.ZipFile(path) as zf:
             return list(_sheet_targets(zf))
@@ -125,7 +129,13 @@ def _rows(zf: zipfile.ZipFile, target: str, shared: list[str]):
 
 
 def read_excel_sheet(path: str, sheet: str) -> pa.Table:
-    """One worksheet → Arrow table (header row = column names)."""
+    """One worksheet → Arrow table (header row = column names).
+    Dispatches on the container magic: zip → .xlsx (this module),
+    OLE2/CFB → legacy .xls (sources/xls.py)."""
+    if _is_cfb(path):
+        from validatelite_ray.sources.xls import read_xls_sheet
+
+        return read_xls_sheet(path, sheet)
     try:
         with zipfile.ZipFile(path) as zf:
             targets = _sheet_targets(zf)
@@ -137,6 +147,22 @@ def read_excel_sheet(path: str, sheet: str) -> pa.Table:
             rows = list(_rows(zf, targets[sheet], shared))
     except (OSError, zipfile.BadZipFile, KeyError) as exc:
         raise SourceError(f"cannot read xlsx {path!r}: {exc}") from exc
+    return rows_to_table(rows, path, sheet)
+
+
+def _is_cfb(path: str) -> bool:
+    """OLE2 compound-file magic (legacy .xls container)."""
+    try:
+        with open(path, "rb") as f:
+            return f.read(8) == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    except OSError:
+        return False
+
+
+def rows_to_table(rows: list[dict[int, object]], path: str, sheet: str) -> pa.Table:
+    """Sparse rows ({col index: value}, row 0 = header) → typed Arrow
+    table. Shared by the .xlsx and .xls readers so both formats get the
+    identical header/NULL/type-inference semantics."""
     if not rows:
         raise SourceError(f"sheet {sheet!r} in {path!r} is empty")
     header_cells = rows[0]

@@ -1,0 +1,143 @@
+"""Minimal legacy .xls (BIFF8 in OLE2/CFB) writer — test fixtures only.
+
+No Excel library ships in this environment, so the .xls reader's
+fixtures are hand-assembled from the same two specs the reader parses
+([MS-CFB], [MS-XLS]): a single ``Workbook`` stream laid out in regular
+FAT sectors (padded past the 4096-byte mini-stream cutoff so the
+container needs no miniFAT), containing workbook globals (BOF, SST,
+BOUNDSHEETs) and one substream per sheet with LABELSST / NUMBER / RK /
+BOOLERR cell records. Supported cell values: str, int/float, bool,
+None (cell omitted). Ints that fit the 30-bit RK integer encoding are
+written as RK records so the reader's RK path is exercised.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _rec(op: int, data: bytes) -> bytes:
+    return struct.pack("<HH", op, len(data)) + data
+
+
+def _bof(dt: int) -> bytes:
+    return _rec(0x0809, struct.pack("<HHHHII", 0x0600, dt, 0x0DBB, 0x07CC, 0, 0x0600))
+
+
+_EOF = _rec(0x000A, b"")
+
+
+def _sheet_stream(rows: list[list], sst_index: dict[str, int]) -> bytes:
+    out = [_bof(0x0010)]
+    for r, row in enumerate(rows):
+        for c, v in enumerate(row):
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                out.append(_rec(0x0205, struct.pack("<HHHBB", r, c, 0, int(v), 0)))
+            elif isinstance(v, str):
+                out.append(_rec(0x00FD, struct.pack("<HHHI", r, c, 0, sst_index[v])))
+            elif isinstance(v, int) and -(1 << 29) <= v < (1 << 29):
+                rk = ((v & ((1 << 30) - 1)) << 2) | 2  # 30-bit int RK
+                out.append(_rec(0x027E, struct.pack("<HHHI", r, c, 0, rk)))
+            else:
+                out.append(_rec(0x0203, struct.pack("<HHH", r, c, 0) + struct.pack("<d", float(v))))
+    out.append(_EOF)
+    return b"".join(out)
+
+
+def _sst_record(strings: list[str]) -> bytes:
+    body = [struct.pack("<II", len(strings), len(strings))]
+    for s in strings:
+        enc = s.encode("latin-1", errors="replace")
+        body.append(struct.pack("<HB", len(s), 0) + enc)
+    return _rec(0x00FC, b"".join(body))
+
+
+def _boundsheet(pos: int, name: str) -> bytes:
+    enc = name.encode("latin-1", errors="replace")
+    return _rec(0x0085, struct.pack("<IBB", pos, 0, 0) + bytes([len(enc), 0]) + enc)
+
+
+def build_workbook_stream(sheets: dict[str, list[list]]) -> bytes:
+    strings: list[str] = []
+    sst_index: dict[str, int] = {}
+    for rows in sheets.values():
+        for row in rows:
+            for v in row:
+                if isinstance(v, str) and v not in sst_index:
+                    sst_index[v] = len(strings)
+                    strings.append(v)
+    sheet_streams = {
+        name: _sheet_stream(rows, sst_index) for name, rows in sheets.items()
+    }
+    # globals length is independent of the BOUNDSHEET offsets (they are
+    # fixed-width u32), so lay globals out once with zeros, then patch
+    globals_parts = [_bof(0x0005), _sst_record(strings)]
+    bs_at = []
+    for name in sheets:
+        bs_at.append(sum(len(p) for p in globals_parts))
+        globals_parts.append(_boundsheet(0, name))
+    globals_parts.append(_EOF)
+    globals_blob = bytearray(b"".join(globals_parts))
+    pos = len(globals_blob)
+    for off, name in zip(bs_at, sheets):
+        struct.pack_into("<I", globals_blob, off + 4, pos)
+        pos += len(sheet_streams[name])
+    return bytes(globals_blob) + b"".join(sheet_streams.values())
+
+
+def _dirent(name: str, typ: int, start: int, size: int, child: int = 0xFFFFFFFF) -> bytes:
+    raw = name.encode("utf-16-le") + b"\x00\x00"
+    ent = bytearray(128)
+    ent[: len(raw)] = raw
+    struct.pack_into("<H", ent, 64, len(raw))
+    ent[66] = typ
+    ent[67] = 1  # black
+    struct.pack_into("<III", ent, 68, 0xFFFFFFFF, 0xFFFFFFFF, child)
+    struct.pack_into("<I", ent, 116, start)
+    struct.pack_into("<I", ent, 120, size)
+    return bytes(ent)
+
+
+def write_xls(path: str, sheets: dict[str, list[list]]) -> None:
+    stream = build_workbook_stream(sheets)
+    # pad past the mini-stream cutoff → plain FAT layout (the declared
+    # stream size must be the padded size, or readers take the
+    # mini-stream path; trailing zeros after the EOF record are inert)
+    stream = stream + b"\x00" * max(0, 4097 - len(stream))
+    size = len(stream)
+    n_stream_sectors = (len(stream) + 511) // 512
+    # sector 0: FAT, sector 1: directory, sectors 2..: the stream
+    n_sectors = 2 + n_stream_sectors
+    fat = [0xFFFFFFFD, 0xFFFFFFFE]  # FAT sector, directory end-of-chain
+    fat += [2 + i + 1 for i in range(n_stream_sectors - 1)] + [0xFFFFFFFE]
+    fat += [0xFFFFFFFF] * (128 - len(fat))
+    if len(fat) > 128:
+        raise ValueError("fixture workbook too large for one FAT sector")
+
+    header = bytearray(512)
+    header[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<HHHHH", header, 24, 0x003E, 0x0003, 0xFFFE, 9, 6)
+    struct.pack_into("<I", header, 44, 1)           # one FAT sector
+    struct.pack_into("<I", header, 48, 1)           # first directory sector
+    struct.pack_into("<I", header, 56, 4096)        # mini cutoff
+    struct.pack_into("<I", header, 60, 0xFFFFFFFE)  # no miniFAT
+    struct.pack_into("<I", header, 64, 0)
+    struct.pack_into("<I", header, 68, 0xFFFFFFFE)  # no DIFAT chain
+    struct.pack_into("<I", header, 72, 0)
+    struct.pack_into("<I", header, 76, 0)           # DIFAT[0] = FAT at sector 0
+    for i in range(1, 109):
+        struct.pack_into("<I", header, 76 + 4 * i, 0xFFFFFFFF)
+
+    directory = (
+        _dirent("Root Entry", 5, 0xFFFFFFFE, 0, child=1)
+        + _dirent("Workbook", 2, 2, size)
+        + b"\x00" * 256
+    )
+    body = stream + b"\x00" * (n_stream_sectors * 512 - len(stream))
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(b"".join(struct.pack("<I", v) for v in fat))
+        f.write(directory)
+        f.write(body)
