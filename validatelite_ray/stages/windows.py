@@ -87,15 +87,21 @@ def sliding_window_agg(
 
     Windows start every ``step_us`` and span ``window_us``; an event at
     time t lands in the ``window_us/step_us`` windows whose start index
-    w satisfies w ≤ t/step < w + window/step. Replication is a
-    vectorized per-batch concat — no shuffle until the final groupby.
-    ``window`` is the step index of the window start.
+    w satisfies w ≤ t/step < w + window/step. ``window`` is the step
+    index of the window start.
+
+    Scale design (round-2 verdict #9): events do NOT replicate k× into
+    the exchange. Each batch first pre-aggregates (key, step index)
+    partials with Arrow's C++ group_by, the k-fold replication happens
+    on those partials, and ONE groupby sums them — shuffle volume is
+    k × (distinct (key, step) pairs per batch) instead of k × rows,
+    orders of magnitude less on any realistic event stream.
     """
     if window_us % step_us:
         raise ValueError("window_us must be a multiple of step_us")
     k = window_us // step_us
 
-    def replicate(b: pa.Table) -> pa.Table:
+    def step_partials(b: pa.Table) -> pa.Table:
         # FLOOR division (numpy), not pc.divide: Arrow's integer divide
         # truncates toward zero, which disagrees with SQL's // on
         # pre-epoch (negative) timestamps
@@ -105,23 +111,31 @@ def sliding_window_agg(
             )
         )
         cents = pc.cast(pc.round(pc.multiply(b[value_col], 100.0)), pa.int64())
+        partial = (
+            pa.table({key_col: b[key_col], "step": step_idx, "cents": cents})
+            .group_by([key_col, "step"])
+            .aggregate([("cents", "sum"), ("cents", "count")])
+        )
         parts = []
         for off in range(k):
             parts.append(
                 pa.table(
                     {
-                        key_col: b[key_col],
-                        "window": pc.subtract(step_idx, off),
-                        "cents": cents,
+                        key_col: partial[key_col],
+                        "window": pc.subtract(partial["step"], off),
+                        "n_part": pc.cast(partial["cents_count"], pa.int64()),
+                        "cents_part": partial["cents_sum"],
                     }
                 )
             )
         return pa.concat_tables(parts)
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     return (
-        ds.map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(step_partials, batch_format="pyarrow", zero_copy_batch=True)
         .groupby([key_col, "window"])
-        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+        .aggregate(
+            Sum("n_part", alias_name="n"), Sum("cents_part", alias_name="sum_cents")
+        )
     )
