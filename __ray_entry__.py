@@ -390,6 +390,49 @@ def _q_dedup_minhash(sf_dir: str):
     return dedup_minhash_lsh(ds, id_col="doc_id", text_col="text", concurrency=2)
 
 
+def _q_top_n_per_group(sf_dir: str):
+    """Top-3 orders per priority class: the distributed form of
+    row_number() OVER (PARTITION BY ... ORDER BY ...) <= N, with a
+    vectorized per-batch combiner capping every key at N rows before
+    the exchange (stages/sample.py)."""
+    import pyarrow.compute as _pc
+
+    from validatelite_ray.stages.sample import top_n_per_group
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+    out = top_n_per_group(
+        ds, "o_orderpriority", ["o_totalprice", "o_orderkey"], 3,
+        ascending=[False, True],
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = _pc.cast(_pc.round(_pc.multiply(b["o_totalprice"], 100.0)), pa.int64())
+        return b.drop_columns(["o_totalprice"]).append_column("price_cents", cents)
+
+    return out.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_profile_events(sf_dir: str):
+    """Per-column profile (rows/nulls/exact distinct/min/max) over the
+    events table — ValidateLite's per-rule COUNT/MIN/MAX statistics
+    generalized into one profiling operator (stages/sample.py)."""
+    from validatelite_ray.stages.sample import profile_columns
+
+    cols = ["event_id", "user_id", "event_type"]
+    return profile_columns(_read(sf_dir, "events", cols), cols)
+
+
+def _q_kmeans_embeddings(sf_dir: str):
+    """Deterministic spherical k-means assignments over the embeddings
+    table (iterative broadcast-and-combine; rows-only — pytest carries
+    a numpy reference-Lloyd oracle)."""
+    from validatelite_ray.stages.similarity import kmeans_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out, _ = kmeans_embeddings(ds, id_col="vec_id", vec_col="embedding", k=8, iters=5)
+    return out
+
+
 def _q_dedup_simhash_clusters(sf_dir: str):
     """SimHash end-to-end near-dup clusters: band groupby + in-bucket
     Hamming verify + connected components (rows-only; pytest carries a
@@ -644,6 +687,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "dedup_simhash_documents": _q_dedup_simhash,
         "dedup_simhash_clusters": _q_dedup_simhash_clusters,
+        "top_n_per_group_orders": _q_top_n_per_group,
+        "profile_columns_events": _q_profile_events,
+        "kmeans_embeddings": _q_kmeans_embeddings,
         "ann_topk_embeddings": _q_ann_topk,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_embedding_cosine_blocked": _q_dedup_embedding_blocked,
@@ -764,6 +810,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinct_parts_lineitem": (
             "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem"
+        ),
+        "top_n_per_group_orders": (
+            "SELECT o_orderpriority, o_orderkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents "
+            "FROM orders QUALIFY row_number() OVER ("
+            "PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice DESC, o_orderkey) <= 3"
+        ),
+        "profile_columns_events": (
+            "SELECT 'event_id' AS \"column\", count(*) AS n_rows, "
+            "count(*) - count(event_id) AS n_nulls, "
+            "count(DISTINCT event_id) AS n_distinct, "
+            "CAST(min(event_id) AS VARCHAR) AS min_str, "
+            "CAST(max(event_id) AS VARCHAR) AS max_str FROM events "
+            "UNION ALL "
+            "SELECT 'user_id', count(*), count(*) - count(user_id), "
+            "count(DISTINCT user_id), CAST(min(user_id) AS VARCHAR), "
+            "CAST(max(user_id) AS VARCHAR) FROM events "
+            "UNION ALL "
+            "SELECT 'event_type', count(*), count(*) - count(event_type), "
+            "count(DISTINCT event_type), CAST(min(event_type) AS VARCHAR), "
+            "CAST(max(event_type) AS VARCHAR) FROM events"
         ),
         "agg_events_session": (
             "WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, "

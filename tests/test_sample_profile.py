@@ -1,0 +1,161 @@
+"""top_n_per_group / profile_columns / kmeans_embeddings correctness
+(pandas and numpy reference oracles; the first two also have DuckDB
+oracles in the contract gate)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def skewed_table():
+    rng = np.random.default_rng(31)
+    n = 5000
+    keys = rng.choice(["a", "b", "c", "hot", None], size=n, p=[0.2, 0.2, 0.1, 0.45, 0.05])
+    return pa.table(
+        {
+            "k": pa.array(keys.tolist(), pa.string()),
+            "v": pa.array(rng.integers(0, 10_000, n), pa.int64()),
+            "tie": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+
+
+def _expected_topn(t: pa.Table, n: int, ascending: bool) -> set:
+    df = t.to_pandas()
+    df = df.sort_values(["v", "tie"], ascending=[ascending, True], kind="mergesort")
+    out = df.groupby("k", dropna=False, sort=False).head(n)
+    return {(k, int(tie)) for k, tie in zip(out["k"], out["tie"])}
+
+
+def test_top_n_per_group_matches_pandas(ray_session, skewed_table):
+    import ray.data as rd
+
+    from validatelite_ray.stages.sample import top_n_per_group
+
+    out = top_n_per_group(
+        rd.from_arrow(skewed_table), "k", ["v", "tie"], 7, ascending=[False, True]
+    ).take_all()
+    got = {(r["k"], r["tie"]) for r in out}
+    assert got == _expected_topn(skewed_table, 7, ascending=False)
+
+
+def test_top_n_smaller_groups_kept_whole(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.sample import top_n_per_group
+
+    t = pa.table({"k": ["a", "a", "b"], "v": [3, 1, 9], "tie": [0, 1, 2]})
+    out = top_n_per_group(rd.from_arrow(t), "k", "v", 5).take_all()
+    assert len(out) == 3
+
+
+def test_top_n_hot_key_capped_per_batch(ray_session):
+    """One key with every row must still return exactly n rows (the
+    combiner caps per-block volume; the reducer finishes the job)."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.sample import top_n_per_group
+
+    t = pa.table(
+        {"k": ["hot"] * 10_000, "v": list(range(10_000))[::-1], "tie": list(range(10_000))}
+    )
+    out = top_n_per_group(rd.from_arrow(t), "k", "v", 4).take_all()
+    assert sorted(r["v"] for r in out) == [0, 1, 2, 3]
+
+
+def test_profile_columns_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.sample import profile_columns
+
+    t = pa.table(
+        {
+            "i": pa.array([3, None, 1, 7, 7, None, -2], pa.int64()),
+            "s": pa.array(["10", "9", None, "abc", "abc", "zz", None], pa.string()),
+            "f": pa.array([1.5, 2.0, None, -0.5, 1.5, 0.0, 3.25], pa.float64()),
+        }
+    )
+    prof = profile_columns(rd.from_arrow(t), ["i", "s", "f"])
+    rows = {r["column"]: r for r in prof.to_pylist()}
+    assert rows["i"]["n_rows"] == 7 and rows["i"]["n_nulls"] == 2
+    assert rows["i"]["n_distinct"] == 4
+    assert rows["i"]["min_str"] == "-2" and rows["i"]["max_str"] == "7"
+    # string extrema are LEXICAL: "10" < "9" as strings
+    assert rows["s"]["min_str"] == "10" and rows["s"]["max_str"] == "zz"
+    assert rows["s"]["n_distinct"] == 4
+    assert rows["f"]["n_distinct"] == 5
+    assert rows["f"]["min_str"] == "-0.5" and rows["f"]["max_str"] == "3.25"
+
+
+def _reference_kmeans(ids, mat, k, iters):
+    """Plain numpy Lloyd's, identical init/assignment rules."""
+    order = np.argsort(ids)
+    cents = mat[order[:k]].copy()
+
+    def norm(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    cents = norm(cents)
+    x = norm(mat)
+    for _ in range(iters):
+        lab = np.argmax(x @ cents.T - 0.5 * (cents * cents).sum(axis=1), axis=1)
+        for c in range(k):
+            if (lab == c).any():
+                cents[c] = x[lab == c].mean(axis=0)
+        cents = norm(cents)
+    return np.argmax(x @ cents.T - 0.5 * (cents * cents).sum(axis=1), axis=1)
+
+
+def test_kmeans_matches_numpy_reference(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.similarity import kmeans_embeddings
+
+    rng = np.random.default_rng(17)
+    k, d, n = 4, 8, 400
+    true_cents = rng.standard_normal((k, d)) * 4
+    mat = np.concatenate(
+        [true_cents[i] + rng.standard_normal((n // k, d)) for i in range(k)]
+    )
+    ids = rng.permutation(n)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out, cents = kmeans_embeddings(
+        rd.from_arrow(t), id_col="vec_id", vec_col="embedding", k=k, iters=6
+    )
+    got = {r["vec_id"]: r["cluster"] for r in out.take_all()}
+
+    # float32 storage: the reference must see the same rounded values
+    expected_lab = _reference_kmeans(ids, mat.astype(np.float32).astype(np.float64), k, 6)
+    expected = dict(zip(ids.tolist(), expected_lab.tolist()))
+    assert got == expected
+    # and the clustering recovered the planted structure: all rows
+    # generated from one true centroid share a label, distinct per block
+    labels_by_block = [
+        {got[int(i)] for i in ids[b * 100 : (b + 1) * 100]} for b in range(k)
+    ]
+    assert all(len(s) == 1 for s in labels_by_block)
+    assert len(set().union(*labels_by_block)) == k
+
+
+def test_kmeans_needs_k_rows(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.similarity import kmeans_embeddings
+
+    t = pa.table(
+        {"vec_id": pa.array([1, 2], pa.int64()),
+         "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float32()))}
+    )
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans_embeddings(rd.from_arrow(t), k=5)

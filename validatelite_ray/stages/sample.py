@@ -1,0 +1,209 @@
+"""Group-wise sampling and column profiling operators.
+
+* ``top_n_per_group`` — keep the first N rows per key under a total
+  order: the generalization of exact dedup's keep-min (``dedup_exact``
+  is the N=1 case) and the distributed form of SQL's
+  ``row_number() OVER (PARTITION BY key ORDER BY ...) <= N``
+  (oracle-verified via DuckDB ``QUALIFY``). Used for per-group
+  stratified sampling, per-repo file caps, and failure-sample capture
+  at corpus scale.
+* ``profile_columns`` — per-column data-quality profile (row count,
+  null count, exact distinct count, min, max): the reference's
+  rule-engine statistics generalized into one profiling operator
+  (ValidateLite computes these per rule via SQL COUNT/MIN/MAX;
+  core/executors/completeness_executor.py, uniqueness_executor.py).
+
+Scale notes: ``top_n_per_group`` pre-reduces every batch to at most N
+rows per key BEFORE the exchange (vectorized sort + run-slice), so
+shuffle volume per key is ≤ N × #blocks regardless of skew.
+``profile_columns`` computes count/null/min/max with zero shuffle
+(per-batch partials merged on the driver, O(#cols × #blocks) rows) and
+the exact distinct counts with ONE shuffle over per-batch-deduplicated
+(column, value) pairs — the honest cost of an exact distinct.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _sort_keys(key: str, order_cols, ascending) -> list[tuple[str, str]]:
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    if isinstance(ascending, bool):
+        ascending = [ascending] * len(order_cols)
+    dirs = ["ascending" if a else "descending" for a in ascending]
+    return [(key, "ascending")] + list(zip(order_cols, dirs))
+
+
+def _first_n_of_runs(b: pa.Table, key: str, n: int) -> pa.Table:
+    """``b`` sorted by key → first ≤ n rows of every key run (vectorized)."""
+    karr = b[key]
+    if isinstance(karr, pa.ChunkedArray):
+        karr = karr.combine_chunks()
+    m = len(karr)
+    if m == 0:
+        return b
+    neq = pc.fill_null(pc.not_equal(karr.slice(1), karr.slice(0, m - 1)), True)
+    starts = np.r_[0, np.flatnonzero(np.asarray(neq)) + 1]
+    lens = np.diff(np.append(starts, m))
+    take = np.minimum(lens, n)
+    total = int(take.sum())
+    base = np.repeat(starts, take)
+    offs = np.arange(total) - np.repeat(np.cumsum(take) - take, take)
+    return b.take(pa.array(base + offs, pa.int64()))
+
+
+def top_n_per_group(
+    ds,
+    key: str,
+    order_cols,
+    n: int,
+    ascending=True,
+):
+    """Keep the first ``n`` rows per ``key`` ordered by ``order_cols``.
+
+    ``order_cols`` may be one column or a list; ``ascending`` a bool or
+    per-column list. For a deterministic result the order must be a
+    total order within each key (append a unique tiebreak column).
+
+    Physical plan: vectorized per-batch combiner (sort + first-n per
+    key run, capping any hot key at n rows per block) → ONE
+    ``groupby(key)`` sort-shuffle → per-group Arrow sort + slice.
+    """
+    keys = _sort_keys(key, order_cols, ascending)
+
+    def local(b: pa.Table) -> pa.Table:
+        if b.num_rows <= 1:
+            return b
+        return _first_n_of_runs(b.take(pc.sort_indices(b, sort_keys=keys)), key, n)
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        if g.num_rows <= n:
+            g = g.take(pc.sort_indices(g, sort_keys=keys))
+            return g
+        return g.take(pc.sort_indices(g, sort_keys=keys)).slice(0, n)
+
+    pre = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    return pre.groupby(key).map_groups(reduce_group, batch_format="pyarrow")
+
+
+def profile_columns(ds, cols: list[str]) -> pa.Table:
+    """Per-column profile → Arrow table
+    (column, n_rows, n_nulls, n_distinct, min_str, max_str).
+
+    min/max are reported as strings so one schema covers mixed column
+    types (cast semantics match SQL ``CAST(MIN(col) AS VARCHAR)`` for
+    integer and string columns; float formatting is engine-specific —
+    compare floats numerically instead). NULLs are excluded from
+    distinct/min/max, SQL-style.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def stat_partials(b: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs = [], [], [], [], []
+        for c in cols:
+            col = b[c]
+            names.append(c)
+            ns.append(len(col))
+            nulls.append(col.null_count)
+            mm = pc.min_max(col)
+            mins.append(str(mm["min"].as_py()) if mm["min"].is_valid else None)
+            maxs.append(str(mm["max"].as_py()) if mm["max"].is_valid else None)
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "nulls": pa.array(nulls, pa.int64()),
+                "min_str": pa.array(mins, pa.string()),
+                "max_str": pa.array(maxs, pa.string()),
+            }
+        )
+
+    stats_rows = ds.map_batches(
+        stat_partials, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    # driver merge — per-block partial rows, O(#cols × #blocks).
+    # Per-block extrema travel as strings (one schema for all column
+    # types); the merge re-parses them by the column's DECLARED Arrow
+    # type, so numeric columns merge numerically and string columns
+    # lexically — never a heuristic on the value text.
+    sch = ds.schema()
+    col_types = dict(zip(sch.names, sch.types))
+
+    def parse(col: str, v):
+        if v is None:
+            return None
+        t = col_types.get(col)
+        if t is not None and pa.types.is_integer(t):
+            return int(v)
+        if t is not None and pa.types.is_floating(t):
+            return float(v)
+        return v
+
+    agg: dict[str, dict] = {
+        c: {"n": 0, "nulls": 0, "min": None, "max": None} for c in cols
+    }
+    for r in stats_rows:
+        a = agg[r["column"]]
+        a["n"] += r["n"]
+        a["nulls"] += r["nulls"]
+        for side, tgt, fn in (("min_str", "min", min), ("max_str", "max", max)):
+            v = parse(r["column"], r[side])
+            if v is not None:
+                a[tgt] = v if a[tgt] is None else fn(a[tgt], v)
+
+    # exact distinct: batch-local dedupe → one shuffle → per-col totals
+    def batch_distinct(b: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            vals = pc.unique(pc.cast(b[c], pa.string()).drop_null())
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            parts.append(
+                pa.table(
+                    {
+                        "column": pa.array([c] * len(vals), pa.string()),
+                        "val": vals,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    distinct_pairs = (
+        ds.map_batches(batch_distinct, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["column", "val"])
+        .aggregate(Count(alias_name="c"))
+    )
+    per_col = (
+        distinct_pairs.map_batches(
+            lambda b: b.group_by("column").aggregate([("val", "count")]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("column")
+        .aggregate(Sum("val_count", alias_name="n_distinct"))
+        .take_all()
+    )
+    n_distinct = {r["column"]: int(r["n_distinct"]) for r in per_col}
+
+    return pa.table(
+        {
+            "column": pa.array(cols, pa.string()),
+            "n_rows": pa.array([agg[c]["n"] for c in cols], pa.int64()),
+            "n_nulls": pa.array([agg[c]["nulls"] for c in cols], pa.int64()),
+            "n_distinct": pa.array(
+                [n_distinct.get(c, 0) for c in cols], pa.int64()
+            ),
+            "min_str": pa.array(
+                [None if agg[c]["min"] is None else str(agg[c]["min"]) for c in cols],
+                pa.string(),
+            ),
+            "max_str": pa.array(
+                [None if agg[c]["max"] is None else str(agg[c]["max"]) for c in cols],
+                pa.string(),
+            ),
+        }
+    )

@@ -498,3 +498,105 @@ def ann_topk_lsh(
     if exclude_self:
         cands = [c for c in cands if c["neighbor_id"] != c["query_id"]]
     return _merge_candidates(cands, k)
+
+
+# ---------------------------------------------------------------------------
+# K-means clustering over the embedding column
+# ---------------------------------------------------------------------------
+
+def kmeans_embeddings(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 10,
+    norm: bool = True,
+):
+    """Lloyd's k-means over the embedding column (spherical when
+    ``norm`` — unit-normalized vectors make squared-L2 assignment
+    equivalent to cosine assignment).
+
+    Deterministic: centroids initialize from the embeddings of the k
+    smallest ids (fetched with a vectorized per-batch min-k combiner,
+    no global sort). Each iteration is ONE streaming pass: every batch
+    assigns its vectors to the broadcast centroids (numpy matmul) and
+    emits k partial (count, sum-vector) rows; the driver folds the
+    O(k × #blocks) partials — the classic broadcast-and-combine shape,
+    no shuffle anywhere. An empty cluster keeps its previous centroid.
+
+    Returns (assignments Dataset (id_col, cluster), centroids ndarray).
+    """
+    import ray
+
+    # --- deterministic init: embeddings of the k smallest ids ---------
+    def local_min_k(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b[id_col])
+        return b.select([id_col, vec_col]).take(idx[: min(k, len(idx))])
+
+    seed_rows = ds.map_batches(
+        local_min_k, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    seed_rows.sort(key=lambda r: r[id_col])
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} rows to initialize k-means")
+    centroids = np.asarray(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in seed_rows[:k]]
+    )
+    if norm:
+        centroids = _normalize(centroids)
+
+    def assign(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        # argmin ||x-c||² == argmax x·c − ½||c||² (valid for any c)
+        scores = mat @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+        return np.argmax(scores, axis=1)
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partials(b: pa.Table) -> pa.Table:
+            cents = ray.get(cref)
+            mat = _to_matrix(b[vec_col])
+            if norm:
+                mat = _normalize(mat)
+            lab = assign(mat, cents)
+            counts = np.bincount(lab, minlength=k)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, lab, mat)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                    "cnt": pa.array(counts.astype(np.int64)),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        rows = ds.map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        counts = np.zeros(k, np.int64)
+        sums = np.zeros_like(centroids)
+        for r in rows:
+            counts[r["cluster"]] += r["cnt"]
+            sums[r["cluster"]] += np.asarray(r["vsum"], dtype=np.float64)
+        nonempty = counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+        if norm:
+            centroids = _normalize(centroids)
+
+    cref = ray.put(centroids)
+
+    def final_assign(b: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        mat = _to_matrix(b[vec_col])
+        if norm:
+            mat = _normalize(mat)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "cluster": pa.array(assign(mat, cents).astype(np.int64)),
+            }
+        )
+
+    out = ds.map_batches(final_assign, batch_format="pyarrow", zero_copy_batch=True)
+    return out, centroids
