@@ -351,6 +351,65 @@ class MinHasher:
         )
 
 
+def _runs(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(run starts, run lengths) of a sorted key array."""
+    n = sorted_keys.size
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = np.flatnonzero(np.r_[True, sorted_keys[1:] != sorted_keys[:-1]])
+    return starts, np.diff(np.append(starts, n))
+
+
+def _pairs_within_runs(
+    starts: np.ndarray,
+    lens: np.ndarray,
+    all_pairs_max: int | None = None,
+    star_fallback: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """All (iu < iv) index pairs WITHIN each run, fully vectorized —
+    no per-run Python. Runs longer than ``all_pairs_max`` either emit
+    star edges to the run's first element (``star_fallback``, the LSH
+    bucket expansion) or nothing (stop-shingle skip).
+
+    The expansion: each element at local offset j of a run of length L
+    is 'u' for its L-1-j successors, so u-indices are a repeat by that
+    count and v-indices are u+1+arange-within-segment."""
+    if starts.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    full = (
+        lens <= all_pairs_max if all_pairs_max is not None
+        else np.ones(lens.size, bool)
+    )
+    out_u, out_v = [], []
+    f_starts, f_lens = starts[full], lens[full]
+    if f_starts.size:
+        elem = np.repeat(f_starts, f_lens) + _segment_arange(f_lens)
+        cnt = np.repeat(f_lens, f_lens) - 1 - _segment_arange(f_lens)
+        iu = np.repeat(elem, cnt)
+        iv = iu + 1 + _segment_arange(cnt)
+        out_u.append(iu)
+        out_v.append(iv)
+    if star_fallback and (~full).any():
+        s_starts, s_lens = starts[~full], lens[~full]
+        iu = np.repeat(s_starts, s_lens - 1)
+        iv = np.repeat(s_starts + 1, s_lens - 1) + _segment_arange(s_lens - 1)
+        out_u.append(iu)
+        out_v.append(iv)
+    if not out_u:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_u), np.concatenate(out_v)
+
+
+def _segment_arange(lens: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated (vectorized)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    return np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+
+
 def pairs_for_bucket(docs: list, all_pairs_max: int) -> pd.DataFrame:
     """Candidate edges for one LSH bucket. Small buckets emit ALL pairs
     — star edges to the bucket minimum alone lose clusters whose
@@ -424,11 +483,49 @@ def dedup_minhash_lsh(
         batch_size=1024,
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return pairs_for_bucket(sorted(set(group["doc_id"])), all_pairs_max)
+    # Candidate pairs per LSH bucket. Grouping directly on
+    # (band, band_hash) would mean one Python map_groups call per
+    # bucket — millions of tiny groups; instead buckets are re-keyed to
+    # ``hash % NB`` coarse groups and the per-bucket pair expansion
+    # (all pairs ≤ all_pairs_max, star edges above — the semantics of
+    # ``pairs_for_bucket``) runs VECTORIZED inside each coarse group
+    # (_pairs_within_runs).
+    import ray
 
-    pairs = bands_ds.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    nb_pairs = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+    def to_buckets(b: pa.Table) -> pa.Table:
+        bh = np.asarray(b["band_hash"], np.int64).view(np.uint64)
+        band = np.asarray(b["band"], np.int32).astype(np.uint64)
+        key = _mix64(bh * _GOLDEN + band)
+        return pa.table(
+            {
+                "key": pa.array(key.view(np.int64)),
+                "bucket": pa.array((key % np.uint64(nb_pairs)).astype(np.int32)),
+                "doc_id": b["doc_id"],
+            }
+        )
+
+    def bucket_pairs_vec(g: pa.Table) -> pa.Table:
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("key", "ascending"), ("doc_id", "ascending")]
+            )
+        )
+        keys = np.asarray(g["key"], np.int64)
+        starts, lens = _runs(keys)
+        iu, iv = _pairs_within_runs(
+            starts, lens, all_pairs_max=all_pairs_max, star_fallback=True
+        )
+        docs = g["doc_id"]
+        if isinstance(docs, pa.ChunkedArray):
+            docs = docs.combine_chunks()
+        return pa.table({"u": docs.take(pa.array(iu)), "v": docs.take(pa.array(iv))})
+
+    pairs = (
+        bands_ds.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_pairs_vec, batch_format="pyarrow")
     )
 
     # exact Jaccard verification, FULLY DATASET-NATIVE (round-2 verdict
@@ -672,23 +769,41 @@ def ngram_jaccard_pairs(
 
     from ray.data.aggregate import Count
 
-    def cooccur(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc", kind="mergesort")
-        docs = g["doc"].to_numpy()
-        empty = pd.DataFrame(
-            {c: pd.Series([], dtype=np.int64) for c in ("u", "v", "nu", "nv")}
+    import ray
+
+    # posting-list co-occurrence: grouping directly on ``sh`` would be
+    # one Python call per distinct shingle (millions of tiny groups);
+    # shingles re-key to ``sh % NB`` coarse buckets and the expansion
+    # runs vectorized across each bucket's posting-list runs
+    nb = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+    def to_buckets(b: pa.Table) -> pa.Table:
+        sh = np.asarray(b["sh"], np.int64).view(np.uint64)
+        return b.append_column(
+            "bucket", pa.array((sh % np.uint64(nb)).astype(np.int32))
         )
-        if docs.size < 2 or (max_posting is not None and docs.size > max_posting):
-            return empty
-        sizes = g["n"].to_numpy()
-        iu, iv = np.triu_indices(docs.size, k=1)
-        return pd.DataFrame(
-            {"u": docs[iu], "v": docs[iv], "nu": sizes[iu], "nv": sizes[iv]}
+
+    def cooccur(g: pa.Table) -> pa.Table:
+        g = g.take(
+            pc.sort_indices(g, sort_keys=[("sh", "ascending"), ("doc", "ascending")])
+        )
+        starts, lens = _runs(np.asarray(g["sh"], np.int64))
+        iu, iv = _pairs_within_runs(starts, lens, all_pairs_max=max_posting)
+        docs = np.asarray(g["doc"], np.int64)
+        sizes = np.asarray(g["n"], np.int64)
+        return pa.table(
+            {
+                "u": pa.array(docs[iu]),
+                "v": pa.array(docs[iv]),
+                "nu": pa.array(sizes[iu]),
+                "nv": pa.array(sizes[iv]),
+            }
         )
 
     pairs = (
-        shingles.groupby("sh")
-        .map_groups(cooccur, batch_format="pandas")
+        shingles.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(cooccur, batch_format="pyarrow")
         .groupby(["u", "v", "nu", "nv"])  # nu/nv are functions of u/v
         .aggregate(Count(alias_name="inter"))
     )
@@ -848,6 +963,8 @@ def dedup_simhash_clusters(
     Returns pandas (id_col, cluster_id) for docs in clusters of
     size ≥ 2; only verified near-dup edges ever reach the driver.
     """
+    import ray
+
     bands_ds = ds.map_batches(
         _SimHashBands,
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col, n_blocks=n_blocks),
@@ -856,33 +973,43 @@ def dedup_simhash_clusters(
         batch_size=1024,
     )
 
-    def bucket_edges(g: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"u": pa.array([], g.schema.field("doc").type),
-             "v": pa.array([], g.schema.field("doc").type)}
+    # one Python call per COARSE bucket (band values re-keyed to
+    # hash % NB), with the pair expansion and Hamming verification
+    # vectorized across all the bucket's band-value runs
+    nb = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+    def to_buckets(b: pa.Table) -> pa.Table:
+        bv = np.asarray(b["band_val"], np.int64).view(np.uint64)
+        return b.append_column(
+            "bucket", pa.array((bv % np.uint64(nb)).astype(np.int32))
         )
-        if g.num_rows < 2:
-            return empty
-        order = pc.sort_indices(g["doc"])
-        g = g.take(order)
+
+    def bucket_edges(g: pa.Table) -> pa.Table:
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("band_val", "ascending"), ("doc", "ascending")]
+            )
+        )
+        keys = np.asarray(g["band_val"], np.int64)
+        starts, lens = _runs(keys)
+        iu, iv = _pairs_within_runs(
+            starts, lens, all_pairs_max=all_pairs_max, star_fallback=True
+        )
+        sims = np.asarray(g["simhash"], dtype=np.int64).view(np.uint64)
+        keep = popcount64(sims[iu] ^ sims[iv]) <= max_hamming
         docs = g["doc"]
         if isinstance(docs, pa.ChunkedArray):
             docs = docs.combine_chunks()
-        sims = np.asarray(g["simhash"], dtype=np.int64).view(np.uint64)
-        n = len(docs)
-        if n <= all_pairs_max:
-            iu, iv = np.triu_indices(n, k=1)
-        else:
-            iu = np.zeros(n - 1, np.int64)
-            iv = np.arange(1, n, dtype=np.int64)
-        ham = popcount64(sims[iu] ^ sims[iv])
-        keep = ham <= max_hamming
         return pa.table(
-            {"u": docs.take(pa.array(iu[keep])), "v": docs.take(pa.array(iv[keep]))}
+            {
+                "u": docs.take(pa.array(iu[keep])),
+                "v": docs.take(pa.array(iv[keep])),
+            }
         )
 
     edge_rows = (
-        bands_ds.groupby("band_val")
+        bands_ds.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
         .map_groups(bucket_edges, batch_format="pyarrow")
         .take_all()
     )
