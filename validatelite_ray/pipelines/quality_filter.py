@@ -15,15 +15,18 @@ Input: Parquet table (repo, path, commit, lang, content). Stages:
    killed run redoes only missing shards.
 4. ``dedup`` — global exact dedup on sha256 over the labels output:
    winner = lexical min uid among rule-passing rows per hash. ONE
-   custom-aggregate shuffle over the slim columns
-   (``dedup_winner_decisions``: winners + tie flags + loser counts,
-   O(#duplicated hashes) driver state), then the wide columns are
-   filtered in ONE pass by winner-pair membership; only rows of tied
-   (value-identical) pairs detour through a group-wise keep-first. The
-   checkpointed ``run`` path additionally enumerates the loser pairs
-   (``compute_drop_list``) to emit per-row keep/is_duplicate labels.
-   ``stages/dedup.py`` keeps the generic operator (full shuffle, salted
-   two-phase, dup-only broadcast) for standalone use.
+   custom-aggregate shuffle over the slim columns yields a
+   Dataset-resident decision table (``dedup_decision_table``: winner +
+   row count + tie count per duplicated hash, in the object store, not
+   the driver); ``select_kept`` then resolves the wide rows by
+   broadcast ``is_in`` membership when the duplicated-group count is
+   under a budget, or by a bucket-keyed cogroup sort-shuffle above it
+   (O(1) driver state at web-scale duplication rates). Rows of tied
+   (value-identical) pairs detour through a group-wise keep-first.
+   Both run paths share this machinery; ``compute_drop_list`` /
+   ``finalize_keep`` remain as standalone surfaces. ``stages/dedup.py``
+   keeps the generic operator (full shuffle, salted two-phase,
+   dup-only broadcast) for standalone use.
 5. ``metrics`` — per-rule (total, failed) aggregated from the labels
    output exactly like ValidateLite's result records, plus per-shard
    lineage manifests carrying each shard's rule counts.
