@@ -160,3 +160,31 @@ def test_schema_command_workbook_xls(xls_file, tmp_path):
     by_col = {(f["table"], f["column"]): f["checks"] for f in out["fields"]}
     assert by_col[("users", "age")]["range"]["failed_records"] == 1
     assert by_col[("orders", "sku")]["not_null"]["failed_records"] == 1
+
+
+def test_sst_reader_continue_boundary():
+    """SST strings spanning CONTINUE records re-read the option byte at
+    each boundary ([MS-XLS] 2.5.293) — compressed and uncompressed
+    continuations of one logical string."""
+    import struct
+
+    from validatelite_ray.sources.xls import _SstReader
+
+    # string of 10 chars: 4 compressed in part 1, then a CONTINUE whose
+    # fresh option byte says utf-16 for the remaining 6
+    head = struct.pack("<HB", 10, 0) + b"abcd"
+    cont = bytes([1]) + "efghij".encode("utf-16-le")
+    rd = _SstReader([head, cont])
+    assert rd.read_string() == "abcdefghij"
+
+    # two strings, the second entirely inside the CONTINUE
+    p1 = struct.pack("<HB", 3, 0) + b"xyz"
+    p2 = struct.pack("<HB", 2, 0) + b"ok"
+    rd = _SstReader([p1, p2])
+    assert rd.read_string() == "xyz"
+    assert rd.read_string() == "ok"
+
+    # rich-text run count and phonetic block are skipped
+    rich = struct.pack("<HB", 2, 0x08) + struct.pack("<H", 1) + b"hi" + b"\x00" * 4
+    rd = _SstReader([rich])
+    assert rd.read_string() == "hi"

@@ -228,20 +228,22 @@ class _SstReader:
         return out
 
     def read_chars(self, cch: int, high: bool) -> str:
-        """cch characters, re-reading the option byte at each boundary."""
+        """cch characters; every CONTINUE boundary crossed mid-string
+        starts with a fresh option byte restating the compression."""
         out = []
         while cch > 0:
-            self._advance()
             avail = self._remaining()
             width = 2 if high else 1
-            take = min(cch, avail // width)
-            if take == 0:
-                # boundary: next CONTINUE starts with a fresh grbit
+            if avail < width:
+                # boundary (or malformed odd leftover): the next
+                # CONTINUE starts with a fresh grbit for this string
+                if self.pi >= len(self.parts) - 1:
+                    raise SourceError("corrupt SST: truncated string data")
                 self.pi += 1
-                self.off = 0
                 high = bool(self.parts[self.pi][0] & 0x01)
                 self.off = 1
                 continue
+            take = min(cch, avail // width)
             raw = self.parts[self.pi][self.off : self.off + take * width]
             self.off += take * width
             out.append(
