@@ -38,15 +38,25 @@ def _sort_keys(key: str, order_cols, ascending) -> list[tuple[str, str]]:
     return [(key, "ascending")] + list(zip(order_cols, dirs))
 
 
-def _first_n_of_runs(b: pa.Table, key: str, n: int) -> pa.Table:
-    """``b`` sorted by key → first ≤ n rows of every key run (vectorized)."""
-    karr = b[key]
+#: sentinel standing in for NULL keys in run detection / bucketing —
+#: NULL keys form ONE group (SQL PARTITION BY semantics)
+_NULL_KEY = "\x00\x00__vlray_null__"
+
+
+def _key_strings(karr) -> pa.Array:
     if isinstance(karr, pa.ChunkedArray):
         karr = karr.combine_chunks()
-    m = len(karr)
+    return pc.fill_null(pc.cast(karr, pa.string()), _NULL_KEY)
+
+
+def _first_n_of_runs(b: pa.Table, key: str, n: int) -> pa.Table:
+    """``b`` sorted by key → first ≤ n rows of every key run
+    (vectorized; NULL keys count as one run)."""
+    m = b.num_rows
     if m == 0:
         return b
-    neq = pc.fill_null(pc.not_equal(karr.slice(1), karr.slice(0, m - 1)), True)
+    karr = _key_strings(b[key])
+    neq = pc.not_equal(karr.slice(1), karr.slice(0, m - 1))
     starts = np.r_[0, np.flatnonzero(np.asarray(neq)) + 1]
     lens = np.diff(np.append(starts, m))
     take = np.minimum(lens, n)
@@ -70,24 +80,33 @@ def top_n_per_group(
     total order within each key (append a unique tiebreak column).
 
     Physical plan: vectorized per-batch combiner (sort + first-n per
-    key run, capping any hot key at n rows per block) → ONE
-    ``groupby(key)`` sort-shuffle → per-group Arrow sort + slice.
+    key run, capping any hot key at n rows per block) → ONE coarse
+    sort-shuffle on ``hash(key) % NB`` buckets → the SAME vectorized
+    first-n kernel per bucket (grouping directly on the key would be
+    one Python map_groups call per distinct key — millions of tiny
+    groups at corpus scale). NULL keys form one group, SQL-style.
     """
+    import ray
+
+    from validatelite_ray.stages.dedup import _token_hashes
+
     keys = _sort_keys(key, order_cols, ascending)
+    nb = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
 
     def local(b: pa.Table) -> pa.Table:
-        if b.num_rows <= 1:
-            return b
-        return _first_n_of_runs(b.take(pc.sort_indices(b, sort_keys=keys)), key, n)
+        if b.num_rows > 1:
+            b = _first_n_of_runs(b.take(pc.sort_indices(b, sort_keys=keys)), key, n)
+        bucket = (_token_hashes(_key_strings(b[key])) % np.uint64(nb)).astype(
+            np.int32
+        )
+        return b.append_column("__bucket", pa.array(bucket))
 
-    def reduce_group(g: pa.Table) -> pa.Table:
-        if g.num_rows <= n:
-            g = g.take(pc.sort_indices(g, sort_keys=keys))
-            return g
-        return g.take(pc.sort_indices(g, sort_keys=keys)).slice(0, n)
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        return _first_n_of_runs(g.take(pc.sort_indices(g, sort_keys=keys)), key, n)
 
     pre = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
-    return pre.groupby(key).map_groups(reduce_group, batch_format="pyarrow")
+    return pre.groupby("__bucket").map_groups(reduce_bucket, batch_format="pyarrow")
 
 
 def profile_columns(ds, cols: list[str]) -> pa.Table:
