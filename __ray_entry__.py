@@ -433,6 +433,27 @@ def _q_kmeans_embeddings(sf_dir: str):
     return out
 
 
+def _q_hash_split(sf_dir: str):
+    """Deterministic hash-based train/val/test assignment (stateless,
+    order-free, stable across cluster sizes; rows-only — pytest checks
+    determinism under repartitioning and split proportions)."""
+    from validatelite_ray.stages.pack import hash_split
+
+    return hash_split(
+        _read(sf_dir, "documents", ["doc_id"]), id_col="doc_id"
+    ).select_columns(["doc_id", "split"])
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Greedy fixed-token-budget sequence packing (per-block, streaming;
+    rows-only — pytest checks budget/offset/coverage invariants)."""
+    from validatelite_ray.stages.pack import pack_sequences
+
+    return pack_sequences(
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_tokens=256
+    )
+
+
 def _q_dedup_simhash_clusters(sf_dir: str):
     """SimHash end-to-end near-dup clusters: band groupby + in-bucket
     Hamming verify + connected components (rows-only; pytest carries a
@@ -690,6 +711,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_n_per_group_orders": _q_top_n_per_group,
         "profile_columns_events": _q_profile_events,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "hash_split_documents": _q_hash_split,
+        "pack_sequences_documents": _q_pack_sequences,
         "ann_topk_embeddings": _q_ann_topk,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_embedding_cosine_blocked": _q_dedup_embedding_blocked,

@@ -1,0 +1,106 @@
+"""hash_split / pack_sequences: determinism, proportions, packing
+invariants."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs():
+    rng = np.random.default_rng(5)
+    texts = [
+        " ".join(f"w{j}" for j in range(rng.integers(1, 60)))
+        for _ in range(2000)
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(2000), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def test_hash_split_proportions_and_determinism(ray_session, docs):
+    import ray.data as rd
+
+    from validatelite_ray.stages.pack import hash_split
+
+    out1 = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(rd.from_arrow(docs), splits={"train": 0.8, "val": 0.1, "test": 0.1}).take_all()
+    }
+    # rerun with different block structure: identical assignment
+    out2 = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            rd.from_arrow(docs).repartition(7),
+            splits={"train": 0.8, "val": 0.1, "test": 0.1},
+        ).take_all()
+    }
+    assert out1 == out2
+    from collections import Counter
+
+    c = Counter(out1.values())
+    assert 0.75 < c["train"] / 2000 < 0.85
+    assert 0.05 < c["val"] / 2000 < 0.15
+    assert 0.05 < c["test"] / 2000 < 0.15
+
+
+def test_hash_split_seed_decorrelates(ray_session, docs):
+    import ray.data as rd
+
+    from validatelite_ray.stages.pack import hash_split
+
+    a = {r["doc_id"]: r["split"] for r in hash_split(rd.from_arrow(docs), seed=1).take_all()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(rd.from_arrow(docs), seed=2).take_all()}
+    assert a != b  # different seeds shuffle membership
+    assert set(a) == set(b)
+
+
+def test_pack_sequences_invariants(ray_session, docs):
+    import ray.data as rd
+
+    from validatelite_ray.stages.pack import pack_sequences
+    from validatelite_ray.stages.text import token_count
+
+    max_tokens = 128
+    rows = pack_sequences(
+        rd.from_arrow(docs), max_tokens=max_tokens
+    ).take_all()
+    # every doc packed exactly once
+    assert sorted(r["doc_id"] for r in rows) == list(range(2000))
+    expected_tok = {
+        i: min(int(t), max_tokens)
+        for i, t in enumerate(token_count(docs["text"]).to_pylist())
+    }
+    by_pack: dict = {}
+    for r in rows:
+        assert r["n_tokens"] == expected_tok[r["doc_id"]]
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for members in by_pack.values():
+        total = sum(r["n_tokens"] for r in members)
+        assert total <= max_tokens
+        # offsets are a proper prefix layout
+        members.sort(key=lambda r: r["pack_offset"])
+        off = 0
+        for r in members:
+            assert r["pack_offset"] == off
+            off += r["n_tokens"]
+
+
+def test_pack_sequences_oversize(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.pack import pack_sequences
+
+    big = " ".join(f"w{i}" for i in range(500))
+    t = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()),
+         "text": pa.array(["a b c", big, "d e"], pa.string())}
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(rd.from_arrow(t), max_tokens=10).take_all()}
+    assert rows[2]["truncated"] and rows[2]["n_tokens"] == 10
+    assert not rows[1]["truncated"]
+    with pytest.raises(Exception):
+        pack_sequences(rd.from_arrow(t), max_tokens=10, truncate_oversize=False).take_all()

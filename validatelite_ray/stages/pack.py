@@ -1,0 +1,133 @@
+"""Training-set assembly operators: deterministic splits and sequence
+packing — the last mile between a filtered corpus and a training run.
+
+* ``hash_split`` — assign every row to a named split (train/val/test…)
+  by a deterministic 64-bit hash of its id: stateless, order-free,
+  stable across cluster sizes and reruns (the property a random_shuffle
+  + take split does NOT have), and new rows never move existing rows
+  between splits. One streaming ``map_batches``, zero shuffle.
+* ``pack_sequences`` — greedy first-fit packing of documents into
+  fixed-token-budget training sequences. Packing is inherently
+  sequential, so the distributed form packs WITHIN each block (the
+  standard practice for corpus-scale pretraining data: packs never
+  span shards, a failed shard repacks alone). Token counts come from
+  the shared byte-LUT tokenizer (stages/text.py). Emits one row per
+  document with its (block-local) pack id and offset — the layout a
+  downstream tokenizer/writer consumes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from validatelite_ray.stages.dedup import _token_hashes
+
+
+def hash_split(
+    ds,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    seed: int = 0,
+    out_col: str = "split",
+):
+    """Append ``out_col`` assigning each row to a split by hash(id).
+
+    ``splits`` maps name → weight (normalized to 1); iteration order
+    fixes the threshold layout, so pass an ordered dict. The hash mixes
+    ``seed`` so independent splits of the same corpus decorrelate.
+    """
+    splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+    names = list(splits)
+    weights = np.array([splits[n] for n in names], np.float64)
+    if (weights <= 0).any():
+        raise ValueError("split weights must be positive")
+    edges = np.cumsum(weights / weights.sum())
+    # map [0, 2^64) hash space onto cumulative weight edges
+    bounds = (edges * float(2**64)).astype(np.float64)
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = _token_hashes(
+            pc.binary_join_element_wise(
+                pc.cast(ids, pa.string()), str(seed), "\x1f"
+            )
+        ).astype(np.float64)
+        idx = np.searchsorted(bounds, h, side="right")
+        idx = np.minimum(idx, len(names) - 1)
+        lab = pa.array(np.array(names, dtype=object)[idx], pa.string())
+        return b.append_column(out_col, lab)
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_sequences(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 2048,
+    truncate_oversize: bool = True,
+):
+    """Greedy in-order packing of documents into ≤ ``max_tokens`` packs.
+
+    Emits (id_col, n_tokens, pack_id, pack_offset) per document; pack
+    ids are unique across blocks (block-hash salted) but packing never
+    crosses a block boundary — the per-shard form that keeps the
+    operator streaming and resumable. A document longer than the budget
+    gets its own pack (flagged ``truncated`` when ``truncate_oversize``)
+    rather than failing the pipeline.
+    """
+    from validatelite_ray.stages.text import token_count
+
+    def pack(b: pa.Table) -> pa.Table:
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ntok = np.asarray(token_count(b[text_col]), dtype=np.int64)
+        n = len(ntok)
+        if (ntok > max_tokens).any() and not truncate_oversize:
+            bad = int(np.argmax(ntok > max_tokens))
+            raise ValueError(
+                f"document {ids[bad]} has {int(ntok[bad])} tokens > "
+                f"budget {max_tokens}"
+            )
+        capped = np.minimum(ntok, max_tokens)
+        # greedy first-fit via searchsorted on the token cumsum: the
+        # scan iterates once per PACK (searchsorted finds each pack's
+        # last fitting doc), not once per document
+        cs = np.concatenate([[0], np.cumsum(capped)])
+        pack_local = np.empty(n, np.int64)
+        offset = np.empty(n, np.int64)
+        s, p = 0, 0
+        while s < n:
+            e = int(np.searchsorted(cs, cs[s] + max_tokens, side="right")) - 1
+            if e <= s:
+                e = s + 1
+            pack_local[s:e] = p
+            offset[s:e] = cs[s:e] - cs[s]
+            p += 1
+            s = e
+        # block-unique pack ids: salt with a hash of the block's ids
+        salt = np.int64(
+            _token_hashes(
+                pa.array(
+                    ["\x1f".join(str(v) for v in ids[:8].to_pylist())], pa.string()
+                )
+            ).view(np.int64)[0]
+            & np.int64(0x7FFFFFFFFFFF0000)
+        )
+        truncated = ntok > max_tokens
+        return pa.table(
+            {
+                id_col: ids,
+                "n_tokens": pa.array(capped),
+                "pack_id": pa.array(salt + pack_local),
+                "pack_offset": pa.array(offset),
+                "truncated": pa.array(truncated),
+            }
+        )
+
+    return ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
