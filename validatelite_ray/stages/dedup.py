@@ -667,27 +667,65 @@ def dedup_minhash_lsh(
             }
         )
 
-    def jaccard_group(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"u": pd.Series([], dtype=object),
-                              "v": pd.Series([], dtype=object)})
-        if len(g) != 2:  # a doc with no shingles emits nothing → unverifiable
+    def jaccard_bucket(g: pa.Table) -> pa.Table:
+        """All of one coarse bucket's candidate pairs verified in one
+        vectorized pass: per-pair set-union sizes come from run counting
+        over the (pair, shingle) sort of the flattened list column —
+        no per-pair Python (each pair's two shingle sets are already
+        distinct-per-doc, so |A∩B| = |A| + |B| − |A∪B|)."""
+        empty = pa.table(
+            {"u": pa.array([], g.schema.field("doc").type),
+             "v": pa.array([], g.schema.field("doc").type)}
+        )
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("pair_id", "ascending"), ("doc", "ascending")]
+            )
+        )
+        pair = np.asarray(g["pair_id"], np.int64)
+        starts, lens = _runs(pair)
+        two = lens == 2  # a doc with no shingles emits nothing → unverifiable
+        if not two.any():
             return empty
-        s1 = np.asarray(g["shingles"].iloc[0], dtype=np.int64)
-        s2 = np.asarray(g["shingles"].iloc[1], dtype=np.int64)
-        if s1.size == 0 or s2.size == 0:
-            return empty
-        inter = np.intersect1d(s1, s2, assume_unique=True).size
-        union = s1.size + s2.size - inter
-        if union == 0 or inter / union < jaccard_threshold:
-            return empty
-        u, v = sorted([g["doc"].iloc[0], g["doc"].iloc[1]])
-        return pd.DataFrame({"u": [u], "v": [v]})
+        i1 = starts[two]
+        i2 = i1 + 1
+        sh_col = g["shingles"]
+        if isinstance(sh_col, pa.ChunkedArray):
+            sh_col = sh_col.combine_chunks()
+        set_sizes = np.asarray(pc.list_value_length(sh_col), np.int64)
+        n1, n2 = set_sizes[i1], set_sizes[i2]
+        # union sizes: flatten both rows of every kept pair, label by
+        # pair slot, sort (label, value), count value runs per label
+        keep_rows = np.stack([i1, i2], axis=1).ravel()
+        sub = sh_col.take(pa.array(keep_rows))
+        flat = np.asarray(sub.flatten(), np.int64)
+        sub_lens = np.asarray(pc.list_value_length(sub), np.int64)
+        label = np.repeat(np.arange(keep_rows.size, dtype=np.int64) // 2, sub_lens)
+        order = np.lexsort((flat, label))
+        lab_s, val_s = label[order], flat[order]
+        new_run = np.r_[True, (lab_s[1:] != lab_s[:-1]) | (val_s[1:] != val_s[:-1])]
+        union = np.bincount(lab_s[np.flatnonzero(new_run)], minlength=i1.size)
+        inter = n1 + n2 - union
+        ok = (union > 0) & (inter >= jaccard_threshold * union) & (n1 > 0) & (n2 > 0)
+        docs = g["doc"]
+        if isinstance(docs, pa.ChunkedArray):
+            docs = docs.combine_chunks()
+        return pa.table(
+            {"u": docs.take(pa.array(i1[ok])), "v": docs.take(pa.array(i2[ok]))}
+        )
+
+    def pair_buckets(b: pa.Table) -> pa.Table:
+        pid = np.asarray(b["pair_id"], np.int64).view(np.uint64)
+        return b.append_column(
+            "pbucket", pa.array((pid % np.uint64(nb)).astype(np.int32))
+        )
 
     verified_rows = (
         tagged.groupby("bucket")
         .map_groups(cogroup, batch_format="pyarrow")
-        .groupby("pair_id")
-        .map_groups(jaccard_group, batch_format="pandas")
+        .map_batches(pair_buckets, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pbucket")
+        .map_groups(jaccard_bucket, batch_format="pyarrow")
         .take_all()
     )
     verified = [(r["u"], r["v"]) for r in verified_rows]
