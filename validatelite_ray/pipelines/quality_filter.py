@@ -447,7 +447,17 @@ def select_kept(wide_ds, dec, broadcast_max_groups: int = 200_000):
     # ---- bucket-cogroup path: decision table stays a Dataset ----
     from validatelite_ray.stages.dedup import _token_hashes
 
+    # bucket count: at least 2 per CPU for parallelism, but ALSO enough
+    # that one bucket's rows (the unit a reducer task materializes)
+    # stay under ~256 MB — the knob that keeps this path safe when the
+    # corpus is 1000× the cluster's memory
     nb = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    try:
+        est_bytes = wide_ds.size_bytes()
+    except Exception:
+        est_bytes = None
+    if est_bytes:
+        nb = max(nb, int(est_bytes // (256 << 20)) + 1)
     sch = wide_ds.schema()
     out_names = [n for n in sch.names if n != "keep_rules"]
     out_types = {n: t for n, t in zip(sch.names, sch.types)}
