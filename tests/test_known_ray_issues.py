@@ -1,0 +1,42 @@
+"""Pinned reproductions of upstream Ray behaviors this repo designs
+around. When a Ray upgrade makes an xfail here XPASS, the workaround it
+documents can be removed."""
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="Ray 2.49 hash-shuffle join: when an input's FIRST block is "
+    "empty, the schema-broadcast path leaves aggregator partitions "
+    "schema-less and acero fails with 'No match or multiple matches for "
+    "key field'. This is why pipelines/quality_filter.select_kept and "
+    "the near-dup operators resolve membership with bucket-cogroup "
+    "sort-shuffles instead of Dataset.join for filtered inputs.",
+)
+def test_join_with_empty_first_block(ray_session):
+    import ray.data as rd
+
+    left = pa.table({"k": ["a", "b"], "x": [1, 2]})
+    right = pa.table({"k": ["a"], "y": [10]})
+    right_ds = rd.from_arrow([right.slice(0, 0), right]).materialize()
+    out = rd.from_arrow(left).join(
+        right_ds, join_type="left_outer", num_partitions=4, on=("k",)
+    )
+    assert out.count() == 2
+
+
+def test_join_with_nonempty_first_block_works(ray_session):
+    """Control: the same join succeeds when the first block is
+    non-empty — pinning that the bug is ONLY the empty-first-block
+    schema broadcast."""
+    import ray.data as rd
+
+    left = pa.table({"k": ["a", "b"], "x": [1, 2]})
+    right = pa.table({"k": ["a"], "y": [10]})
+    right_ds = rd.from_arrow([right, right.slice(0, 0)]).materialize()
+    out = rd.from_arrow(left).join(
+        right_ds, join_type="left_outer", num_partitions=4, on=("k",)
+    )
+    assert out.count() == 2

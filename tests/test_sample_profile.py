@@ -159,3 +159,28 @@ def test_kmeans_needs_k_rows(ray_session):
     )
     with pytest.raises(ValueError, match="at least k"):
         kmeans_embeddings(rd.from_arrow(t), k=5)
+
+
+def test_cli_profile_command(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    src = tmp_path / "d.csv"
+    src.write_text("a,b\n1,x\n2,\n2,y\n")
+    proc = subprocess.run(
+        [sys.executable, "-m", "validatelite_ray.cli", "profile", str(src),
+         "--json", "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=180,
+    )
+    assert proc.returncode == 0, proc.stderr
+    rows = {r["column"]: r for r in json.loads(proc.stdout)["columns"]}
+    assert rows["a"]["n_distinct"] == 2 and rows["a"]["min_str"] == "1"
+    assert rows["b"]["n_nulls"] == 1
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "validatelite_ray.cli", "profile", str(src),
+         "--columns", "ghost", "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=180,
+    )
+    assert proc.returncode == 2  # usage error

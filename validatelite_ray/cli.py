@@ -198,6 +198,73 @@ def _schema_command(args) -> int:
             ray.shutdown()
 
 
+def _profile_command(args) -> int:
+    """``vlray profile SOURCE [--columns a,b]`` — per-column rows /
+    nulls / exact distinct / min / max (stages/sample.py:profile_columns
+    surfaced as a CLI command)."""
+    import ray
+
+    from validatelite_ray.sources.io import SourceError, open_source
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+            **({"num_cpus": args.num_cpus} if args.num_cpus else {}),
+        )
+    try:
+        import ray.data
+
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        try:
+            from validatelite_ray.sources.db import is_db_url, open_db_source
+
+            if is_db_url(args.source):
+                ds = open_db_source(args.source, table=args.db_table)
+            else:
+                ds = open_source(args.source, encoding=args.encoding)
+        except SourceError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return EXIT_SOURCE_ERROR
+
+        from validatelite_ray.stages.sample import profile_columns
+
+        all_cols = ds.schema().names
+        cols = (
+            [c.strip() for c in args.columns.split(",") if c.strip()]
+            if args.columns
+            else all_cols
+        )
+        unknown = [c for c in cols if c not in all_cols]
+        if unknown:
+            print(f"error: columns {unknown} not in source", file=sys.stderr)
+            return EXIT_USAGE
+        prof = profile_columns(ds, cols)
+        if args.as_json:
+            import json as _json
+
+            print(_json.dumps({"columns": prof.to_pylist()}))
+        else:
+            print(
+                f"{'column':<20} {'rows':>10} {'nulls':>8} {'distinct':>10}"
+                f"  {'min':<18} {'max':<18}"
+            )
+            print("-" * 88)
+            for r in prof.to_pylist():
+                print(
+                    f"{r['column']:<20} {r['n_rows']:>10} {r['n_nulls']:>8} "
+                    f"{r['n_distinct']:>10}  {str(r['min_str']):<18.18} "
+                    f"{str(r['max_str']):<18.18}"
+                )
+        return EXIT_OK
+    finally:
+        if owns_ray:
+            ray.shutdown()
+
+
 def _filter_command(args) -> int:
     """``vlray filter corpus/ --out out/`` — the flagship quality-filter
     pipeline (checkpointed by default; resume just reruns the command)."""
@@ -293,6 +360,19 @@ def main(argv: list[str] | None = None) -> int:
                       help="single streaming pipeline (no shard checkpoints)")
     filt.add_argument("--num-cpus", type=int, default=None)
 
+    prof = sub.add_parser(
+        "profile", help="per-column data-quality profile of a source"
+    )
+    prof.add_argument("source", help="data source (file path or db URL)")
+    prof.add_argument(
+        "--columns", default=None,
+        help="comma-separated columns (default: all)",
+    )
+    prof.add_argument("--table", dest="db_table", default=None)
+    prof.add_argument("--encoding", default=None)
+    prof.add_argument("--json", dest="as_json", action="store_true")
+    prof.add_argument("--num-cpus", type=int, default=None)
+
     schema = sub.add_parser(
         "schema", help="two-phase declarative schema validation"
     )
@@ -317,6 +397,8 @@ def main(argv: list[str] | None = None) -> int:
         return _schema_command(args)
     if args.command == "filter":
         return _filter_command(args)
+    if args.command == "profile":
+        return _profile_command(args)
     if args.command != "check":
         parser.print_help()
         return EXIT_USAGE
