@@ -277,3 +277,71 @@ def test_popcount64_matches_python(ray_session):
     got = popcount64(xs ^ ys)
     for i in range(0, 1000, 97):
         assert int(got[i]) == hamming64(int(xs[i]), int(ys[i]))
+
+
+# ---------------------------------------------------------------------------
+# property tests for the vectorized run/pair kernels
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=12),
+    cap=st.integers(min_value=1, max_value=12),
+)
+def test_pairs_within_runs_matches_bruteforce(lens, cap):
+    from validatelite_ray.stages.dedup import _pairs_within_runs
+
+    lens_np = np.array(lens, np.int64)
+    starts = np.cumsum(np.r_[0, lens_np[:-1]])
+    for star in (False, True):
+        iu, iv = _pairs_within_runs(starts, lens_np, all_pairs_max=cap, star_fallback=star)
+        got = sorted(zip(iu.tolist(), iv.tolist()))
+        exp = []
+        for s, l in zip(starts.tolist(), lens):
+            if l <= cap:
+                exp += [(s + a, s + b) for a in range(l) for b in range(a + 1, l)]
+            elif star:
+                exp += [(s, s + b) for b in range(1, l)]
+        assert got == sorted(exp)
+        assert all(u < v for u, v in got)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c", None]), st.integers(0, 50)),
+        min_size=0,
+        max_size=40,
+    ),
+    n=st.integers(min_value=1, max_value=5),
+)
+def test_first_n_of_runs_matches_pandas(rows, n):
+    import pandas as pd
+
+    from validatelite_ray.stages.sample import _first_n_of_runs, _sort_keys
+
+    t = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.string()),
+            "v": pa.array([r[1] for r in rows], pa.int64()),
+            "tie": pa.array(range(len(rows)), pa.int64()),
+        }
+    )
+    keys = _sort_keys("k", ["v", "tie"], True)
+    s = t.take(pc.sort_indices(t, sort_keys=keys))
+    sk = lambda p: (p[0] is None, p[0] or "", p[1])  # noqa: E731
+    got = sorted(
+        ((r["k"], r["tie"]) for r in _first_n_of_runs(s, "k", n).to_pylist()),
+        key=sk,
+    )
+    df = t.to_pandas().sort_values(["v", "tie"], kind="mergesort")
+    head = df.groupby("k", dropna=False, sort=False).head(n)
+    exp = sorted(
+        ((None if pd.isna(k) else k, int(tie))
+         for k, tie in zip(head["k"], head["tie"])),
+        key=sk,
+    )
+    assert got == exp
