@@ -433,6 +433,17 @@ def _q_kmeans_embeddings(sf_dir: str):
     return out
 
 
+def _q_token_frequencies(sf_dir: str):
+    """Top-50 corpus vocabulary (exact ASCII \\w+ token counts via the
+    byte-LUT tokenizer, batch-combined then one shuffle; oracled against
+    DuckDB regexp_split_to_array — RE2 \\w is ASCII)."""
+    from validatelite_ray.stages.text import token_frequencies
+
+    return token_frequencies(
+        _read(sf_dir, "documents", ["text"]), text_col="text", top_k=50
+    )
+
+
 def _q_hash_split(sf_dir: str):
     """Deterministic hash-based train/val/test assignment (stateless,
     order-free, stable across cluster sizes; rows-only — pytest checks
@@ -712,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_columns_events": _q_profile_events,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "hash_split_documents": _q_hash_split,
+        "token_frequencies_documents": _q_token_frequencies,
         "pack_sequences_documents": _q_pack_sequences,
         "ann_topk_embeddings": _q_ann_topk,
         "dedup_embedding_cosine": _q_dedup_embedding,
@@ -840,6 +852,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders QUALIFY row_number() OVER ("
             "PARTITION BY o_orderpriority "
             "ORDER BY o_totalprice DESC, o_orderkey) <= 3"
+        ),
+        "token_frequencies_documents": (
+            "SELECT token, count(*) AS n FROM ("
+            "SELECT unnest(regexp_split_to_array(lower(text), "
+            "'[^0-9A-Za-z_]+')) AS token FROM documents) "
+            "WHERE token <> '' GROUP BY token "
+            "ORDER BY n DESC, token LIMIT 50"
         ),
         "profile_columns_events": (
             "SELECT 'event_id' AS \"column\", count(*) AS n_rows, "

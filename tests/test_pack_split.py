@@ -104,3 +104,40 @@ def test_pack_sequences_oversize(ray_session):
     assert not rows[1]["truncated"]
     with pytest.raises(Exception):
         pack_sequences(rd.from_arrow(t), max_tokens=10, truncate_oversize=False).take_all()
+
+
+def test_token_frequencies_matches_python_reference(ray_session):
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from validatelite_ray.stages.text import token_frequencies
+
+    texts = [
+        "Foo bar foo BAR baz-qux foo",
+        "bar! bar? qux_1 qux_1  ",
+        None,
+        "\tfoo\nbar  42 42 42",
+    ]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = {
+        r["token"]: r["n"]
+        for r in token_frequencies(rd.from_arrow(t), top_k=None).take_all()
+    }
+    ref = Counter()
+    for s in texts:
+        if s:
+            ref.update(tok for tok in re.split(r"[^0-9A-Za-z_]+", s.lower()) if tok)
+    assert got == dict(ref)
+
+
+def test_token_frequencies_topk_deterministic_ties(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.text import token_frequencies
+
+    t = pa.table({"text": pa.array(["b a", "a b", "c"], pa.string())})
+    rows = token_frequencies(rd.from_arrow(t), top_k=2).take_all()
+    # a and b tie at 2; tie-break is token ascending
+    assert [(r["token"], r["n"]) for r in rows] == [("a", 2), ("b", 2)]

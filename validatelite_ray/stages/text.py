@@ -344,3 +344,44 @@ def add_shingle_dup_fraction(
     batch: pa.Table, column: str = "content", k: int = 3, out: str = "dup_shingle_frac"
 ) -> pa.Table:
     return batch.append_column(out, pa.array(shingle_dup_fraction(batch[column], k=k)))
+
+
+def token_frequencies(
+    ds,
+    text_col: str = "text",
+    top_k: int | None = None,
+    lowercase: bool = True,
+):
+    """Corpus-wide token frequencies (vocabulary building).
+
+    Per-batch partial counts are computed with the byte-LUT tokenizer +
+    Arrow's C++ ``group_by`` (the combiner — a batch's repeated tokens
+    collapse before the exchange), ONE ``groupby(token)`` sums the
+    partials, and ``top_k`` adds a global sort-limit with a
+    deterministic (count desc, token asc) tie-break. Token semantics
+    are exact ASCII ``\\w+`` — SQL-expressible via
+    ``regexp_split_to_array`` (RE2 ``\\w`` is ASCII), so the operator is
+    oracle-verified end to end.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        if lowercase:
+            col = pc.utf8_lower(col)
+        tokens, _, _ = _tokenize_ascii(col)
+        t = pa.table({"token": pc.cast(tokens, pa.string())})
+        g = t.group_by("token").aggregate([("token", "count")])
+        return pa.table({"token": g["token"], "cnt": pc.cast(g["token_count"], pa.int64())})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="n"))
+    )
+    if top_k is not None:
+        return agg.sort(key=["n", "token"], descending=[True, False]).limit(top_k)
+    return agg
