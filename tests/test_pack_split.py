@@ -141,3 +141,23 @@ def test_token_frequencies_topk_deterministic_ties(ray_session):
     rows = token_frequencies(rd.from_arrow(t), top_k=2).take_all()
     # a and b tie at 2; tie-break is token ascending
     assert [(r["token"], r["n"]) for r in rows] == [("a", 2), ("b", 2)]
+
+
+def test_sample_fraction_deterministic_and_proportional(ray_session, docs):
+    import ray.data as rd
+
+    from validatelite_ray.stages.pack import sample_fraction
+
+    a = sorted(r["doc_id"] for r in sample_fraction(rd.from_arrow(docs), fraction=0.3, seed=3).take_all())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_fraction(rd.from_arrow(docs).repartition(9), fraction=0.3, seed=3).take_all()
+    )
+    assert a == b
+    assert 0.25 < len(a) / 2000 < 0.35
+    # nested sampling composes: half of half ≈ quarter, and is a subset
+    h1 = sample_fraction(rd.from_arrow(docs), fraction=0.5, seed=1)
+    h2 = sorted(r["doc_id"] for r in sample_fraction(h1, fraction=0.5, seed=2).take_all())
+    full1 = set(r["doc_id"] for r in sample_fraction(rd.from_arrow(docs), fraction=0.5, seed=1).take_all())
+    assert set(h2) <= full1
+    assert 0.18 < len(h2) / 2000 < 0.33

@@ -131,3 +131,33 @@ def pack_sequences(
         )
 
     return ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_fraction(
+    ds,
+    id_col: str = "doc_id",
+    fraction: float = 0.1,
+    seed: int = 0,
+):
+    """Deterministic ``fraction`` subsample by id hash — the data-mixing
+    primitive (e.g. take 30% of corpus B and union with corpus A).
+    Unlike ``Dataset.random_sample`` the subset is a pure function of
+    (id, seed): stable across reruns, block layouts and cluster sizes,
+    and composable (``sample_fraction(0.5)`` of ``sample_fraction(0.5)``
+    with different seeds is an unbiased 25%). Zero shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    threshold = np.uint64(int(fraction * float(2**64 - 1)))
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = _token_hashes(
+            pc.binary_join_element_wise(
+                pc.cast(ids, pa.string()), f"frac{seed}", "\x1f"
+            )
+        )
+        return b.filter(pa.array(h <= threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
