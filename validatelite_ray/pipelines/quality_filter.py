@@ -304,9 +304,15 @@ def dedup_decision_table(labels_ds):
         return (a[0], a[1] + b[1])
 
     def acc_block(acc, block):
-        uids = block["uid"]
-        mn = pc.min(uids).as_py()
-        mc = int(pc.sum(pc.cast(pc.equal(uids, mn), pa.int64())).as_py())
+        """Group block of PARTIAL rows for one sha: min winner + the
+        min-count contributions of partials sharing that winner."""
+        winners = block["winner"]
+        mn = pc.min(winners).as_py()
+        mc = int(
+            pc.sum(
+                pc.if_else(pc.equal(winners, mn), block["mc"], pa.scalar(0))
+            ).as_py()
+        )
         return merge(acc, (mn, mc))
 
     min_count = AggregateFn(
@@ -316,20 +322,76 @@ def dedup_decision_table(labels_ds):
         accumulate_block=acc_block,
         finalize=lambda a: int(a[1]),
     )
-    pairs = labels_ds.map_batches(
-        lambda b: b.filter(pc.equal(b["keep_rules"], True)).select(["sha256", "uid"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    partials = labels_ds.map_batches(
+        _decision_partials, batch_format="pyarrow", zero_copy_batch=True
     )
+    from ray.data.aggregate import Sum
+
     return (
-        pairs.groupby("sha256")
-        .aggregate(Min("uid", alias_name="winner"), Count(alias_name="c"), min_count)
+        partials.groupby("sha256")
+        .aggregate(Min("winner", alias_name="winner"), Sum("c", alias_name="c"), min_count)
         .map_batches(
             lambda b: b.filter(pc.greater(b["c"], 1)),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
         .materialize()
+    )
+
+
+def _decision_partials(b: pa.Table) -> pa.Table:
+    """Map-side combiner for the decision shuffle: one PARTIAL row per
+    distinct sha in the batch — (sha256, winner = batch-min uid,
+    c = batch row count, mc = rows equal to that min). Exchange volume
+    becomes per-batch distinct hashes instead of every (sha, uid) pair,
+    which is the difference between shipping 10^5 rows and ONE row for
+    a hash duplicated 10^5 times within a block. Fully vectorized
+    (sort + two-level run detection)."""
+    b = b.filter(pc.equal(b["keep_rules"], True)).select(["sha256", "uid"])
+    n = b.num_rows
+    empty = pa.table(
+        {
+            "sha256": pa.array([], pa.string()),
+            "winner": pa.array([], pa.string()),
+            "c": pa.array([], pa.int64()),
+            "mc": pa.array([], pa.int64()),
+        }
+    )
+    if n == 0:
+        return empty
+    b = b.take(
+        pc.sort_indices(
+            b, sort_keys=[("sha256", "ascending"), ("uid", "ascending")]
+        )
+    )
+    sha = b["sha256"]
+    uid = b["uid"]
+    if isinstance(sha, pa.ChunkedArray):
+        sha = sha.combine_chunks()
+    if isinstance(uid, pa.ChunkedArray):
+        uid = uid.combine_chunks()
+    sha_neq = np.asarray(pc.not_equal(sha.slice(1), sha.slice(0, n - 1)))
+    uid_neq = np.asarray(pc.not_equal(uid.slice(1), uid.slice(0, n - 1)))
+    starts = np.r_[0, np.flatnonzero(sha_neq) + 1]
+    ends = np.append(starts[1:], n)
+    # positions where the (sha, uid) PAIR changes; a sha run's min-count
+    # is the distance from its start to the first pair change after it
+    pair_chg = np.flatnonzero(sha_neq | uid_neq) + 1
+    if pair_chg.size:
+        idx = np.searchsorted(pair_chg, starts, side="right")
+        first_chg = np.where(
+            idx < pair_chg.size, pair_chg[np.minimum(idx, pair_chg.size - 1)], n
+        )
+    else:
+        first_chg = np.full(starts.size, n, np.int64)
+    mc = first_chg - starts
+    return pa.table(
+        {
+            "sha256": sha.take(pa.array(starts)),
+            "winner": uid.take(pa.array(starts)),
+            "c": pa.array(ends - starts),
+            "mc": pa.array(mc),
+        }
     )
 
 
