@@ -85,8 +85,8 @@ class QualityFilterConfig:
     #: shuffle reports at most this many duplicated hash groups, the
     #: winner pairs are broadcast (ray.put once, is_in per batch —
     #: cheapest on mostly-unique corpora); above it the decision table
-    #: STAYS a Dataset and kept rows are resolved with a distributed
-    #: left-outer hash join (no O(#duplicated hashes) driver state —
+    #: STAYS a Dataset and kept rows are resolved with a bucket-keyed
+    #: cogroup sort-shuffle (no O(#duplicated hashes) driver state —
     #: the safe path for 30-50%-duplicated web-scale corpora)
     dedup_broadcast_max_groups: int = 200_000
 
@@ -507,19 +507,9 @@ def select_kept(wide_ds, dec, broadcast_max_groups: int = 200_000):
         return kept
 
     # ---- bucket-cogroup path: decision table stays a Dataset ----
-    from validatelite_ray.stages.dedup import _token_hashes
+    from validatelite_ray.stages.dedup import _token_hashes, coarse_bucket_count
 
-    # bucket count: at least 2 per CPU for parallelism, but ALSO enough
-    # that one bucket's rows (the unit a reducer task materializes)
-    # stay under ~256 MB — the knob that keeps this path safe when the
-    # corpus is 1000× the cluster's memory
-    nb = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
-    try:
-        est_bytes = wide_ds.size_bytes()
-    except Exception:
-        est_bytes = None
-    if est_bytes:
-        nb = max(nb, int(est_bytes // (256 << 20)) + 1)
+    nb = coarse_bucket_count(wide_ds)
     sch = wide_ds.schema()
     out_names = [n for n in sch.names if n != "keep_rules"]
     out_types = {n: t for n, t in zip(sch.names, sch.types)}

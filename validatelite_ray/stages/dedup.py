@@ -351,6 +351,25 @@ class MinHasher:
         )
 
 
+def coarse_bucket_count(ds=None, per_bucket_bytes: int = 256 << 20) -> int:
+    """Bucket count for hash-mod-NB cogroup shuffles: at least 2 per
+    cluster CPU for parallelism, and — when the input's size is known —
+    enough that one bucket (the unit a reducer task materializes) stays
+    under ``per_bucket_bytes``. The knob that keeps bucket-cogroup
+    operators safe when the corpus is 1000× the cluster's memory."""
+    import ray
+
+    nb = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    if ds is not None:
+        try:
+            est = ds.size_bytes()
+        except Exception:
+            est = None
+        if est:
+            nb = max(nb, int(est // per_bucket_bytes) + 1)
+    return nb
+
+
 def _runs(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(run starts, run lengths) of a sorted key array."""
     n = sorted_keys.size
@@ -490,9 +509,7 @@ def dedup_minhash_lsh(
     # (all pairs ≤ all_pairs_max, star edges above — the semantics of
     # ``pairs_for_bucket``) runs VECTORIZED inside each coarse group
     # (_pairs_within_runs).
-    import ray
-
-    nb_pairs = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    nb_pairs = coarse_bucket_count(ds)
 
     def to_buckets(b: pa.Table) -> pa.Table:
         bh = np.asarray(b["band_hash"], np.int64).view(np.uint64)
@@ -550,9 +567,7 @@ def dedup_minhash_lsh(
     # Jaccard is over 64-bit shingle hashes, not raw shingles, and the
     # local join keys on 64-bit doc hashes — collision probability
     # ~n²/2⁶⁴ per bucket, negligible at any realistic corpus size.
-    import ray
-
-    nb = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    nb = coarse_bucket_count(ds)
 
     def _doc_hash(arr) -> np.ndarray:
         if isinstance(arr, pa.ChunkedArray):
@@ -807,13 +822,11 @@ def ngram_jaccard_pairs(
 
     from ray.data.aggregate import Count
 
-    import ray
-
     # posting-list co-occurrence: grouping directly on ``sh`` would be
     # one Python call per distinct shingle (millions of tiny groups);
     # shingles re-key to ``sh % NB`` coarse buckets and the expansion
     # runs vectorized across each bucket's posting-list runs
-    nb = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    nb = coarse_bucket_count(ds)
 
     def to_buckets(b: pa.Table) -> pa.Table:
         sh = np.asarray(b["sh"], np.int64).view(np.uint64)
@@ -1014,7 +1027,7 @@ def dedup_simhash_clusters(
     # one Python call per COARSE bucket (band values re-keyed to
     # hash % NB), with the pair expansion and Hamming verification
     # vectorized across all the bucket's band-value runs
-    nb = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    nb = coarse_bucket_count(ds)
 
     def to_buckets(b: pa.Table) -> pa.Table:
         bv = np.asarray(b["band_val"], np.int64).view(np.uint64)

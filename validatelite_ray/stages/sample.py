@@ -86,12 +86,10 @@ def top_n_per_group(
     one Python map_groups call per distinct key — millions of tiny
     groups at corpus scale). NULL keys form one group, SQL-style.
     """
-    import ray
-
-    from validatelite_ray.stages.dedup import _token_hashes
+    from validatelite_ray.stages.dedup import _token_hashes, coarse_bucket_count
 
     keys = _sort_keys(key, order_cols, ascending)
-    nb = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    nb = coarse_bucket_count(ds)
 
     def local(b: pa.Table) -> pa.Table:
         if b.num_rows > 1:
