@@ -160,16 +160,22 @@ def bench_once() -> dict:
         from validatelite_ray.pipelines.quality_filter import run as run_ckpt
 
         ckpt_dir = Path("/tmp/vlray_bench_out_ckpt")
-        if ckpt_dir.exists():
-            shutil.rmtree(ckpt_dir)
-        t0 = time.time()
-        s2 = run_ckpt(
-            corpus_paths, str(ckpt_dir), cfg,
-            files_per_shard=max(1, len(corpus_paths) // 8),
-            shard_concurrency=8,
-            resume=False,
-        )
-        extras["qf_corpus_ckpt_sec"] = round(time.time() - t0, 3)
+        # same best-of-N estimator as qf_corpus (round-3 verdict: this
+        # leg was single-run AND last in bench order, where it absorbs
+        # end-of-bench host steal — r03 recorded 17.3 s vs 7.3 s idle)
+        best_ckpt = None
+        for _ in range(repeats):
+            if ckpt_dir.exists():
+                shutil.rmtree(ckpt_dir)
+            t0 = time.time()
+            s2 = run_ckpt(
+                corpus_paths, str(ckpt_dir), cfg,
+                files_per_shard=max(1, len(corpus_paths) // 8),
+                shard_concurrency=8,
+                resume=False,
+            )
+            best_ckpt = min(best_ckpt or 1e18, time.time() - t0)
+        extras["qf_corpus_ckpt_sec"] = round(best_ckpt, 3)
         extras["qf_corpus_ckpt_files_per_sec"] = round(
             s2["total_rows"] / extras["qf_corpus_ckpt_sec"], 1
         )
@@ -241,11 +247,15 @@ def scaling() -> dict:
             hi_n / lo_n
         )
         pairs.append((eff, lo, hi))
-    eff, lo, hi = max(pairs, key=lambda p: p[0])
+    # headline = MEDIAN per-round efficiency (round-3 advice: max() over
+    # noisy ratios is an upward-biased estimator); the full spread is
+    # still reported in per_round_efficiency
+    ordered = sorted(pairs, key=lambda p: p[0])
+    eff, lo, hi = ordered[len(ordered) // 2]
     tp_lo = lo["corpus_files_per_sec"]
     tp_hi = hi["corpus_files_per_sec"]
     return {
-        "metric": f"scaling efficiency (flagship files/sec, {lo_n} -> {hi_n} cpus, best adjacent pair of {rounds})",
+        "metric": f"scaling efficiency (flagship files/sec, {lo_n} -> {hi_n} cpus, median adjacent pair of {rounds})",
         "num_cpus_lo": lo_n,
         "num_cpus_hi": hi_n,
         "sec_lo": lo["queries"]["qf_corpus"],

@@ -188,3 +188,29 @@ def test_sst_reader_continue_boundary():
     rich = struct.pack("<HB", 2, 0x08) + struct.pack("<H", 1) + b"hi" + b"\x00" * 4
     rd = _SstReader([rich])
     assert rd.read_string() == "hi"
+
+
+def test_formula_cached_values(tmp_path):
+    """FORMULA (0x0006) cached results: numeric, boolean (type byte 1),
+    string (trailing STRING record), and error (type byte 2 → missing
+    cell, never a fake True/False). Round-3 advice: type byte 2 was
+    mis-read as boolean."""
+    from validatelite_ray.testing.xlswriter import Formula
+
+    p = tmp_path / "formulas.xls"
+    write_xls(
+        str(p),
+        {
+            "calc": [
+                ["num", "flag", "txt", "err"],
+                [Formula(2.5), Formula(True), Formula("hi"), Formula(error=0x07)],
+                [Formula(7.0), Formula(False), Formula("yo"), 1],
+            ]
+        },
+    )
+    t = read_xls_sheet(str(p), "calc")
+    assert t["num"].to_pylist() == [2.5, 7.0]
+    assert t["flag"].to_pylist() == [True, False]
+    assert t["txt"].to_pylist() == ["hi", "yo"]
+    # the #DIV/0! cell is missing, not boolean-coerced
+    assert t["err"].to_pylist()[0] is None

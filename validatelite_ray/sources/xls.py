@@ -346,9 +346,13 @@ def parse_workbook(stream: bytes) -> dict[str, list[dict[int, object]]]:
             elif op == _FORMULA:
                 r, c = _u16(data, 0), _u16(data, 2)
                 if data[12] == 0xFF and data[13] == 0xFF:
+                    # cached-value type byte ([MS-XLS] CellParsedFormula):
+                    # 0=string (value arrives in the next STRING record),
+                    # 1=boolean, 2=error (#DIV/0! etc. → emit as missing),
+                    # 3=blank
                     if data[6] == 0:  # string result follows in STRING
                         pending_formula_rc = (r, c)
-                    elif data[6] == 2:  # boolean result
+                    elif data[6] == 1:  # boolean result
                         put(r, c, bool(data[8]))
                 else:
                     put(r, c, struct.unpack_from("<d", data, 6)[0])

@@ -147,7 +147,10 @@ def sample_fraction(
     with different seeds is an unbiased 25%). Zero shuffle."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    threshold = np.uint64(int(fraction * float(2**64 - 1)))
+    # integer-domain threshold with a clamp: int(1.0 * float(2**64-1))
+    # rounds UP to 2**64, which overflows uint64 — fraction=1.0 must
+    # keep everything, not crash
+    threshold = np.uint64(min(int(fraction * (2**64 - 1)), 2**64 - 1))
 
     def keep(b: pa.Table) -> pa.Table:
         ids = b[id_col]

@@ -9,12 +9,13 @@ standard shapes on the Dataset API:
   that cover it (vectorized per batch), then one groupby; data volume
   multiplies by window/step, which is the honest cost of exact sliding
   aggregates at scale;
-* session — gaps-and-islands per key: ``groupby(key).map_groups``
-  colocates a key's events, a vectorized diff over sorted timestamps
-  breaks sessions on ``gap_us``. Partitioning assumption: one key's
-  events fit a worker (a hot key with millions of events needs
-  pre-splitting by coarse time range first — same caveat as any
-  per-key session assignment).
+* session — gaps-and-islands over coarse buckets: one
+  ``groupby(hash(key) % NB)`` shuffle colocates each key's events, and
+  the session-break diff runs vectorized over the whole
+  (key, ts)-sorted bucket — #buckets Python calls, not #keys.
+  Partitioning assumption: one key's events fit a worker (a hot key
+  with millions of events needs pre-splitting by coarse time range
+  first — same caveat as any per-key session assignment).
 """
 
 from __future__ import annotations
@@ -52,26 +53,81 @@ def session_windows(
             }
         )
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts_us", kind="mergesort")
-        ts = g["ts_us"].to_numpy()
-        brk = np.ones(len(ts), dtype=np.int64)
-        brk[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        sid = np.cumsum(brk)
-        out = g.assign(session_id=sid).groupby("session_id", sort=True).agg(
-            n=("ts_us", "size"),
-            start_us=("ts_us", "min"),
-            end_us=("ts_us", "max"),
-            sum_cents=("cents", "sum"),
+    # Coarse-bucket plan (round-3 verdict #2: grouping on the raw key
+    # was one Python+pandas call per DISTINCT key): keys are re-keyed to
+    # ``hash(key) % NB`` buckets — all events of one key land in one
+    # bucket — and the gaps-and-islands diff runs ONCE per bucket,
+    # vectorized over the bucket's (key, ts)-sorted events. Python call
+    # count collapses from #keys to #buckets.
+    from validatelite_ray.stages.dedup import _token_hashes, coarse_bucket_count
+    from validatelite_ray.stages.sample import _key_strings
+
+    nb = coarse_bucket_count(ds)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = (_token_hashes(_key_strings(b[key_col])) % np.uint64(nb)).astype(
+            np.int32
         )
-        out = out.reset_index()
-        out.insert(0, key_col, g[key_col].iloc[0])
-        return out
+        return b.append_column("__bucket", pa.array(bucket))
+
+    def sessionize_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        m = g.num_rows
+        key_type = g.schema.field(key_col).type
+        if m == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], key_type),
+                    "session_id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "start_us": pa.array([], pa.int64()),
+                    "end_us": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                }
+            )
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[(key_col, "ascending"), ("ts_us", "ascending")]
+            )
+        )
+        keys = g[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        kstr = _key_strings(keys)
+        ts = np.asarray(g["ts_us"], dtype=np.int64)
+        cents = np.asarray(pc.fill_null(g["cents"], 0), dtype=np.int64)
+        # a session breaks at a key change or a gap > gap_us
+        new_key = np.r_[
+            True, np.asarray(pc.not_equal(kstr.slice(1), kstr.slice(0, m - 1)))
+        ]
+        brk = new_key | np.r_[True, np.diff(ts) > gap_us]
+        sid_global = np.cumsum(brk)
+        sess_starts = np.flatnonzero(brk)
+        key_run_starts = np.flatnonzero(new_key)
+        # session_id restarts at 1 per key: subtract the key run's first
+        # global session index (searchsorted maps session → its key run)
+        owner = np.searchsorted(key_run_starts, sess_starts, side="right") - 1
+        session_id = (
+            sid_global[sess_starts] - sid_global[key_run_starts][owner] + 1
+        )
+        n = np.diff(np.append(sess_starts, m))
+        ends = np.append(sess_starts[1:], m) - 1
+        return pa.table(
+            {
+                key_col: keys.take(pa.array(sess_starts, pa.int64())),
+                "session_id": pa.array(session_id.astype(np.int64)),
+                "n": pa.array(n.astype(np.int64)),
+                "start_us": pa.array(ts[sess_starts]),
+                "end_us": pa.array(ts[ends]),
+                "sum_cents": pa.array(np.add.reduceat(cents, sess_starts)),
+            }
+        )
 
     return (
         ds.map_batches(slim, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(key_col)
-        .map_groups(sessionize, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__bucket")
+        .map_groups(sessionize_bucket, batch_format="pyarrow")
     )
 
 
@@ -111,10 +167,18 @@ def sliding_window_agg(
             )
         )
         cents = pc.cast(pc.round(pc.multiply(b[value_col], 100.0)), pa.int64())
+        # count ALL rows per (key, step) — Arrow's default count mode
+        # skips nulls, but the semantics here are SQL COUNT(*) (events
+        # with NULL value still count toward n; their cents sum as 0)
         partial = (
             pa.table({key_col: b[key_col], "step": step_idx, "cents": cents})
             .group_by([key_col, "step"])
-            .aggregate([("cents", "sum"), ("cents", "count")])
+            .aggregate(
+                [
+                    ("cents", "sum"),
+                    ("cents", "count", pc.CountOptions(mode="all")),
+                ]
+            )
         )
         parts = []
         for off in range(k):

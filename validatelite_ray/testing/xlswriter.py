@@ -16,8 +16,39 @@ from __future__ import annotations
 import struct
 
 
+class Formula:
+    """Cached formula result for a FORMULA (0x0006) record.
+
+    ``value`` may be a float (numeric result), bool (boolean result) or
+    str (string result → a trailing STRING record carries the text);
+    ``error=<code>`` instead writes an error cached value (e.g. 0x07 =
+    #DIV/0!), which readers surface as a missing cell.
+    """
+
+    def __init__(self, value=None, error: int | None = None):
+        self.value = value
+        self.error = error
+
+
 def _rec(op: int, data: bytes) -> bytes:
     return struct.pack("<HH", op, len(data)) + data
+
+
+def _formula_recs(r: int, c: int, f: Formula) -> bytes:
+    head = struct.pack("<HHH", r, c, 0)
+    tail = struct.pack("<HIH", 0, 0, 0)  # grbit, chn, cce=0 (no rgce)
+    if f.error is not None:
+        cached = bytes([2, 0, f.error, 0, 0, 0, 0xFF, 0xFF])
+        return _rec(0x0006, head + cached + tail)
+    if isinstance(f.value, bool):
+        cached = bytes([1, 0, int(f.value), 0, 0, 0, 0xFF, 0xFF])
+        return _rec(0x0006, head + cached + tail)
+    if isinstance(f.value, str):
+        cached = bytes([0, 0, 0, 0, 0, 0, 0xFF, 0xFF])
+        enc = f.value.encode("latin-1", errors="replace")
+        string_rec = _rec(0x0207, struct.pack("<HB", len(f.value), 0) + enc)
+        return _rec(0x0006, head + cached + tail) + string_rec
+    return _rec(0x0006, head + struct.pack("<d", float(f.value)) + tail)
 
 
 def _bof(dt: int) -> bytes:
@@ -33,7 +64,9 @@ def _sheet_stream(rows: list[list], sst_index: dict[str, int]) -> bytes:
         for c, v in enumerate(row):
             if v is None:
                 continue
-            if isinstance(v, bool):
+            if isinstance(v, Formula):
+                out.append(_formula_recs(r, c, v))
+            elif isinstance(v, bool):
                 out.append(_rec(0x0205, struct.pack("<HHHBB", r, c, 0, int(v), 0)))
             elif isinstance(v, str):
                 out.append(_rec(0x00FD, struct.pack("<HHHI", r, c, 0, sst_index[v])))
