@@ -161,3 +161,16 @@ def test_sample_fraction_deterministic_and_proportional(ray_session, docs):
     full1 = set(r["doc_id"] for r in sample_fraction(rd.from_arrow(docs), fraction=0.5, seed=1).take_all())
     assert set(h2) <= full1
     assert 0.18 < len(h2) / 2000 < 0.33
+
+
+def test_sample_fraction_boundaries(ray_session):
+    """fraction=1.0 keeps everything (round-3 advice: the float
+    threshold rounded up past uint64 max and raised OverflowError);
+    fraction=0.0 keeps nothing."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.pack import sample_fraction
+
+    t = pa.table({"doc_id": pa.array(list(range(64)), pa.int64())})
+    assert sample_fraction(rd.from_arrow(t), fraction=1.0).count() == 64
+    assert sample_fraction(rd.from_arrow(t), fraction=0.0).count() == 0

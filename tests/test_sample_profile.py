@@ -184,3 +184,57 @@ def test_cli_profile_command(tmp_path):
         capture_output=True, text=True, timeout=180,
     )
     assert proc.returncode == 2  # usage error
+
+
+def test_profile_approx_distinct_high_cardinality(ray_session):
+    """KMV sketch on a 120k-cardinality column: within the documented
+    ~3.1% relative standard error band (assert < 5%); exact stats
+    (rows/nulls/min/max) are identical to the exact path."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.sample import profile_columns
+
+    n = 150_000
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 120_000, n)
+    t = pa.table({"x": pa.array(vals, pa.int64())})
+    true_distinct = len(np.unique(vals))
+    prof = profile_columns(
+        rd.from_arrow(t).repartition(8), ["x"], distinct="approx"
+    ).to_pylist()[0]
+    assert prof["n_rows"] == n and prof["n_nulls"] == 0
+    assert prof["min_str"] == str(vals.min()) and prof["max_str"] == str(vals.max())
+    rel_err = abs(prof["n_distinct"] - true_distinct) / true_distinct
+    assert rel_err < 0.05, (prof["n_distinct"], true_distinct)
+
+
+def test_profile_approx_small_cardinality_exact(ray_session):
+    """Below k survivors the sketch IS exact (it saw every hash)."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.sample import profile_columns
+
+    t = pa.table({"x": pa.array(list(range(300)) * 5, pa.int64())})
+    prof = profile_columns(
+        rd.from_arrow(t).repartition(4), ["x"], distinct="approx"
+    ).to_pylist()[0]
+    assert prof["n_distinct"] == 300
+
+
+def test_profile_approx_deterministic(ray_session):
+    """Deterministic hash → identical estimate across runs and layouts."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.sample import profile_columns
+
+    vals = pa.table({"x": pa.array(np.arange(50_000) * 7919, pa.int64())})
+    a = profile_columns(rd.from_arrow(vals).repartition(2), ["x"], distinct="approx")
+    b = profile_columns(rd.from_arrow(vals).repartition(9), ["x"], distinct="approx")
+    assert a["n_distinct"].to_pylist() == b["n_distinct"].to_pylist()
+
+
+def test_profile_bad_distinct_mode():
+    from validatelite_ray.stages.sample import profile_columns
+
+    with pytest.raises(ValueError):
+        profile_columns(None, ["x"], distinct="wrong")

@@ -242,7 +242,7 @@ def _profile_command(args) -> int:
         if unknown:
             print(f"error: columns {unknown} not in source", file=sys.stderr)
             return EXIT_USAGE
-        prof = profile_columns(ds, cols)
+        prof = profile_columns(ds, cols, distinct=args.distinct)
         if args.as_json:
             import json as _json
 
@@ -371,6 +371,10 @@ def main(argv: list[str] | None = None) -> int:
     prof.add_argument("--table", dest="db_table", default=None)
     prof.add_argument("--encoding", default=None)
     prof.add_argument("--json", dest="as_json", action="store_true")
+    prof.add_argument(
+        "--distinct", choices=("exact", "approx"), default="exact",
+        help="distinct-count mode: exact shuffle or KMV sketch (~3%% err)",
+    )
     prof.add_argument("--num-cpus", type=int, default=None)
 
     schema = sub.add_parser(

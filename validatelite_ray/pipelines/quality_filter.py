@@ -469,9 +469,6 @@ def select_kept(wide_ds, dec, broadcast_max_groups: int = 200_000):
             passing, batch_format="pyarrow", zero_copy_batch=True
         )
 
-    def head1(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
-
     if n_dup <= broadcast_max_groups:
         d = decisions_from_rows(dec.take_all())
         decisions_ref = ray.put((d.dup_shas, d.winner_pairs, d.tied_pairs))
@@ -494,14 +491,16 @@ def select_kept(wide_ds, dec, broadcast_max_groups: int = 200_000):
             zero_copy_batch=True,
         )
         if len(d.tied_pairs):
-            tied_resolved = (
+            from validatelite_ray.stages.dedup import _keep_min_bucketed
+
+            tied_resolved = _keep_min_bucketed(
                 wide_ds.map_batches(
                     lambda b: kept_filter(b, True),
                     batch_format="pyarrow",
                     zero_copy_batch=True,
-                )
-                .groupby("sha256")
-                .map_groups(head1, batch_format="pyarrow")
+                ),
+                ["sha256"],
+                None,
             )
             kept = kept.union(tied_resolved)
         return kept

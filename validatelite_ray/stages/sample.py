@@ -107,7 +107,9 @@ def top_n_per_group(
     return pre.groupby("__bucket").map_groups(reduce_bucket, batch_format="pyarrow")
 
 
-def profile_columns(ds, cols: list[str]) -> pa.Table:
+def profile_columns(
+    ds, cols: list[str], distinct: str = "exact", kmv_k: int = 1024
+) -> pa.Table:
     """Per-column profile → Arrow table
     (column, n_rows, n_nulls, n_distinct, min_str, max_str).
 
@@ -116,7 +118,23 @@ def profile_columns(ds, cols: list[str]) -> pa.Table:
     integer and string columns; float formatting is engine-specific —
     compare floats numerically instead). NULLs are excluded from
     distinct/min/max, SQL-style.
+
+    ``distinct``:
+
+    * ``"exact"`` — batch-local dedupe then ONE shuffle of every
+      distinct (column, value) string. Honest exact semantics, but at
+      100-TB cardinalities that shuffle IS the profile's whole cost.
+    * ``"approx"`` — a KMV (k-minimum-values) sketch (Bar-Yossef et al.
+      2002): each batch contributes its ``kmv_k`` smallest 64-bit value
+      hashes per column (≤ kmv_k rows per block per column through the
+      exchange — shuffle volume is independent of cardinality), merged
+      per column with the unbiased estimator (k-1) / R_k where R_k is
+      the k-th smallest normalized hash. Relative standard error
+      ≈ 1/sqrt(kmv_k - 2) (~3.1% at the default k=1024); the hash is
+      deterministic, so repeated runs give identical estimates.
     """
+    if distinct not in ("exact", "approx"):
+        raise ValueError("distinct must be 'exact' or 'approx'")
     from ray.data.aggregate import Count, Sum
 
     def stat_partials(b: pa.Table) -> pa.Table:
@@ -172,6 +190,10 @@ def profile_columns(ds, cols: list[str]) -> pa.Table:
             if v is not None:
                 a[tgt] = v if a[tgt] is None else fn(a[tgt], v)
 
+    if distinct == "approx":
+        n_distinct = _approx_distinct_kmv(ds, cols, kmv_k)
+        return _profile_table(cols, agg, n_distinct)
+
     # exact distinct: batch-local dedupe → one shuffle → per-col totals
     def batch_distinct(b: pa.Table) -> pa.Table:
         parts = []
@@ -205,7 +227,10 @@ def profile_columns(ds, cols: list[str]) -> pa.Table:
         .take_all()
     )
     n_distinct = {r["column"]: int(r["n_distinct"]) for r in per_col}
+    return _profile_table(cols, agg, n_distinct)
 
+
+def _profile_table(cols, agg, n_distinct) -> pa.Table:
     return pa.table(
         {
             "column": pa.array(cols, pa.string()),
@@ -224,3 +249,57 @@ def profile_columns(ds, cols: list[str]) -> pa.Table:
             ),
         }
     )
+
+
+def _approx_distinct_kmv(ds, cols: list[str], k: int) -> dict[str, int]:
+    """Distributed KMV distinct-count sketch.
+
+    Per batch: hash each column's distinct values to uniform 64-bit
+    integers (the repo-wide deterministic ``_token_hashes``), keep the
+    ``k`` smallest per column. One ``groupby(column)`` exchange (group
+    count = #cols, bounded) merges partials: union, dedupe, re-take the
+    k smallest. Estimator: exact count when < k hashes survive, else
+    ``(k-1) / (h_(k) / 2^64)``. Per-reducer load is ≤ k × #blocks
+    hashes for one column — 8 bytes each, vectorized merge."""
+    from validatelite_ray.stages.dedup import _token_hashes
+
+    def partials(b: pa.Table) -> pa.Table:
+        out_c, out_h = [], []
+        for c in cols:
+            vals = pc.unique(pc.cast(b[c], pa.string()).drop_null())
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            h = np.unique(_token_hashes(vals))[:k]
+            out_c.extend([c] * h.size)
+            out_h.append(h)
+        return pa.table(
+            {
+                "column": pa.array(out_c, pa.string()),
+                "h": pa.array(
+                    np.concatenate(out_h) if out_h else np.empty(0, np.uint64),
+                    pa.uint64(),
+                ),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        h = np.unique(np.asarray(g["h"], dtype=np.uint64))
+        if h.size >= k:
+            est = (k - 1) / (float(h[k - 1]) / float(2**64))
+        else:
+            est = float(h.size)
+        col = g["column"][0].as_py()
+        return pa.table(
+            {
+                "column": pa.array([col], pa.string()),
+                "n_distinct": pa.array([int(round(est))], pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("column")
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()
+    )
+    return {r["column"]: int(r["n_distinct"]) for r in rows}

@@ -352,8 +352,9 @@ def dedup_embedding_cosine_lsh(
     1. hash stage: every vector lands in ``n_tables`` random-hyperplane
        buckets (planes derived deterministically from ``seed`` and the
        vector dim → identical across tasks, nothing shipped);
-    2. ``groupby(table, bucket)`` → dominance *within* each bucket
-       (sorted by id, one matmul per bucket);
+    2. one ``groupby(hash(table, bucket) % NB)`` coarse shuffle →
+       dominance *within* each LSH bucket (run detection over the
+       sorted coarse group, one matmul per ≥2-member bucket);
     3. ``groupby(id)`` max-reduce: a vector is dropped iff dominated in
        ANY bucket it shares with an earlier near-dup.
 
@@ -409,23 +410,86 @@ def dedup_embedding_cosine_lsh(
              vec_col: reps}
         )
 
-    def bucket_dominance(g: "pd.DataFrame"):
-        import pandas as pd
+    # Coarse-bucket dominance (round-3 verdict #3: grouping on the raw
+    # (table, bucket) key was one Python+pandas call per LSH bucket —
+    # n_tables × #buckets calls — with a per-group list→ndarray copy).
+    # Buckets are re-keyed to ``hash(table, bucket) % NB`` coarse groups;
+    # each group converts its vectors ONCE via the Arrow-native
+    # ``_to_matrix`` and loops only over the (table, bucket) runs that
+    # actually have ≥2 members for the per-bucket matmul. The per-group
+    # output is pre-aggregated to one (id, max dominated) row, so the
+    # final per-id reduce shuffles ≤ #ids × #coarse-groups rows.
+    from validatelite_ray.stages.dedup import (
+        _mix64,
+        coarse_bucket_count,
+    )
 
-        g = g.sort_values(id_col, kind="mergesort")
-        ids = g[id_col].to_numpy()
-        mat = _normalize(np.array(list(g[vec_col]), dtype=np.float64))
-        sims = mat @ mat.T
-        earlier = ids[None, :] < ids[:, None]     # row i dominated by col j<i
-        dominated = ((sims >= threshold) & earlier).any(axis=1)
-        return pd.DataFrame({id_col: ids, "dominated": dominated.astype(np.int64)})
+    # hashed is an n_tables-fold replication of (id, vec) — shrink the
+    # per-bucket byte budget accordingly so one coarse group still fits
+    nb = coarse_bucket_count(ds, per_bucket_bytes=(256 << 20) // n_tables)
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        bk = np.asarray(b["bucket"], np.int64).view(np.uint64)
+        tb = np.asarray(b["table"], np.int32).astype(np.uint64)
+        cb = (_mix64(bk * np.uint64(0x9E3779B97F4A7C15) + tb) % np.uint64(nb)).astype(
+            np.int32
+        )
+        return b.append_column("__cb", pa.array(cb))
+
+    def coarse_dominance(g: pa.Table) -> pa.Table:
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    ("table", "ascending"),
+                    ("bucket", "ascending"),
+                    (id_col, "ascending"),
+                ],
+            )
+        )
+        ids = np.asarray(g[id_col], np.int64)
+        if ids.size == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "dominated": pa.array([], pa.int64())}
+            )
+        mat = _normalize(_to_matrix(g[vec_col]))
+        tb = np.asarray(g["table"], np.int32).astype(np.int64)
+        bk = np.asarray(g["bucket"], np.int64)
+        run_brk = np.r_[True, (tb[1:] != tb[:-1]) | (bk[1:] != bk[:-1])]
+        starts = np.flatnonzero(run_brk)
+        lens = np.diff(np.append(starts, ids.size))
+        dominated = np.zeros(ids.size, bool)
+        for s, ln in zip(starts[lens > 1], lens[lens > 1]):
+            sub = mat[s : s + ln]
+            sims = sub @ sub.T
+            # ids ascend within a run → "dominated by an earlier id" is
+            # the strict lower triangle
+            dominated[s : s + ln] = (
+                np.tril(sims >= threshold, k=-1).any(axis=1)
+            )
+        # per-group combiner: one (id, max dominated) row per distinct id
+        order = np.argsort(ids, kind="stable")
+        sids = ids[order]
+        sdom = dominated[order].astype(np.int64)
+        first = np.r_[True, sids[1:] != sids[:-1]]
+        grp_starts = np.flatnonzero(first)
+        return pa.table(
+            {
+                id_col: pa.array(sids[grp_starts]),
+                "dominated": pa.array(
+                    np.maximum.reduceat(sdom, grp_starts)
+                ),
+            }
+        )
 
     from ray.data.aggregate import Max
 
     hashed = ds.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
     flags = (
-        hashed.groupby(["table", "bucket"])
-        .map_groups(bucket_dominance, batch_format="pandas")
+        hashed.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__cb")
+        .map_groups(coarse_dominance, batch_format="pyarrow")
         .groupby(id_col)
         .aggregate(Max("dominated", alias_name="dominated"))
     )
