@@ -249,3 +249,58 @@ def test_ngram_jaccard_matches_bruteforce(ray_session):
         for r in ngram_jaccard_pairs(rd.from_arrow(t), threshold=0.4).take_all()
     }
     assert got == expected and expected  # non-trivial fixture
+
+
+class TestDistributedConnectedComponents:
+    """Alternating large/small-star CC (the scale fallback for the
+    near-dup operators' driver union-find; Kiveris et al. 2014)."""
+
+    def test_matches_union_find_random_graph(self, ray_session):
+        import ray.data as rd
+
+        from validatelite_ray.stages.dedup import (
+            _connected_components,
+            _connected_components_ds,
+        )
+
+        rng = np.random.default_rng(11)
+        # several chains, cliques and isolated pairs over 400 nodes
+        edges = []
+        for comp in range(20):
+            nodes = rng.choice(np.arange(comp * 20, comp * 20 + 20), 12, replace=False)
+            for a, b in zip(nodes[:-1], nodes[1:]):          # chain
+                edges.append((int(a), int(b)))
+            if comp % 3 == 0:                                 # extra clique edges
+                for i in range(4):
+                    for j in range(i + 1, 4):
+                        edges.append((int(nodes[i]), int(nodes[j])))
+        want = _connected_components(edges)
+
+        t = pa.table(
+            {
+                "u": pa.array([e[0] for e in edges], pa.int64()),
+                "v": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+        rows = _connected_components_ds(rd.from_arrow(t).repartition(5)).take_all()
+        got = {r["node"]: r["root"] for r in rows}
+        assert got == want
+
+    def test_minhash_both_paths_identical(self, ray_session, near_dup_docs):
+        from validatelite_ray.stages.dedup import dedup_minhash_lsh
+
+        ds, _ = near_dup_docs
+        kw = dict(id_col="doc_id", text_col="text", jaccard_threshold=0.5,
+                  concurrency=2)
+        driver = dedup_minhash_lsh(ds, **kw)  # default: driver union-find
+        dist = dedup_minhash_lsh(ds, driver_edges_max=0, **kw)
+        assert driver.values.tolist() == dist.values.tolist()
+
+    def test_simhash_both_paths_identical(self, ray_session, near_dup_docs):
+        from validatelite_ray.stages.dedup import dedup_simhash_clusters
+
+        ds, _ = near_dup_docs
+        kw = dict(id_col="doc_id", text_col="text", max_hamming=10, concurrency=2)
+        driver = dedup_simhash_clusters(ds, **kw)
+        dist = dedup_simhash_clusters(ds, driver_edges_max=0, **kw)
+        assert driver.values.tolist() == dist.values.tolist()

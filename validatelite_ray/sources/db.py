@@ -9,10 +9,12 @@ Ray-native design: no SQLAlchemy, no staging. SQLite reads are
 PARTITIONED — the driver inspects ``min(rowid)``/``max(rowid)`` once,
 splits the id space into contiguous ranges, and each Ray task opens its
 own connection and pulls one range into an Arrow block, so a big table
-streams in parallel instead of through one cursor. MySQL/PostgreSQL
-URLs parse to the same spec and fail with a clear driver-missing error
-in this environment (no network, no drivers baked in) — the surface
-and error path match the reference's grammar.
+streams in parallel instead of through one cursor.
+MySQL/PostgreSQL/MSSQL/Oracle URLs (the reference's full scheme set,
+shared/database/connection.py:89-157) parse to the same spec and fail
+with a clear driver-missing error in this environment (no network, no
+drivers baked in) — the surface and error path match the reference's
+grammar; any DB-API factory can be injected for real use.
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ import pyarrow as pa
 
 from validatelite_ray.sources.io import SourceError
 
-_DB_SCHEMES = {"sqlite", "mysql", "postgres", "postgresql"}
+_DB_SCHEMES = {"sqlite", "mysql", "postgres", "postgresql", "mssql", "oracle"}
 
 #: SQLite declared-type → Arrow type (affinity rules, good enough for
 #: the canonical 6-type surface; unknown decls fall back to inference)
@@ -200,9 +202,10 @@ _DB_DRIVER_REGISTRY: dict = {}
 
 
 def register_db_driver(scheme: str, factory) -> None:
-    """Inject a connection factory for ``mysql`` or ``postgresql``.
-    Pass ``None`` to clear. The factory is cloudpickled into the Ray
-    read tasks, so any picklable callable works."""
+    """Inject a connection factory for ``mysql`` / ``postgresql`` /
+    ``mssql`` / ``oracle``. Pass ``None`` to clear. The factory is
+    cloudpickled into the Ray read tasks, so any picklable callable
+    works."""
     if factory is None:
         _DB_DRIVER_REGISTRY.pop(scheme, None)
     else:
@@ -235,6 +238,28 @@ def _default_postgres_factory(spec: DbSpec):
     )
 
 
+def _default_mssql_factory(spec: DbSpec):
+    import pymssql
+
+    return pymssql.connect(
+        server=spec.host or "localhost",
+        port=spec.port or 1433,
+        user=spec.user,
+        password=spec.password or "",
+        database=spec.database,
+    )
+
+
+def _default_oracle_factory(spec: DbSpec):
+    import oracledb  # python-oracledb (the maintained cx_Oracle successor)
+
+    return oracledb.connect(
+        user=spec.user,
+        password=spec.password,
+        dsn=f"{spec.host or 'localhost'}:{spec.port or 1521}/{spec.database}",
+    )
+
+
 def _driver_for(scheme: str):
     import importlib
     import os
@@ -256,6 +281,14 @@ def _driver_for(scheme: str):
             except ImportError:
                 import psycopg2  # noqa: F401
             return _default_postgres_factory
+        if scheme == "mssql":
+            import pymssql  # noqa: F401
+
+            return _default_mssql_factory
+        if scheme == "oracle":
+            import oracledb  # noqa: F401
+
+            return _default_oracle_factory
     except ImportError:
         return None
     return None
@@ -299,7 +332,9 @@ def read_dbapi(
     con = factory(spec)
     try:
         cur = con.cursor()
-        cur.execute(f"SELECT * FROM {table} LIMIT 0")
+        # WHERE 1=0 is the dialect-portable empty probe (LIMIT is not
+        # valid on MSSQL / pre-12c Oracle; TOP is not valid elsewhere)
+        cur.execute(f"SELECT * FROM {table} WHERE 1=0")
         all_cols = [d[0] for d in cur.description]
         cols = list(columns) if columns else all_cols
         unknown = [c for c in cols if c not in all_cols]

@@ -491,6 +491,153 @@ def _connected_components(edges: Iterable[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+def _cc_star_round(edges, large: bool, nb: int):
+    """One large-star or small-star round of the alternating-star
+    connected-components algorithm (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond" — public algorithm).
+
+    * large-star: symmetrize every edge; per node u with neighborhood
+      Γ(u), link every neighbor v > u to m = min(Γ(u) ∪ {u}).
+    * small-star: orient every edge (max → min); per node u, link every
+      v ∈ Γ(u) ∪ {u} with v ≠ m to m.
+
+    Physically: one coarse-bucket sort-shuffle on ``hash(src) % nb``
+    (all rows of one src share a bucket), then fully vectorized per
+    bucket — run detection over the sorted (src, dst) pairs, per-run
+    min, mask + repeat emission, lexsort dedupe. No per-node Python.
+    """
+
+    def direct(b: pa.Table) -> pa.Table:
+        u = np.asarray(b["u"], np.int64)
+        v = np.asarray(b["v"], np.int64)
+        if large:
+            src = np.concatenate([u, v])
+            dst = np.concatenate([v, u])
+        else:
+            src = np.maximum(u, v)
+            dst = np.minimum(u, v)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        bucket = (_mix64(src.view(np.uint64) * _GOLDEN) % np.uint64(nb)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        src = np.asarray(g["src"], np.int64)
+        dst = np.asarray(g["dst"], np.int64)
+        if src.size == 0:
+            return pa.table(
+                {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+            )
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        starts, lens = _runs(src)
+        run_src = src[starts]
+        m = np.minimum(dst[starts], run_src)  # dst sorted → dst[start] is min(Γ)
+        m_rep = np.repeat(m, lens)
+        if large:
+            mask = dst > np.repeat(run_src, lens)
+            out_u, out_v = dst[mask], m_rep[mask]
+        else:
+            mask = dst != m_rep
+            self_mask = run_src != m
+            out_u = np.concatenate([dst[mask], run_src[self_mask]])
+            out_v = np.concatenate([m_rep[mask], m[self_mask]])
+        if out_u.size:
+            o = np.lexsort((out_v, out_u))
+            out_u, out_v = out_u[o], out_v[o]
+            first = np.r_[
+                True, (out_u[1:] != out_u[:-1]) | (out_v[1:] != out_v[:-1])
+            ]
+            out_u, out_v = out_u[first], out_v[first]
+        return pa.table({"u": pa.array(out_u), "v": pa.array(out_v)})
+
+    return (
+        edges.map_batches(direct, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def _connected_components_ds(edges_ds, max_rounds: int = 64):
+    """Distributed connected components over a Dataset of (u, v) int64
+    edges: alternate large-star / small-star rounds until the edge set
+    is stable, then return the star edges as a (node, root) Dataset
+    (root = component minimum, matching ``_connected_components``),
+    with a (root, root) self-row per component.
+
+    The scale fallback for the near-dup operators' driver union-find:
+    edge volume shrinks monotonically toward one star per component
+    (output is LINEAR in clustered docs even when the verified edge set
+    was quadratic in clique sizes), and no round holds more than one
+    coarse bucket per task. Converges in O(log² n) rounds (paper);
+    ``max_rounds`` is a far-above-practical backstop.
+    """
+    nb = coarse_bucket_count(edges_ds)
+
+    def _sig(e) -> tuple[int, int]:
+        """(row count, order-independent xor checksum) of an edge set."""
+        def partial(b: pa.Table) -> pa.Table:
+            u = np.asarray(b["u"], np.int64).view(np.uint64)
+            v = np.asarray(b["v"], np.int64).view(np.uint64)
+            h = _mix64(u * _GOLDEN + v)
+            x = np.bitwise_xor.reduce(h) if h.size else np.uint64(0)
+            return pa.table(
+                {
+                    "n": pa.array([b.num_rows], pa.int64()),
+                    "x": pa.array([int(x) - (1 << 63)], pa.int64()),
+                }
+            )
+
+        rows = e.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        n = sum(r["n"] for r in rows)
+        x = 0
+        for r in rows:
+            x ^= (r["x"] + (1 << 63)) & ((1 << 64) - 1)
+        return n, x
+
+    cur = edges_ds.materialize()
+    cur_sig = _sig(cur)
+    for _ in range(max_rounds):
+        nxt = _cc_star_round(_cc_star_round(cur, True, nb), False, nb).materialize()
+        nxt_sig = _sig(nxt)
+        if nxt_sig == cur_sig:
+            break
+        cur, cur_sig = nxt, nxt_sig
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds"
+        )
+
+    def with_roots(b: pa.Table) -> pa.Table:
+        u = np.asarray(b["u"], np.int64)
+        v = np.asarray(b["v"], np.int64)
+        rv = np.unique(v)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([u, rv])),
+                "root": pa.array(np.concatenate([v, rv])),
+            }
+        )
+
+    # root self-rows may repeat across blocks — one bucketed keep-first
+    # dedupes (node is unique among star children by construction)
+    return _keep_min_bucketed(
+        cur.map_batches(with_roots, batch_format="pyarrow", zero_copy_batch=True),
+        ["node"],
+        None,
+    )
+
+
 def dedup_minhash_lsh(
     ds: "ray.data.Dataset",  # noqa: F821
     id_col: str = "doc_id",
@@ -502,16 +649,17 @@ def dedup_minhash_lsh(
     concurrency: int = 4,
     seed: int = 42,
     all_pairs_max: int = 16,
+    driver_edges_max: int | None = 100_000_000,
 ) -> "pd.DataFrame":
     """Near-duplicate clusters via MinHash-LSH.
 
     Plan: actor-pool minhash stage → (band, band_hash) groupby (the
     all-to-all exchange; band hashes are uniform so no skew) → candidate
     pairs per bucket → exact Jaccard verification on shingle sets of the
-    candidate docs only → union-find on the driver (candidate set is
-    orders of magnitude smaller than the corpus; for 100 TB runs the
-    verified edge set still fits the driver because only near-dup pairs
-    survive).
+    candidate docs only → connected components (driver union-find below
+    ``driver_edges_max`` verified edges; the distributed alternating-star
+    rounds of ``_connected_components_ds`` above it — a 30%-duplicated
+    web corpus can push the verified edge set past driver memory).
 
     Returns a pandas DataFrame (doc_id, cluster_id) for docs in clusters
     of size ≥ 2; keep-policy (e.g. keep min doc_id) is the caller's.
@@ -764,23 +912,36 @@ def dedup_minhash_lsh(
             "pbucket", pa.array((pid % np.uint64(nb)).astype(np.int32))
         )
 
-    verified_rows = (
+    verified_ds = (
         tagged.groupby("bucket")
         .map_groups(cogroup, batch_format="pyarrow")
         .map_batches(pair_buckets, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("pbucket")
         .map_groups(jaccard_bucket, batch_format="pyarrow")
-        .take_all()
     )
-    verified = [(r["u"], r["v"]) for r in verified_rows]
-
-    roots = _connected_components(verified)
+    roots = _cluster_roots(verified_ds, driver_edges_max)
     if not roots:
         return pd.DataFrame({id_col: [], "cluster_id": []})
     out = pd.DataFrame(
         {id_col: list(roots.keys()), "cluster_id": list(roots.values())}
     ).sort_values(id_col)
     return out.reset_index(drop=True)
+
+
+def _cluster_roots(edges_ds, driver_edges_max: int | None) -> dict[int, int]:
+    """{doc: component-min root} from a Dataset of verified (u, v)
+    edges. Below ``driver_edges_max`` edges: classic driver union-find
+    (right up to ~10⁸ edges). Above it: the distributed alternating-star
+    rounds first collapse the (possibly clique-quadratic) edge set to
+    one star per component, so only the LINEAR (node, root) mapping
+    reaches the driver — mirroring the broadcast-vs-cogroup switch."""
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if driver_edges_max is not None and n_edges > driver_edges_max:
+        rows = _connected_components_ds(edges_ds).take_all()
+        return {r["node"]: r["root"] for r in rows}
+    verified = [(r["u"], r["v"]) for r in edges_ds.take_all()]
+    return _connected_components(verified)
 
 
 def ngram_jaccard_pairs(
@@ -1025,6 +1186,7 @@ def dedup_simhash_clusters(
     max_hamming: int = 3,
     concurrency: int = 4,
     all_pairs_max: int = 64,
+    driver_edges_max: int | None = 100_000_000,
 ) -> "pd.DataFrame":
     """End-to-end SimHash near-dup clustering (the missing round-2
     operator): simhash + band fan-out → (band_val) groupby (the
@@ -1087,14 +1249,12 @@ def dedup_simhash_clusters(
             }
         )
 
-    edge_rows = (
+    edges_ds = (
         bands_ds.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(bucket_edges, batch_format="pyarrow")
-        .take_all()
     )
-    edges = sorted({(r["u"], r["v"]) for r in edge_rows})
-    roots = _connected_components(edges)
+    roots = _cluster_roots(edges_ds, driver_edges_max)
     if not roots:
         return pd.DataFrame({id_col: [], "cluster_id": []})
     out = pd.DataFrame(
