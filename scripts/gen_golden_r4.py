@@ -1,0 +1,102 @@
+"""Generate tests/data/golden_kmeans_pack_sf0001.json — pinned
+bit-exact sf0.001 outputs for the rows-only k-means / hash-split /
+pack / sample operators (round-4 verdict item 8: these previously had
+only property/invariant oracles, no golden regression pin).
+
+Run once from the repo root:  python scripts/gen_golden_r4.py
+"""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = "/root/testdata/sf0.001"
+OUT = REPO / "tests" / "data" / "golden_kmeans_pack_sf0001.json"
+
+
+def main() -> None:
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False)
+
+    from validatelite_ray.stages.pack import (
+        hash_split,
+        pack_sequences,
+        sample_fraction,
+    )
+    from validatelite_ray.stages.similarity import kmeans_embeddings
+
+    golden: dict = {"sf_dir": SF_DIR}
+
+    # --- k-means (contract-query parameters: k=8, iters=5) -------------
+    emb = rd.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out, cents = kmeans_embeddings(
+        emb, id_col="vec_id", vec_col="embedding", k=8, iters=5
+    )
+    rows = sorted(out.take_all(), key=lambda r: r["vec_id"])
+    golden["kmeans"] = {
+        "vec_id": [int(r["vec_id"]) for r in rows],
+        "cluster": [int(r["cluster"]) for r in rows],
+        "centroids": np.round(np.asarray(cents, np.float64), 9).tolist(),
+    }
+
+    docs = pa.Table.from_arrays(
+        [
+            c.combine_chunks()
+            for c in pq.read_table(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            ).columns
+        ],
+        names=["doc_id", "text"],
+    )
+
+    # --- hash split (default 98/1/1, seed 0) ---------------------------
+    hs = sorted(
+        hash_split(rd.from_arrow(docs), id_col="doc_id").take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    golden["hash_split"] = {
+        "doc_id": [int(r["doc_id"]) for r in hs],
+        "split": [r["split"] for r in hs],
+    }
+
+    # --- pack (max_tokens=256, ONE block — the bit-exact kernel pin) ---
+    pk = sorted(
+        pack_sequences(rd.from_arrow(docs), max_tokens=256).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    golden["pack"] = {
+        "doc_id": [int(r["doc_id"]) for r in pk],
+        "n_tokens": [int(r["n_tokens"]) for r in pk],
+        "pack_id": [int(r["pack_id"]) for r in pk],
+        "pack_offset": [int(r["pack_offset"]) for r in pk],
+        "truncated": [bool(r["truncated"]) for r in pk],
+    }
+
+    # --- sample_fraction (0.1, seed 0) ---------------------------------
+    sf = sample_fraction(rd.from_arrow(docs), id_col="doc_id", fraction=0.1)
+    golden["sample_fraction_0p1"] = sorted(
+        int(r["doc_id"]) for r in sf.select_columns(["doc_id"]).take_all()
+    )
+
+    OUT.write_text(json.dumps(golden) + "\n")
+    print(f"wrote {OUT}")
+    for k in ("kmeans", "hash_split", "pack"):
+        print(k, "rows:", len(golden[k]["doc_id" if k != "kmeans" else "vec_id"]))
+    print("sampled:", len(golden["sample_fraction_0p1"]))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

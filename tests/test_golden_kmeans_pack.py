@@ -1,0 +1,127 @@
+"""Golden-value regression tests for the rows-only k-means / split /
+pack / sample operators (round-4 verdict item 8).
+
+These operators are deterministic functions of the input (k-means by
+construction — min-id init, fixed fold order; split/sample by pure id
+hashing; pack per block), so their sf0.001 outputs are pinned bit-
+exactly in tests/data/golden_kmeans_pack_sf0001.json (generated once by
+scripts/gen_golden_r4.py). Any silent drift — hash-mixing change,
+tokenizer change, centroid fold-order change, threshold off-by-one —
+fails here with the exact values that moved. The property/invariant
+oracles (test_sample_profile.py, test_pack_split.py) still prove the
+semantics; this pins the implementation.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+GOLDEN = Path(__file__).parent / "data" / "golden_kmeans_pack_sf0001.json"
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return json.loads(GOLDEN.read_text())
+
+
+@pytest.fixture(scope="module")
+def docs(sf_dir):
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pa.Table.from_arrays(
+        [c.combine_chunks() for c in t.columns], names=["doc_id", "text"]
+    )
+
+
+def test_kmeans_matches_golden(ray_session, sf_dir, golden):
+    import ray.data as rd
+
+    from validatelite_ray.stages.similarity import kmeans_embeddings
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out, cents = kmeans_embeddings(
+        emb, id_col="vec_id", vec_col="embedding", k=8, iters=5
+    )
+    rows = sorted(out.take_all(), key=lambda r: r["vec_id"])
+    g = golden["kmeans"]
+    assert [r["vec_id"] for r in rows] == g["vec_id"]
+    assert [r["cluster"] for r in rows] == g["cluster"]
+    assert np.allclose(
+        np.asarray(cents, np.float64), np.asarray(g["centroids"]), atol=1e-6
+    )
+
+
+def test_hash_split_matches_golden(ray_session, docs, golden):
+    import ray.data as rd
+
+    from validatelite_ray.stages.pack import hash_split
+
+    g = golden["hash_split"]
+    # layout-invariant: 1 block and 7 blocks give the identical pinned
+    # assignment (the operator is a pure function of the id)
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(docs)
+        if nblocks > 1:
+            ds = ds.repartition(nblocks)
+        hs = sorted(
+            hash_split(ds, id_col="doc_id").take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        assert [r["doc_id"] for r in hs] == g["doc_id"]
+        assert [r["split"] for r in hs] == g["split"]
+
+
+def test_pack_sequences_matches_golden(ray_session, docs, golden):
+    import ray.data as rd
+
+    from validatelite_ray.stages.pack import pack_sequences
+
+    pk = sorted(
+        pack_sequences(rd.from_arrow(docs), max_tokens=256).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    g = golden["pack"]
+    assert [r["doc_id"] for r in pk] == g["doc_id"]
+    assert [r["n_tokens"] for r in pk] == g["n_tokens"]
+    assert [r["pack_id"] for r in pk] == g["pack_id"]
+    assert [r["pack_offset"] for r in pk] == g["pack_offset"]
+    assert [r["truncated"] for r in pk] == g["truncated"]
+
+
+def test_pack_token_counts_layout_invariant(ray_session, docs, golden):
+    """n_tokens is a per-document property — identical under any block
+    layout even though pack grouping is per-block."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.pack import pack_sequences
+
+    pk = sorted(
+        pack_sequences(
+            rd.from_arrow(docs).repartition(5), max_tokens=256
+        ).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    g = golden["pack"]
+    assert [r["doc_id"] for r in pk] == g["doc_id"]
+    assert [r["n_tokens"] for r in pk] == g["n_tokens"]
+
+
+def test_sample_fraction_matches_golden(ray_session, docs, golden):
+    import ray.data as rd
+
+    from validatelite_ray.stages.pack import sample_fraction
+
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(docs)
+        if nblocks > 1:
+            ds = ds.repartition(nblocks)
+        sf = sample_fraction(ds, id_col="doc_id", fraction=0.1)
+        got = sorted(
+            r["doc_id"] for r in sf.select_columns(["doc_id"]).take_all()
+        )
+        assert got == golden["sample_fraction_0p1"]

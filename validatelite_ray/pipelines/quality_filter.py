@@ -89,6 +89,17 @@ class QualityFilterConfig:
     #: cogroup sort-shuffle (no O(#duplicated hashes) driver state —
     #: the safe path for 30-50%-duplicated web-scale corpora)
     dedup_broadcast_max_groups: int = 200_000
+    #: optional per-repo kept-file cap (a standard pretraining-mix
+    #: control): after dedup, keep at most this many rows per
+    #: ``key_cols[0]`` (deterministic — lexical min uid first) via the
+    #: coarse-bucket top-n kernel. ``None`` disables. Cap drops are
+    #: accounted separately from dedup drops (``dropped_repo_cap``).
+    max_files_per_repo: int | None = None
+    #: per-rule failure-sample capture: ≤ this many example failing rows
+    #: per rule are persisted to ``samples.parquet`` next to
+    #: ``metrics.parquet`` (reference ``sample_data`` parity,
+    #: core/executors/base_executor.py:292-347). 0 disables.
+    failure_samples_k: int = 5
 
     def rules(self) -> list[RuleSpec]:
         """Quality thresholds expressed as ordinary ValidateLite rules
@@ -669,6 +680,103 @@ def metrics_from_labels(
     )
 
 
+def sample_columns(cfg: QualityFilterConfig, available: Sequence[str]) -> list[str]:
+    """Columns persisted with each failure sample: the row identity
+    (key_cols + uid) plus every score column a quality rule inspects —
+    the values that explain WHY the row failed — excluding the bulky
+    text columns (recoverable from the labels output by uid)."""
+    wanted = list(cfg.key_cols) + ["uid"]
+    for r in cfg.rules():
+        c = r.column
+        if c and c not in wanted and c not in (cfg.text_col, "content_scrubbed"):
+            wanted.append(c)
+    return [c for c in wanted if c in set(available)]
+
+
+def failure_samples_from_labels(
+    labels_ds, rule_names: Sequence[str], sample_cols: Sequence[str], k: int = 5
+) -> pa.Table:
+    """≤k example failing rows per rule (rule_name + ``sample_cols``),
+    deterministic (the k lexically-smallest uids win).
+
+    Reference parity: ValidateLite's executors attach a bounded
+    ``sample_data`` of violating rows to each rule result
+    (core/executors/base_executor.py:292-347 — SQL ``LIMIT k`` over the
+    failing predicate). At corpus scale one pass bounds everything:
+    each batch emits its first ≤k failing rows per rule (≤ k × #rules
+    rows per block), then the coarse-bucket top-n kernel
+    (stages/sample.py) caps each rule at k globally — never more than
+    k × #rules rows reach the driver."""
+    fail_cols = [f"fail_{n}" for n in rule_names]
+    cols = list(sample_cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        parts = []
+        for name, fc in zip(rule_names, fail_cols):
+            f = b.filter(pc.equal(b[fc], True)).select(cols)
+            if f.num_rows == 0:
+                continue
+            if "uid" in cols and f.num_rows > k:
+                f = f.take(pc.select_k_unstable(f, k, [("uid", "ascending")]))
+            else:
+                f = f.slice(0, k)
+            parts.append(
+                f.add_column(0, "rule_name", pa.array([name] * f.num_rows, pa.string()))
+            )
+        if not parts:
+            sch = pa.schema(
+                [("rule_name", pa.string())]
+                + [(c, b.schema.field(c).type) for c in cols]
+            )
+            return sch.empty_table()
+        return pa.concat_tables(parts)
+
+    from validatelite_ray.stages.sample import top_n_per_group
+
+    pre = labels_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    order = "uid" if "uid" in cols else cols[0]
+    capped = top_n_per_group(pre, "rule_name", order, k).take_all()
+    names = ["rule_name"] + cols
+    return pa.table(
+        {
+            n: pa.array([r[n] for r in capped])
+            if capped
+            else pa.array([], pa.string())
+            for n in names
+        }
+    )
+
+
+def _write_metrics_sink(out: str, metrics: pa.Table, samples) -> None:
+    """Persist the run's result records next to the data outputs:
+    ``metrics.parquet`` (per-rule counts, reference result-record shape
+    — the internal keep_rules accounting row is stripped) and
+    ``samples.parquet`` (≤k failing examples per rule, reference
+    ``sample_data`` parity)."""
+    import posixpath
+
+    import pyarrow.parquet as pq
+
+    keep_mask = pc.invert(pc.equal(metrics["rule_name"], "keep_rules"))
+    mfs, mp, _ = ckpt._fs_for(posixpath.join(out, "metrics.parquet"))
+    pq.write_table(metrics.filter(keep_mask), mp, filesystem=mfs)
+    if samples is not None:
+        sfs, sp, _ = ckpt._fs_for(posixpath.join(out, "samples.parquet"))
+        pq.write_table(samples, sp, filesystem=sfs)
+
+
+def _dedup_extra_rows(dec) -> int:
+    """Σ(c−1) over the (materialized, tiny-schema) decision table = the
+    exact number of passing rows exact-dedup removes (each duplicated
+    hash keeps exactly one row, ties included). Decision-based
+    accounting stays correct when later stages (per-repo cap) drop more
+    rows — those must NOT be booked as duplicates."""
+    n_dup = dec.count()
+    if n_dup == 0:
+        return 0
+    return int(dec.sum("c")) - n_dup
+
+
 def run_streaming(
     input_files: Sequence[str],
     out_dir: str,
@@ -709,9 +817,15 @@ def run_streaming(
     slim_blocks = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
 
     # job 3 (independent of dedup): per-rule metrics from bool columns
-    # only — launched on a thread so it overlaps the dedup jobs
-    def metrics_job() -> pa.Table:
-        return metrics_from_labels(
+    # only, plus the bounded per-rule failure samples — launched on a
+    # thread so both overlap the dedup jobs
+    labels_schema_names = rd.read_parquet(
+        label_files[:1], filesystem=labels_fs
+    ).schema().names
+    samp_cols = sample_columns(cfg, labels_schema_names)
+
+    def metrics_job() -> tuple[pa.Table, pa.Table | None]:
+        metrics = metrics_from_labels(
             rd.read_parquet(
                 label_files,
                 columns=[f"fail_{n}" for n in rule_names] + ["keep_rules"],
@@ -721,6 +835,20 @@ def run_streaming(
             rule_names,
             count_true_cols=("keep_rules",),
         )
+        samples = None
+        if cfg.failure_samples_k > 0:
+            samples = failure_samples_from_labels(
+                rd.read_parquet(
+                    label_files,
+                    columns=[f"fail_{n}" for n in rule_names] + samp_cols,
+                    filesystem=labels_fs,
+                    override_num_blocks=slim_blocks,
+                ),
+                rule_names,
+                samp_cols,
+                k=cfg.failure_samples_k,
+            )
+        return metrics, samples
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -746,10 +874,18 @@ def run_streaming(
         label_files, columns=kept_cols + ["keep_rules"], filesystem=labels_fs
     )
     kept = select_kept(wide, dec, cfg.dedup_broadcast_max_groups)
-    kept.write_parquet(kept_dir)
+    if cfg.max_files_per_repo is not None:
+        from validatelite_ray.stages.sample import top_n_per_group
 
-    metrics = metrics_future.result()
+        kept = top_n_per_group(
+            kept, cfg.key_cols[0], "uid", cfg.max_files_per_repo
+        )
+    kept.write_parquet(kept_dir)
+    n_dedup_dropped = _dedup_extra_rows(dec)
+
+    metrics, samples = metrics_future.result()
     pool.shutdown()
+    _write_metrics_sink(out, metrics, samples)
     rows = dict(
         zip(metrics["rule_name"].to_pylist(), metrics["failed_records"].to_pylist())
     )
@@ -762,7 +898,8 @@ def run_streaming(
     return {
         "total_rows": n_total,
         "kept_rows": int(kept_count),
-        "dropped_duplicates": int(passing_count - kept_count),
+        "dropped_duplicates": n_dedup_dropped,
+        "dropped_repo_cap": int(passing_count - n_dedup_dropped - kept_count),
         "rules": rows,
     }
 
@@ -824,11 +961,17 @@ def run(
     rule_names = [r.name for r in cfg.rules()]
     slim_blocks = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
 
-    # metrics are independent of dedup — overlap them on a thread
+    # metrics + failure samples are independent of dedup — overlap them
+    # on a thread
     from concurrent.futures import ThreadPoolExecutor
 
-    def metrics_job() -> pa.Table:
-        return metrics_from_labels(
+    labels_schema_names = rd.read_parquet(
+        label_files[:1], filesystem=labels_fs
+    ).schema().names
+    samp_cols = sample_columns(cfg, labels_schema_names)
+
+    def metrics_job() -> tuple[pa.Table, pa.Table | None]:
+        metrics = metrics_from_labels(
             rd.read_parquet(
                 label_files,
                 columns=[f"fail_{n}" for n in rule_names] + ["keep_rules"],
@@ -838,6 +981,20 @@ def run(
             rule_names,
             count_true_cols=("keep_rules",),
         )
+        samples = None
+        if cfg.failure_samples_k > 0:
+            samples = failure_samples_from_labels(
+                rd.read_parquet(
+                    label_files,
+                    columns=[f"fail_{n}" for n in rule_names] + samp_cols,
+                    filesystem=labels_fs,
+                    override_num_blocks=slim_blocks,
+                ),
+                rule_names,
+                samp_cols,
+                k=cfg.failure_samples_k,
+            )
+        return metrics, samples
 
     _pool = ThreadPoolExecutor(max_workers=1)
     _metrics_future = _pool.submit(metrics_job)
@@ -864,28 +1021,28 @@ def run(
         columns=list(dict.fromkeys([*kept_cols, "uid", "keep_rules"])),
         filesystem=labels_fs,
     )
-    select_kept(wide, dec, cfg.dedup_broadcast_max_groups).map_batches(
+    kept = select_kept(wide, dec, cfg.dedup_broadcast_max_groups)
+    if cfg.max_files_per_repo is not None:
+        from validatelite_ray.stages.sample import top_n_per_group
+
+        kept = top_n_per_group(kept, cfg.key_cols[0], "uid", cfg.max_files_per_repo)
+    kept.map_batches(
         lambda b: b.select(kept_cols),
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).write_parquet(kept_dir)
+    n_dedup_dropped = _dedup_extra_rows(dec)
 
     # metrics (per-rule counts + dedup accounting) — computed overlapped
-    metrics = _metrics_future.result()
+    metrics, samples = _metrics_future.result()
     _pool.shutdown()
-    import pyarrow.parquet as pq
+    _write_metrics_sink(out, metrics, samples)
 
     mrows = dict(
         zip(metrics["rule_name"].to_pylist(), metrics["failed_records"].to_pylist())
     )
     passing_count = int(mrows.pop("keep_rules"))
     n_total = int(metrics["total_records"][0].as_py())
-    # keep_rules is an internal accounting row — the persisted metrics
-    # table carries the per-rule records only (reference result shape)
-    keep_mask = pc.invert(pc.equal(metrics["rule_name"], "keep_rules"))
-    _mfs, _mp, _ = ckpt._fs_for(posixpath.join(out, "metrics.parquet"))
-    pq.write_table(metrics.filter(keep_mask), _mp, filesystem=_mfs)
-
     kept_count = (
         rd.read_parquet(kept_dir).count() if ckpt.list_files(kept_dir) else 0
     )
@@ -893,7 +1050,8 @@ def run(
         "shards": stats,
         "total_rows": n_total,
         "kept_rows": int(kept_count),
-        "dropped_duplicates": int(passing_count - kept_count),
+        "dropped_duplicates": n_dedup_dropped,
+        "dropped_repo_cap": int(passing_count - n_dedup_dropped - kept_count),
         "rules": mrows,
         "out_dir": str(out),
     }
