@@ -747,6 +747,132 @@ def failure_samples_from_labels(
     )
 
 
+def metrics_and_samples_from_labels(
+    labels_ds,
+    rule_names: Sequence[str],
+    samp_cols: Sequence[str],
+    k: int,
+    count_true_cols: Sequence[str] = (),
+):
+    """Fused single-JOB form of ``metrics_from_labels`` +
+    ``failure_samples_from_labels``: ONE read of the labels columns
+    feeds both reductions (each phase-B job over the labels output pays
+    a fixed read+schedule cost that rivals its compute at bench scale —
+    fusing halves the passes). The per-batch partial emits the #rules
+    metric rows AND the ≤k failing samples per rule under one tagged
+    union schema; the partials are bounded per block, so they fold on
+    the driver (see the bound note below). Returns ``(metrics,
+    samples)`` with the exact shapes of the unfused surfaces (which
+    remain for standalone / unbounded-input use)."""
+    fail_cols = [f"fail_{n}" for n in rule_names]
+    cols = list(samp_cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        names, totals, fails = [], [], []
+        for name, fc in zip(rule_names, fail_cols):
+            names.append(name)
+            totals.append(n)
+            fails.append(int(pc.sum(pc.cast(b[fc], pa.int64())).as_py() or 0))
+        for col in count_true_cols:
+            names.append(col)
+            totals.append(n)
+            fails.append(int(pc.sum(pc.cast(b[col], pa.int64())).as_py() or 0))
+        m = len(names)
+        out_cols: dict[str, pa.Array] = {
+            "kind": pa.array(["m"] * m, pa.string()),
+            "rule_name": pa.array(names, pa.string()),
+            "total_records": pa.array(totals, pa.int64()),
+            "failed_records": pa.array(fails, pa.int64()),
+        }
+        sample_parts = []
+        if k > 0:
+            for name, fc in zip(rule_names, fail_cols):
+                f = b.filter(pc.equal(b[fc], True)).select(cols)
+                if f.num_rows == 0:
+                    continue
+                if "uid" in cols and f.num_rows > k:
+                    f = f.take(pc.select_k_unstable(f, k, [("uid", "ascending")]))
+                else:
+                    f = f.slice(0, k)
+                f = f.add_column(
+                    0, "rule_name", pa.array([name] * f.num_rows, pa.string())
+                )
+                sample_parts.append(f)
+        mtab = pa.table(
+            {
+                **out_cols,
+                **{c: pa.nulls(m, b.schema.field(c).type) for c in cols},
+            }
+        )
+        if not sample_parts:
+            return mtab
+        stab = pa.concat_tables(sample_parts)
+        stab = pa.table(
+            {
+                "kind": pa.array(["s"] * stab.num_rows, pa.string()),
+                "rule_name": stab["rule_name"],
+                "total_records": pa.nulls(stab.num_rows, pa.int64()),
+                "failed_records": pa.nulls(stab.num_rows, pa.int64()),
+                **{c: stab[c] for c in cols},
+            }
+        )
+        return pa.concat_tables([mtab, stab])
+
+    # ONE Ray job: the partials are bounded at (1 + k) × #rules rows per
+    # BLOCK, and the run paths read the labels with
+    # override_num_blocks = 2 × cluster CPUs, so the collected size is
+    # O(k × #rules × CPUs) — a few MB on a 4096-core cluster — never
+    # O(corpus). The driver fold replaces what used to be three extra
+    # jobs (materialize + metrics groupby + sample top-n shuffle) whose
+    # fixed scheduling cost rivaled the whole read at bench scale.
+    rows = labels_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+
+    agg: dict[str, list[int]] = {}
+    samp_rows: dict[str, list] = {}
+    order = "uid" if "uid" in cols else (cols[0] if cols else None)
+    for r in rows:
+        if r["kind"] == "m":
+            a = agg.setdefault(r["rule_name"], [0, 0])
+            a[0] += r["total_records"]
+            a[1] += r["failed_records"]
+        else:
+            samp_rows.setdefault(r["rule_name"], []).append(r)
+    names_sorted = sorted(agg)
+    metrics = pa.table(
+        {
+            "rule_name": pa.array(names_sorted, pa.string()),
+            "total_records": pa.array(
+                [agg[n][0] for n in names_sorted], pa.int64()
+            ),
+            "failed_records": pa.array(
+                [agg[n][1] for n in names_sorted], pa.int64()
+            ),
+        }
+    )
+
+    samples = None
+    if k > 0:
+        flat = []
+        for name in sorted(samp_rows):
+            rs = samp_rows[name]
+            if order is not None:
+                rs = sorted(rs, key=lambda r: r[order])
+            flat.extend(rs[:k])
+        names = ["rule_name"] + cols
+        samples = pa.table(
+            {
+                n: pa.array([r[n] for r in flat])
+                if flat
+                else pa.array([], pa.string())
+                for n in names
+            }
+        )
+    return metrics, samples
+
+
 def _write_metrics_sink(out: str, metrics: pa.Table, samples) -> None:
     """Persist the run's result records next to the data outputs:
     ``metrics.parquet`` (per-rule counts, reference result-record shape
@@ -825,30 +951,24 @@ def run_streaming(
     samp_cols = sample_columns(cfg, labels_schema_names)
 
     def metrics_job() -> tuple[pa.Table, pa.Table | None]:
-        metrics = metrics_from_labels(
+        return metrics_and_samples_from_labels(
             rd.read_parquet(
                 label_files,
-                columns=[f"fail_{n}" for n in rule_names] + ["keep_rules"],
+                columns=list(
+                    dict.fromkeys(
+                        [f"fail_{n}" for n in rule_names]
+                        + ["keep_rules"]
+                        + (samp_cols if cfg.failure_samples_k > 0 else [])
+                    )
+                ),
                 filesystem=labels_fs,
                 override_num_blocks=slim_blocks,
             ),
             rule_names,
+            samp_cols,
+            k=cfg.failure_samples_k,
             count_true_cols=("keep_rules",),
         )
-        samples = None
-        if cfg.failure_samples_k > 0:
-            samples = failure_samples_from_labels(
-                rd.read_parquet(
-                    label_files,
-                    columns=[f"fail_{n}" for n in rule_names] + samp_cols,
-                    filesystem=labels_fs,
-                    override_num_blocks=slim_blocks,
-                ),
-                rule_names,
-                samp_cols,
-                k=cfg.failure_samples_k,
-            )
-        return metrics, samples
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -971,30 +1091,24 @@ def run(
     samp_cols = sample_columns(cfg, labels_schema_names)
 
     def metrics_job() -> tuple[pa.Table, pa.Table | None]:
-        metrics = metrics_from_labels(
+        return metrics_and_samples_from_labels(
             rd.read_parquet(
                 label_files,
-                columns=[f"fail_{n}" for n in rule_names] + ["keep_rules"],
+                columns=list(
+                    dict.fromkeys(
+                        [f"fail_{n}" for n in rule_names]
+                        + ["keep_rules"]
+                        + (samp_cols if cfg.failure_samples_k > 0 else [])
+                    )
+                ),
                 filesystem=labels_fs,
                 override_num_blocks=slim_blocks,
             ),
             rule_names,
+            samp_cols,
+            k=cfg.failure_samples_k,
             count_true_cols=("keep_rules",),
         )
-        samples = None
-        if cfg.failure_samples_k > 0:
-            samples = failure_samples_from_labels(
-                rd.read_parquet(
-                    label_files,
-                    columns=[f"fail_{n}" for n in rule_names] + samp_cols,
-                    filesystem=labels_fs,
-                    override_num_blocks=slim_blocks,
-                ),
-                rule_names,
-                samp_cols,
-                k=cfg.failure_samples_k,
-            )
-        return metrics, samples
 
     _pool = ThreadPoolExecutor(max_workers=1)
     _metrics_future = _pool.submit(metrics_job)
