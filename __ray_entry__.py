@@ -465,6 +465,30 @@ def _q_pack_sequences(sf_dir: str):
     )
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination (k=3): documents with
+    doc_id % 50 == 0 act as the 'benchmark suite'; every document is
+    flagged with its k-shingle overlap counts against that set.
+    Broadcast-small-side membership scan, zero shuffle
+    (stages/decontaminate.py); the DuckDB oracle rebuilds the identical
+    lowercase \\w+ 3-shingles with list lambdas."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from validatelite_ray.stages.decontaminate import decontaminate
+
+    bt = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sel = np.asarray(bt["doc_id"].combine_chunks()) % 50 == 0
+    bench_texts = bt["text"].combine_chunks().filter(pa.array(sel))
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        decontaminate(ds, bench_texts, text_col="text", k=3)
+        .select_columns(
+            ["doc_id", "contaminated_ngrams", "ngrams_total", "contaminated"]
+        )
+    )
+
+
 def _q_dedup_simhash_clusters(sf_dir: str):
     """SimHash end-to-end near-dup clusters: band groupby + in-bucket
     Hamming verify + connected components (rows-only; pytest carries a
@@ -719,6 +743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "dedup_simhash_documents": _q_dedup_simhash,
         "dedup_simhash_clusters": _q_dedup_simhash_clusters,
+        "decontaminate_documents": _q_decontaminate,
         "top_n_per_group_orders": _q_top_n_per_group,
         "profile_columns_events": _q_profile_events,
         "kmeans_embeddings": _q_kmeans_embeddings,
@@ -852,6 +877,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders QUALIFY row_number() OVER ("
             "PARTITION BY o_orderpriority "
             "ORDER BY o_totalprice DESC, o_orderkey) <= 3"
+        ),
+        "decontaminate_documents": (
+            "WITH toks AS ("
+            "  SELECT doc_id, list_filter("
+            "    regexp_split_to_array(lower(coalesce(text, '')), '[^0-9A-Za-z_]+'),"
+            "    x -> x <> '') AS t FROM documents"
+            "), sh AS ("
+            "  SELECT doc_id, CASE WHEN len(t) >= 3 THEN"
+            "    list_transform(generate_series(1, len(t) - 2),"
+            "      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+            "    ELSE [] END AS s FROM toks"
+            "), bench AS ("
+            "  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0"
+            "), ex AS (SELECT doc_id, unnest(s) AS g FROM sh"
+            "), hits AS ("
+            "  SELECT e.doc_id, count(*) AS h FROM ex e"
+            "  JOIN bench b ON e.g = b.g GROUP BY e.doc_id"
+            ") SELECT sh.doc_id,"
+            "  CAST(coalesce(h.h, 0) AS BIGINT) AS contaminated_ngrams,"
+            "  CAST(len(sh.s) AS BIGINT) AS ngrams_total,"
+            "  coalesce(h.h, 0) >= 1 AS contaminated"
+            " FROM sh LEFT JOIN hits h ON sh.doc_id = h.doc_id"
         ),
         "token_frequencies_documents": (
             "SELECT token, count(*) AS n FROM ("

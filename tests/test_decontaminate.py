@@ -1,0 +1,145 @@
+"""Decontamination operator: brute-force n-gram oracle, planted
+contamination e2e, threshold semantics, layout invariance."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from validatelite_ray.stages.decontaminate import (
+    benchmark_ngram_set,
+    contamination_counts,
+    decontaminate,
+)
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform "
+    "victor whiskey xray yankee zulu"
+).split()
+
+
+def _mk_doc(rng, n):
+    return " ".join(rng.choice(WORDS, size=n))
+
+
+def _brute_shingles(text: str, k: int) -> set[tuple[str, ...]]:
+    toks = re.findall(r"\w+", text.lower())
+    return {tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_counts_match_bruteforce():
+    rng = np.random.default_rng(3)
+    k = 5
+    bench_texts = [_mk_doc(rng, 30) for _ in range(10)]
+    docs = [_mk_doc(rng, 60) for _ in range(40)]
+    # plant partial overlaps: splice benchmark spans into some docs
+    for i in range(0, 40, 7):
+        span = bench_texts[i % 10].split()[4 : 4 + k + 3]
+        docs[i] = docs[i] + " " + " ".join(span)
+    bench_set = set().union(*(_brute_shingles(t, k) for t in bench_texts))
+    bench = benchmark_ngram_set(bench_texts, k=k)
+    hits, totals = contamination_counts(pa.array(docs), bench, k)
+    for d, h, t in zip(docs, hits, totals):
+        sh = _brute_shingles(d, k)
+        # multiset totals: shingle count is positional, not unique
+        toks = re.findall(r"\w+", d.lower())
+        assert t == max(len(toks) - k + 1, 0)
+        expect_hits = sum(
+            1
+            for i in range(len(toks) - k + 1)
+            if tuple(toks[i : i + k]) in bench_set
+        )
+        assert h == expect_hits, d
+
+
+def test_planted_contamination_flag_and_drop(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    k = 8
+    bench_sentence = "the quick brown fox jumps over the lazy benchmark dog today"
+    bench = [bench_sentence, _mk_doc(rng, 40)]
+    clean = [_mk_doc(rng, 50) for _ in range(30)]
+    dirty = [
+        _mk_doc(rng, 20) + " " + bench_sentence + " " + _mk_doc(rng, 10)
+        for _ in range(6)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(36), pa.int64()),
+            "text": pa.array(clean + dirty),
+        }
+    )
+    for nblocks in (1, 5):
+        ds = rd.from_arrow(t)
+        if nblocks > 1:
+            ds = ds.repartition(nblocks)
+        out = decontaminate(ds, bench, text_col="text", k=k).take_all()
+        flags = {r["doc_id"]: r["contaminated"] for r in out}
+        assert all(flags[i] for i in range(30, 36))
+        assert not any(flags[i] for i in range(30))
+        kept = decontaminate(ds, bench, text_col="text", k=k, mode="drop")
+        kept_ids = sorted(r["doc_id"] for r in kept.take_all())
+        assert kept_ids == list(range(30))
+        # drop mode preserves the original schema
+        assert set(kept.schema().names) == {"doc_id", "text"}
+
+
+def test_min_frac_guard(ray_session):
+    import ray.data as rd
+
+    k = 3
+    bench = ["one two three"]
+    # long doc containing the benchmark trigram ONCE among many shingles
+    long_doc = " ".join(WORDS) + " one two three " + " ".join(WORDS)
+    t = pa.table({"doc_id": pa.array([0]), "text": pa.array([long_doc])})
+    flagged = decontaminate(rd.from_arrow(t), bench, k=k).take_all()[0]
+    assert flagged["contaminated"] and flagged["contaminated_ngrams"] >= 1
+    spared = decontaminate(
+        rd.from_arrow(t), bench, k=k, min_frac=0.5
+    ).take_all()[0]
+    assert not spared["contaminated"]  # 1 hit << 50% of its shingles
+
+
+def test_short_and_empty_docs_never_contaminated(ray_session):
+    import ray.data as rd
+
+    bench = ["aa bb cc dd ee ff gg hh"]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2]),
+            "text": pa.array(["aa bb", "", None], pa.string()),
+        }
+    )
+    out = decontaminate(rd.from_arrow(t), bench, k=8).take_all()
+    assert all(not r["contaminated"] for r in out)
+    assert all(r["ngrams_total"] == 0 for r in out)
+
+
+def test_precomputed_hash_array_reuse(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    k = 6
+    bench_texts = [_mk_doc(rng, 30)]
+    docs = [_mk_doc(rng, 40), bench_texts[0]]
+    t = pa.table({"doc_id": pa.array([0, 1]), "text": pa.array(docs)})
+    pre = benchmark_ngram_set(bench_texts, k=k)
+    a = decontaminate(rd.from_arrow(t), bench_texts, k=k).take_all()
+    b = decontaminate(rd.from_arrow(t), pre, k=k).take_all()
+    assert [r["contaminated"] for r in a] == [r["contaminated"] for r in b]
+    assert a[1]["contaminated"]
+
+
+def test_validation_errors(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"text": pa.array(["x"])})
+    with pytest.raises(ValueError):
+        decontaminate(rd.from_arrow(t), ["y"], mode="nope")
+    with pytest.raises(ValueError):
+        decontaminate(rd.from_arrow(t), ["y"], min_hits=0)
+    with pytest.raises(ValueError):
+        decontaminate(rd.from_arrow(t), ["y"], min_frac=1.5)

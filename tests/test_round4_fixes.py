@@ -159,6 +159,50 @@ def test_ckpt_run_cap_and_samples(ray_session, corpus, tmp_path):
     assert all(v <= cfg.failure_samples_k for v in per_rule.values())
 
 
+def test_near_dedup_stage_drops_planted_near_duplicates(ray_session, tmp_path):
+    """Opt-in MinHash near-dedup: clean docs re-ingested with a tiny
+    edit (different sha256, ~same shingles) survive exact dedup but are
+    dropped by the near-dup stage; accounting is separated from exact
+    dedup and the repo cap."""
+    import pyarrow.parquet as pq2
+    from validatelite_ray.testing.codegen import generate_corpus
+
+    table = generate_corpus(n_files=200, seed=5)
+    clean = table.filter(pc.equal(table["defect"], "clean")).slice(0, 25)
+    assert clean.num_rows == 25
+    variants = pa.table(
+        {
+            "repo": pa.array(["zz/neardup"] * clean.num_rows),
+            "path": pa.array([f"v/{i}.py" for i in range(clean.num_rows)]),
+            "commit": pa.array(["f" * 40] * clean.num_rows),
+            "lang": clean["lang"],
+            "content": pa.array(
+                [t + "\n# trailing tweak\n" for t in clean["content"].to_pylist()]
+            ),
+            "defect": pa.array(["near_dup"] * clean.num_rows),
+        }
+    )
+    corpus = pa.concat_tables([table, variants])
+    src = tmp_path / "nd_corpus.parquet"
+    pq2.write_table(corpus, src)
+
+    base = run_streaming(
+        [str(src)], str(tmp_path / "nd_off"), QualityFilterConfig()
+    )
+    cfg = QualityFilterConfig(near_dedup_threshold=0.8)
+    s = run_streaming([str(src)], str(tmp_path / "nd_on"), cfg)
+    # every planted near-dup variant that passed the rules is dropped
+    assert s["dropped_near_duplicates"] >= 20
+    assert s["dropped_duplicates"] == base["dropped_duplicates"]
+    assert s["kept_rows"] == base["kept_rows"] - s["dropped_near_duplicates"]
+    assert s["dropped_repo_cap"] == 0
+    kept = _kept(tmp_path / "nd_on")
+    # the originals win (every 'orgN/...' uid sorts before 'zz/neardup'),
+    # so no variant survives
+    variant_kept = [r for r in kept["repo"].to_pylist() if r == "zz/neardup"]
+    assert variant_kept == []
+
+
 def test_failure_samples_operator_deterministic(ray_session):
     """Unit: ≤k per rule, and exactly the k lexically-smallest failing
     uids — independent of block layout."""

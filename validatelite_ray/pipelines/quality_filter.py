@@ -28,8 +28,14 @@ Input: Parquet table (repo, path, commit, lang, content). Stages:
    keeps the generic operator (full shuffle, salted two-phase,
    dup-only broadcast) for standalone use.
 5. ``metrics`` — per-rule (total, failed) aggregated from the labels
-   output exactly like ValidateLite's result records, plus per-shard
+   output exactly like ValidateLite's result records (persisted to
+   ``metrics.parquet`` with ≤k per-rule failure samples in
+   ``samples.parquet`` — one fused single-job pass), plus per-shard
    lineage manifests carrying each shard's rule counts.
+6. optional post-dedup controls — ``near_dedup_threshold`` (MinHash-LSH
+   near-duplicate drop over the kept rows' scrubbed text) and
+   ``max_files_per_repo`` (coarse-bucket top-n per-repo cap), each with
+   separate drop accounting in the summary.
 
 Rule verdict accounting matches the reference contract: a rule's
 ``failed_records`` counts rows violating it; ``keep`` requires passing
@@ -100,6 +106,12 @@ class QualityFilterConfig:
     #: ``metrics.parquet`` (reference ``sample_data`` parity,
     #: core/executors/base_executor.py:292-347). 0 disables.
     failure_samples_k: int = 5
+    #: opt-in MinHash-LSH near-duplicate stage after exact dedup: kept
+    #: rows whose scrubbed text is ≥ this Jaccard-similar to an earlier
+    #: (lexically-smaller-uid) kept row are dropped, accounted in
+    #: ``dropped_near_duplicates``. ``None`` disables (the default —
+    #: exact dedup alone matches the reference contract).
+    near_dedup_threshold: float | None = None
 
     def rules(self) -> list[RuleSpec]:
         """Quality thresholds expressed as ordinary ValidateLite rules
@@ -891,6 +903,62 @@ def _write_metrics_sink(out: str, metrics: pa.Table, samples) -> None:
         pq.write_table(samples, sp, filesystem=sfs)
 
 
+def _near_dedup_filter(kept_ds, out: str, cfg: QualityFilterConfig):
+    """Opt-in near-duplicate stage: persist the exact-dedup survivors to
+    an intermediate dir (so the expensive upstream pipeline runs ONCE),
+    cluster their scrubbed text with MinHash-LSH (stages/dedup.py — band
+    shuffle + bucket-vectorized exact-Jaccard verify), and filter out
+    every cluster member except the lexical-min uid. Returns
+    ``(filtered kept Dataset, n_dropped)``.
+
+    Driver state is the loser uid list — O(#near-duplicate rows), the
+    same order as the verified-edge union-find inside the LSH operator
+    (which itself falls back to distributed components above a budget);
+    for the web-scale regime pair this stage with a loser threshold via
+    the standalone operator instead of the flag."""
+    import posixpath
+
+    import ray
+    import ray.data as rd
+
+    from validatelite_ray.stages.dedup import dedup_minhash_lsh
+
+    pre_dir = posixpath.join(out, "kept_prededup")
+    fs, p, _ = ckpt._fs_for(pre_dir)
+    ckpt._rmtree(fs, p)
+    kept_ds.write_parquet(pre_dir)
+    pre_raw = ckpt.list_files(pre_dir)
+    if not pre_raw:  # nothing survived the rules — nothing to cluster
+        return kept_ds, 0
+    pre_files, pre_fs = ckpt.resolve_for_read(pre_raw)
+    full = rd.read_parquet(pre_files, filesystem=pre_fs)
+    slim = rd.read_parquet(
+        pre_files, columns=["uid", "content_scrubbed"], filesystem=pre_fs
+    )
+    clusters = dedup_minhash_lsh(
+        slim,
+        id_col="uid",
+        text_col="content_scrubbed",
+        jaccard_threshold=cfg.near_dedup_threshold,
+        concurrency=max(2, cfg.scorer_concurrency // 2),
+    )
+    if len(clusters) == 0:
+        return full, 0
+    # cluster_id IS the component-min uid — losers are everyone else
+    losers = sorted(clusters.loc[clusters["uid"] != clusters["cluster_id"], "uid"])
+    if not losers:
+        return full, 0
+    ref = ray.put(pa.array(losers, pa.string()))
+
+    def drop_losers(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(pc.is_in(b["uid"], value_set=ray.get(ref))))
+
+    return (
+        full.map_batches(drop_losers, batch_format="pyarrow", zero_copy_batch=True),
+        len(losers),
+    )
+
+
 def _dedup_extra_rows(dec) -> int:
     """Σ(c−1) over the (materialized, tiny-schema) decision table = the
     exact number of passing rows exact-dedup removes (each duplicated
@@ -994,6 +1062,9 @@ def run_streaming(
         label_files, columns=kept_cols + ["keep_rules"], filesystem=labels_fs
     )
     kept = select_kept(wide, dec, cfg.dedup_broadcast_max_groups)
+    n_near_dropped = 0
+    if cfg.near_dedup_threshold is not None:
+        kept, n_near_dropped = _near_dedup_filter(kept, out, cfg)
     if cfg.max_files_per_repo is not None:
         from validatelite_ray.stages.sample import top_n_per_group
 
@@ -1019,7 +1090,10 @@ def run_streaming(
         "total_rows": n_total,
         "kept_rows": int(kept_count),
         "dropped_duplicates": n_dedup_dropped,
-        "dropped_repo_cap": int(passing_count - n_dedup_dropped - kept_count),
+        "dropped_near_duplicates": n_near_dropped,
+        "dropped_repo_cap": int(
+            passing_count - n_dedup_dropped - n_near_dropped - kept_count
+        ),
         "rules": rows,
     }
 
@@ -1136,6 +1210,9 @@ def run(
         filesystem=labels_fs,
     )
     kept = select_kept(wide, dec, cfg.dedup_broadcast_max_groups)
+    n_near_dropped = 0
+    if cfg.near_dedup_threshold is not None:
+        kept, n_near_dropped = _near_dedup_filter(kept, out, cfg)
     if cfg.max_files_per_repo is not None:
         from validatelite_ray.stages.sample import top_n_per_group
 
@@ -1165,7 +1242,10 @@ def run(
         "total_rows": n_total,
         "kept_rows": int(kept_count),
         "dropped_duplicates": n_dedup_dropped,
-        "dropped_repo_cap": int(passing_count - n_dedup_dropped - kept_count),
+        "dropped_near_duplicates": n_near_dropped,
+        "dropped_repo_cap": int(
+            passing_count - n_dedup_dropped - n_near_dropped - kept_count
+        ),
         "rules": mrows,
         "out_dir": str(out),
     }

@@ -1,0 +1,129 @@
+"""Benchmark decontamination — remove/flag training documents that
+overlap an evaluation set.
+
+The standard pretraining hygiene step (n-gram overlap decontamination
+as popularized by public LLM training reports and open-source corpus
+toolkits): a training document is *contaminated* when it shares at
+least ``min_hits`` k-token shingles (and at least ``min_frac`` of its
+own shingles) with any document in the benchmark set.
+
+Physical plan — the benchmark side is SMALL (eval suites are MBs), the
+corpus side is the 100-TB stream, so this is the canonical
+broadcast-small-side shape:
+
+* ``benchmark_ngram_set`` hashes the benchmark texts once on the driver
+  into a SORTED uint64 array of unique k-shingle hashes (same
+  deterministic tokenizer + polynomial/splitmix hash as the dedup
+  sketches — ``stages/dedup._doc_shingle_hashes``).
+* ``decontaminate`` broadcasts that array with ``ray.put`` ONCE and
+  streams the corpus through one ``map_batches`` pass: per batch, all
+  doc shingles are hashed vectorized, membership is a single
+  ``np.searchsorted`` against the sorted benchmark array, and per-doc
+  hit counts come from ``np.bincount``. Zero shuffle, zero driver
+  state beyond the broadcast ref; contaminated accounting stays
+  per-row (``contaminated`` bool + ``contaminated_ngrams`` count) so
+  the operator composes with the rest of a pipeline.
+
+Reference scope note: ValidateLite has no decontamination operator —
+this extends the engine for LLM-corpus workloads (builder's brief);
+the rule-accounting shape (flag column + counts) mirrors the engine's
+fail-mask idiom (compiler/kernels.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def benchmark_ngram_set(texts: Sequence[str] | pa.Array, k: int = 8) -> np.ndarray:
+    """Sorted unique uint64 hashes of every k-token shingle in the
+    benchmark texts (lowercased, ASCII ``\\w+`` tokens — identical
+    normalization to the corpus side). Driver-side by design: eval
+    suites are small; the result is the broadcast side."""
+    from validatelite_ray.stages.dedup import _doc_shingle_hashes
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), pa.string())
+    hashes, _ = _doc_shingle_hashes(texts, k)
+    return np.unique(hashes)
+
+
+def contamination_counts(
+    text_col, bench_sorted: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document (hit count, total shingle count) for one Arrow
+    string column against a sorted benchmark hash array. Vectorized:
+    one searchsorted over all shingles in the batch."""
+    from validatelite_ray.stages.dedup import _doc_shingle_hashes
+
+    n_docs = len(text_col)
+    hashes, doc_of = _doc_shingle_hashes(text_col, k)
+    totals = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+    if hashes.size == 0 or bench_sorted.size == 0:
+        return np.zeros(n_docs, np.int64), totals
+    idx = np.searchsorted(bench_sorted, hashes)
+    idx[idx == bench_sorted.size] = bench_sorted.size - 1
+    hit = bench_sorted[idx] == hashes
+    hits = np.bincount(doc_of[hit], minlength=n_docs).astype(np.int64)
+    return hits, totals
+
+
+def decontaminate(
+    ds,
+    benchmark_texts: Sequence[str] | pa.Array | np.ndarray,
+    text_col: str = "text",
+    k: int = 8,
+    min_hits: int = 1,
+    min_frac: float = 0.0,
+    mode: str = "flag",
+):
+    """Flag (or drop) corpus documents overlapping the benchmark set.
+
+    ``benchmark_texts`` may be raw texts or an already-built (sorted
+    uint64) hash array from ``benchmark_ngram_set``. A document is
+    contaminated when ``hits >= min_hits`` AND
+    ``hits >= min_frac * its own shingle count`` (the fraction guard
+    keeps a single boilerplate n-gram from nuking long documents when
+    tuned > 0). ``mode``:
+
+    * ``"flag"`` — append ``contaminated_ngrams`` (int64),
+      ``ngrams_total`` (int64) and ``contaminated`` (bool).
+    * ``"drop"`` — return only clean rows, original schema.
+
+    Documents shorter than ``k`` tokens have zero shingles and are
+    never contaminated.
+    """
+    import ray
+
+    if mode not in ("flag", "drop"):
+        raise ValueError("mode must be 'flag' or 'drop'")
+    if min_hits < 1:
+        raise ValueError("min_hits must be >= 1")
+    if not 0.0 <= min_frac <= 1.0:
+        raise ValueError("min_frac must be in [0, 1]")
+    if isinstance(benchmark_texts, np.ndarray):
+        bench = np.asarray(benchmark_texts, np.uint64)
+    else:
+        bench = benchmark_ngram_set(benchmark_texts, k)
+    bench_ref = ray.put(bench)
+
+    def apply(b: pa.Table) -> pa.Table:
+        bs = ray.get(bench_ref)
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        hits, totals = contamination_counts(col, bs, k)
+        flag = hits >= min_hits
+        if min_frac > 0.0:
+            flag &= hits >= min_frac * np.maximum(totals, 1)
+        if mode == "drop":
+            return b.filter(pa.array(~flag))
+        b = b.append_column("contaminated_ngrams", pa.array(hits))
+        b = b.append_column("ngrams_total", pa.array(totals))
+        return b.append_column("contaminated", pa.array(flag))
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
