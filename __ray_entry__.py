@@ -422,6 +422,23 @@ def _q_profile_events(sf_dir: str):
     return profile_columns(_read(sf_dir, "events", cols), cols)
 
 
+def _q_approx_quantiles(sf_dir: str):
+    """Distributed quantiles over events (value, user_id): mergeable
+    per-block equi-depth summary (stages/sample.py:approx_quantiles).
+    Run in the exact regime (eps ≤ 1/block_rows ⇒ every point ships and
+    the merge is the exact lower discrete quantile), which DuckDB's
+    quantile_disc reproduces bit-for-bit; the eps=0.01 approx regime is
+    rank-error-bound tested in pytest."""
+    from validatelite_ray.stages.sample import approx_quantiles
+
+    return approx_quantiles(
+        _read(sf_dir, "events", ["value", "user_id"]),
+        ["value", "user_id"],
+        [0.1, 0.5, 0.9],
+        eps=1e-7,
+    )
+
+
 def _q_kmeans_embeddings(sf_dir: str):
     """Deterministic spherical k-means assignments over the embeddings
     table (iterative broadcast-and-combine; rows-only — pytest carries
@@ -746,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": _q_decontaminate,
         "top_n_per_group_orders": _q_top_n_per_group,
         "profile_columns_events": _q_profile_events,
+        "approx_quantiles_events": _q_approx_quantiles,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "hash_split_documents": _q_hash_split,
         "token_frequencies_documents": _q_token_frequencies,
@@ -877,6 +895,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders QUALIFY row_number() OVER ("
             "PARTITION BY o_orderpriority "
             "ORDER BY o_totalprice DESC, o_orderkey) <= 3"
+        ),
+        "approx_quantiles_events": (
+            "SELECT 'value' AS column, 0.1 AS q, quantile_disc(value, 0.1) AS value FROM events"
+            " UNION ALL SELECT 'value', 0.5, quantile_disc(value, 0.5) FROM events"
+            " UNION ALL SELECT 'value', 0.9, quantile_disc(value, 0.9) FROM events"
+            " UNION ALL SELECT 'user_id', 0.1, CAST(quantile_disc(user_id, 0.1) AS DOUBLE) FROM events"
+            " UNION ALL SELECT 'user_id', 0.5, CAST(quantile_disc(user_id, 0.5) AS DOUBLE) FROM events"
+            " UNION ALL SELECT 'user_id', 0.9, CAST(quantile_disc(user_id, 0.9) AS DOUBLE) FROM events"
         ),
         "decontaminate_documents": (
             "WITH toks AS ("

@@ -238,3 +238,85 @@ def test_profile_bad_distinct_mode():
 
     with pytest.raises(ValueError):
         profile_columns(None, ["x"], distinct="wrong")
+
+
+# ---------------------------------------------------------------------------
+# approx_quantiles (round 4)
+# ---------------------------------------------------------------------------
+
+def test_approx_quantiles_rank_error_bound(ray_session):
+    """Rank of every returned value is within eps*n of the target rank,
+    across block layouts and distributions."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.sample import approx_quantiles
+
+    rng = np.random.default_rng(8)
+    n = 20_000
+    data = {
+        "gauss": rng.standard_normal(n),
+        "skewed": rng.exponential(1.0, n) ** 3,
+        "heavy_ties": rng.integers(0, 10, n).astype(float),
+    }
+    t = pa.table({k: pa.array(v) for k, v in data.items()})
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    eps = 0.01
+    for nblocks in (1, 7, 64):
+        ds = rd.from_arrow(t)
+        if nblocks > 1:
+            ds = ds.repartition(nblocks)
+        out = approx_quantiles(ds, list(data), qs, eps=eps)
+        for col, q, v in zip(
+            out["column"].to_pylist(), out["q"].to_pylist(), out["value"].to_pylist()
+        ):
+            s = np.sort(data[col])
+            # rank interval occupied by value v in the true sorted data
+            lo = np.searchsorted(s, v, side="left")
+            hi = np.searchsorted(s, v, side="right")
+            target = q * n
+            err = 0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target))
+            assert err <= eps * n + 1, (col, q, nblocks, err)
+
+
+def test_approx_quantiles_exact_regime_matches_duckdb(ray_session):
+    """eps <= 1/block_rows ships every point: the merge is exact and
+    equals DuckDB quantile_disc (lower discrete quantile)."""
+    import duckdb
+    import ray.data as rd
+
+    from validatelite_ray.stages.sample import approx_quantiles
+
+    rng = np.random.default_rng(9)
+    vals = rng.standard_normal(501)
+    t = pa.table({"x": pa.array(vals)})
+    out = approx_quantiles(
+        rd.from_arrow(t).repartition(5), ["x"], [0.1, 0.5, 0.9], eps=1e-6
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    for q, v in zip(out["q"].to_pylist(), out["value"].to_pylist()):
+        want = con.execute("SELECT quantile_disc(x, ?) FROM t", [q]).fetchone()[0]
+        assert v == want, q
+
+
+def test_approx_quantiles_nulls_and_validation(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.sample import approx_quantiles
+
+    t = pa.table(
+        {
+            "a": pa.array([1.0, None, 3.0, None, 2.0]),
+            "b": pa.array([None] * 5, pa.float64()),
+        }
+    )
+    out = approx_quantiles(rd.from_arrow(t), ["a", "b"], [0.5], eps=1e-6)
+    got = {r["column"]: r["value"] for r in out.to_pylist()}
+    assert got["a"] == 2.0  # NULLs excluded
+    assert got["b"] is None  # all-NULL column
+    with pytest.raises(ValueError):
+        approx_quantiles(rd.from_arrow(t), ["a"], [])
+    with pytest.raises(ValueError):
+        approx_quantiles(rd.from_arrow(t), ["a"], [1.5])
+    with pytest.raises(ValueError):
+        approx_quantiles(rd.from_arrow(t), ["a"], [0.5], eps=0.0)

@@ -251,6 +251,96 @@ def _profile_table(cols, agg, n_distinct) -> pa.Table:
     )
 
 
+def approx_quantiles(
+    ds, cols: list[str], qs: list[float], eps: float = 0.01
+) -> pa.Table:
+    """Approximate quantiles for numeric columns in one streaming pass
+    → Arrow table (column, q, value), rank error ≤ ``eps`` × n.
+
+    Classic mergeable equi-depth summary (the distributed-quantile
+    textbook construction; same family as Greenwald–Khanna but
+    block-granular): every block sorts its values once and contributes
+    ``m = ceil(1/eps)`` evenly-spaced (value, weight) points with
+    weight = block_n / m; the driver merges all weighted points in one
+    vectorized cumulative-weight pass. Each block's contribution
+    carries ≤ block_n/m rank uncertainty, so the merged rank error is
+    ≤ Σ block_n/m = eps × n regardless of distribution or layout.
+
+    Scale: shuffle-free; driver state is m × #blocks points per column
+    (8 bytes each — e.g. m=100 on a 4096-block read is ~3 MB/column).
+    NULLs are excluded, SQL-style; an all-NULL column reports NULL
+    values."""
+    if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("qs must be non-empty fractions in [0, 1]")
+    if not 0.0 < eps < 1.0:
+        raise ValueError("eps must be in (0, 1)")
+    m = int(np.ceil(1.0 / eps))
+
+    def partials(b: pa.Table) -> pa.Table:
+        out_c, out_v, out_w = [], [], []
+        for c in cols:
+            col = pc.cast(b[c], pa.float64()).drop_null()
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = np.asarray(col)
+            n = vals.size
+            if n == 0:
+                continue
+            vals = np.sort(vals)
+            take = min(m, n)
+            # midpoints of take equal-depth slices — unbiased under merge
+            idx = ((np.arange(take) + 0.5) * n / take).astype(np.int64)
+            out_c.extend([c] * take)
+            out_v.append(vals[np.minimum(idx, n - 1)])
+            out_w.append(np.full(take, n / take, np.float64))
+        return pa.table(
+            {
+                "column": pa.array(out_c, pa.string()),
+                "v": pa.array(
+                    np.concatenate(out_v) if out_v else np.empty(0, np.float64)
+                ),
+                "w": pa.array(
+                    np.concatenate(out_w) if out_w else np.empty(0, np.float64)
+                ),
+            }
+        )
+
+    rows = ds.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    by_col: dict[str, list] = {}
+    for r in rows:
+        by_col.setdefault(r["column"], []).append((r["v"], r["w"]))
+
+    out_c, out_q, out_val = [], [], []
+    for c in cols:
+        pts = by_col.get(c)
+        if not pts:
+            for q in qs:
+                out_c.append(c)
+                out_q.append(q)
+                out_val.append(None)
+            continue
+        v = np.array([p[0] for p in pts])
+        w = np.array([p[1] for p in pts])
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        total = cum[-1]
+        for q in qs:
+            i = int(np.searchsorted(cum, q * total, side="left"))
+            out_c.append(c)
+            out_q.append(q)
+            out_val.append(float(v[min(i, v.size - 1)]))
+    return pa.table(
+        {
+            "column": pa.array(out_c, pa.string()),
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_val, pa.float64()),
+        }
+    )
+
+
 def _approx_distinct_kmv(ds, cols: list[str], k: int) -> dict[str, int]:
     """Distributed KMV distinct-count sketch.
 
