@@ -207,6 +207,78 @@ def _q_join_broadcast_segment_revenue(sf_dir: str):
     return _seg_rollup(joined)
 
 
+def _q_asof_prev_event(sf_dir: str):
+    """As-of self-join on events: each event enriched with the SAME
+    user's latest strictly-earlier event (prev_ts, prev_value) — the
+    time-series enrichment operator Ray Data lacks
+    (stages/joins.py:asof_join_broadcast; one vectorized lexsort merge
+    per batch against a ray.put right side, left never shuffles).
+    Oracle: DuckDB ASOF LEFT JOIN."""
+    import pyarrow.parquet as pq
+
+    from validatelite_ray.stages.joins import asof_join_broadcast
+
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    right = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return asof_join_broadcast(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_cols={"ts": "prev_ts", "value": "prev_value"},
+        strict=True,
+    )
+
+
+def _q_asof_prev_event_cogroup(sf_dir: str):
+    """Same as-of semantics through the both-sides-large physical plan:
+    side-tagged union + ONE hash(key)%NB cogroup shuffle + the same
+    vectorized merge per coarse bucket
+    (stages/joins.py:asof_join_cogroup). Must hash-match the broadcast
+    strategy AND the same DuckDB ASOF oracle."""
+    from validatelite_ray.stages.joins import asof_join_cogroup
+
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    right = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return asof_join_cogroup(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_cols={"ts": "prev_ts", "value": "prev_value"},
+        strict=True,
+    )
+
+
+def _q_range_join_bands(sf_dir: str):
+    """Interval join of events.value into 24 OVERLAPPING value bands
+    [25k, 25k+40) — the banding/point-in-interval join
+    (stages/joins.py:range_join_broadcast): intervals greedily split
+    into disjoint levels driver-side, one vectorized searchsorted per
+    level per batch, big side never shuffles. Oracle: DuckDB theta
+    join on lo <= value < hi over the same bands CTE."""
+    import numpy as np
+    import pyarrow as pa
+
+    from validatelite_ray.stages.joins import range_join_broadcast
+
+    k = np.arange(24)
+    bands = pa.table(
+        {
+            "band_id": pa.array(k.astype(np.int64)),
+            "lo": pa.array(k * 25.0),
+            "hi": pa.array(k * 25.0 + 40.0),
+        }
+    )
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return range_join_broadcast(
+        ds, bands, value_col="value", lo_col="lo", hi_col="hi",
+        interval_cols=["band_id"],
+    )
+
+
 def _q_topk_orders(sf_dir: str):
     """Global top-10 orders by price (ds.sort + limit — the §2.8 sort/
     limit surface; deterministic via the orderkey tiebreak)."""
@@ -751,6 +823,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_topk_orders": _q_topk_orders,
         "join_segment_revenue": _q_join_segment_revenue,
         "join_broadcast_segment_revenue": _q_join_broadcast_segment_revenue,
+        "asof_prev_event": _q_asof_prev_event,
+        "asof_prev_event_cogroup": _q_asof_prev_event_cogroup,
+        "range_join_bands": _q_range_join_bands,
         "distinct_parts_lineitem": _q_distinct_parts,
         "agg_events_window": _q_window_events,
         "agg_events_session": _q_session_windows,
@@ -895,6 +970,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders QUALIFY row_number() OVER ("
             "PARTITION BY o_orderpriority "
             "ORDER BY o_totalprice DESC, o_orderkey) <= 3"
+        ),
+        "asof_prev_event": (
+            "SELECT l.event_id, l.user_id, l.ts, l.value, "
+            "r.ts AS prev_ts, r.value AS prev_value "
+            "FROM events l ASOF LEFT JOIN events r "
+            "ON l.user_id = r.user_id AND l.ts > r.ts"
+        ),
+        "asof_prev_event_cogroup": (
+            "SELECT l.event_id, l.user_id, l.ts, l.value, "
+            "r.ts AS prev_ts, r.value AS prev_value "
+            "FROM events l ASOF LEFT JOIN events r "
+            "ON l.user_id = r.user_id AND l.ts > r.ts"
+        ),
+        "range_join_bands": (
+            "WITH bands AS (SELECT k AS band_id, k * 25.0 AS lo, "
+            "k * 25.0 + 40.0 AS hi FROM range(24) t(k)) "
+            "SELECT e.event_id, e.value, b.band_id FROM events e "
+            "JOIN bands b ON e.value >= b.lo AND e.value < b.hi"
         ),
         "approx_quantiles_events": (
             "SELECT 'value' AS column, 0.1 AS q, quantile_disc(value, 0.1) AS value FROM events"

@@ -1,0 +1,210 @@
+"""As-of join (broadcast + bucket-cogroup) and range/interval join.
+
+DuckDB is the oracle for both: ``ASOF JOIN`` for the time-series
+matches, a ``BETWEEN``-style theta join for the interval join. The
+two physical as-of strategies must agree with each other on every
+fixture (same contract the exact-dedup strategies carry).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from validatelite_ray.stages.joins import (
+    _asof_match,
+    asof_join_broadcast,
+    asof_join_cogroup,
+    range_join_broadcast,
+)
+
+
+def _events_tables(seed: int, n_left=400, n_right=120, n_keys=17):
+    rng = np.random.default_rng(seed)
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, n_keys, n_left)),
+            "ts": pa.array(rng.integers(0, 1000, n_left).astype("datetime64[us]")),
+            "lval": pa.array(rng.standard_normal(n_left)),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(rng.integers(0, n_keys, n_right)),
+            # unique (k, ts) pairs so tie-resolution can't differ
+            "ts": pa.array(
+                rng.choice(100_000, n_right, replace=False).astype("datetime64[us]")
+            ),
+            "rval": pa.array(rng.standard_normal(n_right)),
+        }
+    )
+    return left, right
+
+
+def _duck_asof(left: pa.Table, right: pa.Table, op: str) -> list[tuple]:
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    rows = con.execute(
+        f"SELECT l.k, l.ts, l.lval, r.ts, r.rval "
+        f"FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts {op} r.ts "
+        f"ORDER BY l.k, l.ts, l.lval"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _sorted_rows(t: pa.Table) -> list[tuple]:
+    import pandas as pd  # noqa: F401
+
+    import pandas as pd
+
+    df = t.to_pandas().sort_values(["k", "ts", "lval"])
+    out = []
+    for r in df.itertuples(index=False):
+        out.append(tuple(None if pd.isna(v) else v for v in r))
+    return out
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_broadcast_matches_duckdb(ray_session, strict):
+    import ray.data as rd
+
+    left, right = _events_tables(1)
+    out = asof_join_broadcast(
+        rd.from_arrow(left).repartition(7),
+        right,
+        on="k",
+        left_ts="ts",
+        right_cols={"ts": "prev_ts", "rval": "prev_rval"},
+        strict=strict,
+    )
+    got = _sorted_rows(pa.Table.from_pandas(out.to_pandas()))
+    want = [
+        tuple(None if v is None else v for v in r)
+        for r in _duck_asof(left, right, ">" if strict else ">=")
+    ]
+    got = [(k, ts, lv, pts, prv) for k, ts, lv, pts, prv in got]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1]
+        assert (g[3] is None) == (w[3] is None)
+        if g[3] is not None:
+            assert g[3] == w[3] and abs(g[4] - w[4]) < 1e-12
+
+
+def test_asof_cogroup_agrees_with_broadcast(ray_session):
+    import ray.data as rd
+
+    left, right = _events_tables(2)
+    kw = dict(
+        on="k",
+        left_ts="ts",
+        right_cols={"ts": "prev_ts", "rval": "prev_rval"},
+        strict=True,
+    )
+    a = asof_join_broadcast(rd.from_arrow(left).repartition(5), right, **kw)
+    b = asof_join_cogroup(
+        rd.from_arrow(left).repartition(5),
+        rd.from_arrow(right).repartition(3),
+        **kw,
+    )
+    ra = _sorted_rows(pa.Table.from_pandas(a.to_pandas()))
+    rb = _sorted_rows(pa.Table.from_pandas(b.to_pandas()))
+    assert ra == rb
+
+
+def test_asof_forward_and_inner(ray_session):
+    import ray.data as rd
+
+    left = pa.table({"k": [1, 1, 2], "ts": [10, 50, 10], "lv": [0.0, 1.0, 2.0]})
+    right = pa.table({"k": [1, 1], "ts": [20, 40], "rv": [7.0, 8.0]})
+    out = asof_join_broadcast(
+        rd.from_arrow(left),
+        right,
+        on="k",
+        left_ts="ts",
+        right_cols={"rv": "next_rv"},
+        direction="forward",
+        join_type="inner",
+    ).to_pandas()
+    # k=1 ts=10 -> next right at 20 (rv=7); k=1 ts=50 -> none; k=2 -> none
+    assert out.shape[0] == 1
+    assert out.iloc[0]["ts"] == 10 and out.iloc[0]["next_rv"] == 7.0
+
+
+def test_asof_string_keys_and_ties():
+    # right rows tied on (key, ts): highest position wins, deterministically
+    lk = np.array([0, 0], np.int64)
+    lts = np.array([5, 5], np.int64)
+    rk = np.array([0, 0, 0], np.int64)
+    rts = np.array([5, 5, 3], np.int64)
+    m = _asof_match(lk, lts, rk, rts, strict=False, direction="backward")
+    assert list(m) == [1, 1]
+    m = _asof_match(lk, lts, rk, rts, strict=True, direction="backward")
+    assert list(m) == [2, 2]
+
+
+def test_range_join_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    big = pa.table(
+        {
+            "id": pa.array(np.arange(500)),
+            "x": pa.array(
+                np.where(rng.random(500) < 0.05, np.nan, rng.uniform(0, 120, 500))
+            ),
+        }
+    )
+    # overlapping bands: [10k, 10k+15) for k in 0..11
+    k = np.arange(12)
+    bands = pa.table(
+        {
+            "band_id": pa.array(k),
+            "lo": pa.array(k * 10.0),
+            "hi": pa.array(k * 10.0 + 15.0),
+        }
+    )
+    # NaN x behaves as NULL (matches nothing)
+    big_null = big.set_column(
+        1, "x", pa.array(np.asarray(big["x"]), mask=np.isnan(np.asarray(big["x"])))
+    )
+    out = range_join_broadcast(
+        rd.from_arrow(big_null).repartition(6),
+        bands,
+        value_col="x",
+        lo_col="lo",
+        hi_col="hi",
+        interval_cols=["band_id"],
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("big", big_null.to_pandas())
+    con.register("bands", bands.to_pandas())
+    want = con.execute(
+        "SELECT b.id, b.x, d.band_id FROM big b JOIN bands d "
+        "ON b.x >= d.lo AND b.x < d.hi ORDER BY b.id, d.band_id"
+    ).fetchall()
+    con.close()
+    got = sorted(zip(out["id"], out["x"], out["band_id"]))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and abs(g[1] - w[1]) < 1e-12 and g[2] == w[2]
+
+
+def test_range_join_closed_both_and_validation(ray_session):
+    import ray.data as rd
+
+    big = pa.table({"x": [10.0]})
+    bands = pa.table({"lo": [0.0], "hi": [10.0], "b": [1]})
+    left = range_join_broadcast(
+        rd.from_arrow(big), bands, "x", "lo", "hi", closed="left"
+    ).to_pandas()
+    both = range_join_broadcast(
+        rd.from_arrow(big), bands, "x", "lo", "hi", closed="both"
+    ).to_pandas()
+    assert left.shape[0] == 0 and both.shape[0] == 1
+    with pytest.raises(ValueError):
+        range_join_broadcast(None, bands, "x", "lo", "hi", closed="neither")

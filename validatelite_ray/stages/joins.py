@@ -18,7 +18,9 @@ engine does. Two physical strategies, chosen by the small side's size:
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def broadcast_hash_join(
@@ -67,3 +69,349 @@ def hash_join(
         on=(on,),
         right_on=(right_on or on,),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (time-series enrichment)
+# ---------------------------------------------------------------------------
+
+def _key_codes(larr, rarr) -> tuple[np.ndarray, np.ndarray]:
+    """Factorize two key arrays against ONE shared dictionary →
+    int64 code arrays (exact equality, any Arrow type, no hashing —
+    a 64-bit hash collision here would silently join wrong keys)."""
+    if isinstance(larr, pa.ChunkedArray):
+        larr = larr.combine_chunks()
+    if isinstance(rarr, pa.ChunkedArray):
+        rarr = rarr.combine_chunks()
+    both = pa.chunked_array([larr, rarr]).combine_chunks()
+    codes = np.asarray(pc.dictionary_encode(both).indices).astype(np.int64)
+    return codes[: len(larr)], codes[len(larr):]
+
+
+def _ts_np(arr) -> np.ndarray:
+    """Order-preserving numeric view of a timestamp / numeric column."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_floating(t):
+        return np.asarray(pc.cast(arr, pa.float64()))
+    return np.asarray(pc.cast(arr, pa.int64()))
+
+
+def _asof_match(
+    lcode: np.ndarray,
+    lts: np.ndarray,
+    rcode: np.ndarray,
+    rts: np.ndarray,
+    strict: bool,
+    direction: str,
+) -> np.ndarray:
+    """For every left row, the index of the right row with an equal key
+    and the greatest ``rts`` ≤ ``lts`` (``direction='backward'``; with
+    ``strict`` the inequality is <), or the least ``rts`` ≥ / > ``lts``
+    (``direction='forward'``). Returns int64 right-row indices, −1 where
+    no match. Ties on (key, ts) in the right side resolve to the
+    highest row position.
+
+    One vectorized merge: lexsort both sides together on
+    (key, ts, tiebreak), forward-fill the position of the last right
+    row, reset at key-run starts — O((n+m) log(n+m)), no per-key loop.
+    """
+    n, m = lcode.size, rcode.size
+    if n == 0 or m == 0:
+        return np.full(n, -1, np.int64)
+    if direction == "forward":
+        lts, rts = -lts, -rts
+    elif direction != "backward":
+        raise ValueError("direction must be 'backward' or 'forward'")
+    keys = np.concatenate([rcode, lcode])
+    ts = np.concatenate([rts, lts])
+    is_right = np.zeros(n + m, bool)
+    is_right[:m] = True
+    # at equal ts: right sorts first (inclusive ≤) unless strict,
+    # where left sorts first so the equal-ts right row is unseen
+    tiebreak = np.where(is_right, int(strict), int(not strict))
+    order = np.lexsort((tiebreak, ts, keys))
+    ks = keys[order]
+    ir = is_right[order]
+    pos = np.arange(n + m)
+    last_r = np.maximum.accumulate(np.where(ir, pos, -1))
+    newkey = np.r_[True, ks[1:] != ks[:-1]]
+    run_start = np.flatnonzero(newkey)[np.cumsum(newkey) - 1]
+    valid = last_r >= np.maximum(run_start, 0)
+    r_orig = order[np.where(valid, last_r, 0)]
+    match_sorted = np.where(valid, r_orig, -1)
+    out = np.full(n, -1, np.int64)
+    lmask = ~ir
+    out[order[lmask] - m] = match_sorted[lmask]
+    return out
+
+
+def _gather_right(right: pa.Table, match: np.ndarray, rename: dict) -> list:
+    """take() right payload columns by match index (−1 → NULL)."""
+    idx = pa.array(match, pa.int64(), mask=match < 0)
+    cols = []
+    for src, dst in rename.items():
+        cols.append((dst, right[src].take(idx)))
+    return cols
+
+
+def _right_rename(
+    right_schema_names, on: str, right_ts: str, right_cols, suffix: str
+) -> dict:
+    if right_cols is None:
+        right_cols = [c for c in right_schema_names if c not in (on,)]
+    if isinstance(right_cols, dict):
+        return dict(right_cols)
+    return {c: c + suffix for c in right_cols}
+
+
+def asof_join_broadcast(
+    left,
+    right: pa.Table,
+    on: str,
+    left_ts: str,
+    right_ts: str | None = None,
+    right_cols=None,
+    direction: str = "backward",
+    strict: bool = False,
+    join_type: str = "left",
+    suffix: str = "_r",
+):
+    """As-of join with a broadcast right side: every left row gets the
+    right row with the same ``on`` key whose ``right_ts`` is the
+    nearest at-or-before (``backward``) / at-or-after (``forward``)
+    its ``left_ts``; ``strict`` excludes equal timestamps.
+
+    The operator Ray Data lacks for time-series enrichment ("attach
+    the latest dimension snapshot / price / config as of the event
+    time"). The right side is ``ray.put`` ONCE; the left side never
+    shuffles — per batch one vectorized merge (``_asof_match``)
+    against the broadcast table. ``right_cols`` selects/renames right
+    payload columns (list → ``suffix`` appended; dict → explicit
+    names). ``join_type``: 'left' (unmatched → NULL) or 'inner'.
+    Use when the right side fits a worker heap; otherwise
+    ``asof_join_cogroup``.
+    """
+    import ray
+
+    right_ts = right_ts or left_ts
+    rename = _right_rename(right.schema.names, on, right_ts, right_cols, suffix)
+    right_ref = ray.put(right)
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        r = ray.get(right_ref)
+        lcode, rcode = _key_codes(b[on], r[on])
+        match = _asof_match(
+            lcode, _ts_np(b[left_ts]), rcode, _ts_np(r[right_ts]),
+            strict, direction,
+        )
+        for name, col in _gather_right(r, match, rename):
+            b = b.append_column(name, col)
+        if join_type == "inner":
+            b = b.filter(pa.array(match >= 0))
+        return b
+
+    return left.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def asof_join_cogroup(
+    left,
+    right,
+    on: str,
+    left_ts: str,
+    right_ts: str | None = None,
+    right_cols=None,
+    direction: str = "backward",
+    strict: bool = False,
+    join_type: str = "left",
+    suffix: str = "_r",
+):
+    """As-of join when BOTH sides are large Datasets: tag sides, union
+    under one aligned slim schema, ONE ``hash(key) % NB`` cogroup
+    shuffle, then the same vectorized ``_asof_match`` merge per coarse
+    bucket (Python call count = #buckets, not #keys — the repo-wide
+    bucket-cogroup idiom; Dataset.join is avoided for the empty-first-
+    block Ray bug pinned in tests/test_known_ray_issues.py).
+
+    The left side ships all its columns through the shuffle; the right
+    side ships only ``on``, ``right_ts`` and the selected payload
+    columns. Rows co-partition by exact key, so every key's merge is
+    complete within its bucket.
+    """
+    from validatelite_ray.stages.dedup import _token_hashes, coarse_bucket_count
+    from validatelite_ray.stages.sample import _key_strings
+
+    right_ts = right_ts or left_ts
+    rename = _right_rename(right.schema().names, on, right_ts, right_cols, suffix)
+    left_names = list(left.schema().names)
+    out_names = left_names + list(rename.values())
+    lschema = left.schema()
+    rschema = right.schema()
+    ltypes = {n: lschema.types[i] for i, n in enumerate(lschema.names)}
+    rtypes = {n: rschema.types[i] for i, n in enumerate(rschema.names)}
+    # one numeric union type for both ts columns; float64 only when a
+    # side is floating (int64 would truncate), else order-safe int64
+    ts_type = (
+        pa.float64()
+        if pa.types.is_floating(ltypes[left_ts]) or pa.types.is_floating(rtypes[right_ts])
+        else pa.int64()
+    )
+
+    nb = coarse_bucket_count(left)
+
+    def bucket_of(karr) -> pa.Array:
+        h = _token_hashes(_key_strings(karr)) % np.uint64(nb)
+        return pa.array(h.astype(np.int32))
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {"__bucket": bucket_of(b[on])}
+        cols["__side"] = pa.array(np.zeros(b.num_rows, np.int8))
+        cols["__k"] = _key_strings(b[on])
+        cols["__ts"] = pc.cast(b[left_ts], ts_type)
+        for n in left_names:
+            cols[n] = b[n]
+        for src, dst in rename.items():
+            cols["__r_" + dst] = pa.nulls(b.num_rows, rtypes[src])
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        cols = {"__bucket": bucket_of(b[on]), "__side": pa.array(np.ones(b.num_rows, np.int8))}
+        cols["__k"] = _key_strings(b[on])
+        cols["__ts"] = pc.cast(b[right_ts], ts_type)
+        for n in left_names:
+            cols[n] = pa.nulls(b.num_rows, ltypes[n])
+        for src, dst in rename.items():
+            cols["__r_" + dst] = b[src]
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["__side"])
+        lmask, rmask = side == 0, side == 1
+        lb = g.filter(pa.array(lmask))
+        rb = g.filter(pa.array(rmask))
+        lcode, rcode = _key_codes(lb["__k"], rb["__k"])
+        match = _asof_match(
+            lcode, _ts_np(lb["__ts"]),
+            rcode, _ts_np(rb["__ts"]),
+            strict, direction,
+        )
+        cols = {n: lb[n] for n in left_names}
+        idx = pa.array(match, pa.int64(), mask=match < 0)
+        for dst in rename.values():
+            cols[dst] = rb["__r_" + dst].take(idx)
+        out = pa.table(cols)
+        if join_type == "inner":
+            out = out.filter(pa.array(match >= 0))
+        return out
+
+    return (
+        lt.union(rt)
+        .groupby("__bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+        .select_columns(out_names)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join
+# ---------------------------------------------------------------------------
+
+def _interval_levels(lo: np.ndarray, hi: np.ndarray):
+    """Greedy-partition intervals into LEVELS of pairwise-disjoint
+    intervals (sweep over lo-sorted intervals; an interval goes to the
+    first level whose last hi ≤ its lo). #levels = max overlap depth,
+    so point lookup = one searchsorted per level. Returns a list of
+    (sorted_lo, sorted_hi, orig_idx) triples."""
+    order = np.argsort(lo, kind="stable")
+    levels: list[list[int]] = []
+    level_end: list[float] = []
+    for i in order:
+        placed = False
+        for li, end in enumerate(level_end):
+            if lo[i] >= end:
+                levels[li].append(i)
+                level_end[li] = hi[i]
+                placed = True
+                break
+        if not placed:
+            levels.append([i])
+            level_end.append(hi[i])
+    out = []
+    for idxs in levels:
+        a = np.array(idxs, np.int64)
+        out.append((lo[a], hi[a], a))
+    return out
+
+
+def range_join_broadcast(
+    big,
+    intervals: pa.Table,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    closed: str = "left",
+    interval_cols=None,
+    suffix: str = "",
+):
+    """Inner join of a Dataset's ``value_col`` into a broadcast interval
+    table: one output row per (row, interval) pair with
+    lo ≤ value < hi (``closed='left'``; 'both' makes hi inclusive).
+    The banding / point-in-interval join (price bands, time buckets,
+    IP ranges) Ray Data has no operator for.
+
+    Driver-side the intervals are greedily partitioned into disjoint
+    LEVELS (max-overlap-depth many), each sorted by lo — a lookup is
+    then one vectorized ``searchsorted`` per level, so per-batch cost
+    is O(rows × depth × log intervals) with no row loop and the big
+    side never shuffles. NULL values match nothing. Overlapping
+    intervals produce one output row each.
+    """
+    import ray
+
+    if closed not in ("left", "both"):
+        raise ValueError("closed must be 'left' or 'both'")
+    lo = np.asarray(pc.cast(intervals[lo_col], pa.float64()))
+    hi = np.asarray(pc.cast(intervals[hi_col], pa.float64()))
+    if np.any(np.isnan(lo)) or np.any(np.isnan(hi)):
+        raise ValueError("interval bounds must be non-NULL")
+    levels = _interval_levels(lo, hi)
+    if interval_cols is None:
+        interval_cols = list(intervals.schema.names)
+    rename = (
+        dict(interval_cols)
+        if isinstance(interval_cols, dict)
+        else {c: c + suffix for c in interval_cols}
+    )
+    payload = {"levels": levels, "closed": closed, "table": intervals}
+    ref = ray.put(payload)
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        p = ray.get(ref)
+        x = np.asarray(pc.cast(pc.fill_null(b[value_col], np.nan), pa.float64()))
+        row_idx: list[np.ndarray] = []
+        int_idx: list[np.ndarray] = []
+        for llo, lhi, orig in p["levels"]:
+            i = np.searchsorted(llo, x, side="right") - 1
+            ii = np.maximum(i, 0)
+            inside = (i >= 0) & (
+                (x < lhi[ii]) if p["closed"] == "left" else (x <= lhi[ii])
+            )
+            # NaN compares false → NULL values drop out here
+            hit = np.flatnonzero(inside)
+            row_idx.append(hit)
+            int_idx.append(orig[i[hit]])
+        rows = np.concatenate(row_idx) if row_idx else np.empty(0, np.int64)
+        ints = np.concatenate(int_idx) if int_idx else np.empty(0, np.int64)
+        order = np.argsort(rows, kind="stable")
+        rows, ints = rows[order], ints[order]
+        out = b.take(pa.array(rows, pa.int64()))
+        it = p["table"]
+        for src, dst in rename.items():
+            out = out.append_column(dst, it[src].take(pa.array(ints, pa.int64())))
+        return out
+
+    return big.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
