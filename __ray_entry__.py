@@ -511,6 +511,41 @@ def _q_approx_quantiles(sf_dir: str):
     )
 
 
+def _q_line_repetition(sf_dir: str):
+    """Gopher-style duplicate-line repetition signals
+    (stages/text.py:line_repetition — one Arrow split + dictionary
+    encode + lexsort per batch, zero shuffle). The synthetic documents
+    are single-line, so the query treats spaces as line breaks to
+    exercise the kernel on real duplicates; oracle is the equivalent
+    DuckDB unnest/GROUP BY."""
+    import pyarrow.compute as pc
+
+    from validatelite_ray.stages.text import add_line_repetition
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_batch(b):
+        b = b.set_column(
+            b.schema.get_field_index("text"),
+            "text",
+            pc.replace_substring(b["text"], " ", "\n"),
+        )
+        return add_line_repetition(b, column="text").drop_columns(["text"])
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_filter_quantile(sf_dir: str):
+    """Percentile-threshold selection: keep events at/above the exact
+    p90 of value (stages/sample.py:filter_by_quantile — two streaming
+    passes, no shuffle; eps→0 makes the threshold the exact lower
+    discrete quantile, which the DuckDB subquery oracle reproduces)."""
+    from validatelite_ray.stages.sample import filter_by_quantile
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return filter_by_quantile(ds, "value", 0.9, keep="ge", eps=1e-7)
+
+
 def _q_kmeans_embeddings(sf_dir: str):
     """Deterministic spherical k-means assignments over the embeddings
     table (iterative broadcast-and-combine; rows-only — pytest carries
@@ -838,6 +873,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": _q_decontaminate,
         "top_n_per_group_orders": _q_top_n_per_group,
         "profile_columns_events": _q_profile_events,
+        "line_repetition_documents": _q_line_repetition,
+        "filter_quantile_events": _q_filter_quantile,
         "approx_quantiles_events": _q_approx_quantiles,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "hash_split_documents": _q_hash_split,
@@ -970,6 +1007,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders QUALIFY row_number() OVER ("
             "PARTITION BY o_orderpriority "
             "ORDER BY o_totalprice DESC, o_orderkey) <= 3"
+        ),
+        "line_repetition_documents": (
+            "WITH l AS (SELECT doc_id, unnest(str_split(replace(text, ' ', chr(10)), chr(10))) AS line "
+            "FROM documents), "
+            "per AS (SELECT doc_id, line, count(*) AS c, length(line) AS len "
+            "FROM l GROUP BY doc_id, line), "
+            "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines, "
+            "sum(c) - count(*) AS dup_lines, sum((c - 1) * len) AS dup_chars, "
+            "sum(c * len) AS tot_chars FROM per GROUP BY doc_id) "
+            "SELECT doc_id, n_lines, "
+            "CAST(dup_lines AS DOUBLE) / n_lines AS dup_line_frac, "
+            "CASE WHEN tot_chars = 0 THEN 0.0 "
+            "ELSE CAST(dup_chars AS DOUBLE) / tot_chars END AS dup_line_char_frac "
+            "FROM agg"
+        ),
+        "filter_quantile_events": (
+            "SELECT event_id, value FROM events "
+            "WHERE value >= (SELECT quantile_disc(value, 0.9) FROM events)"
         ),
         "asof_prev_event": (
             "SELECT l.event_id, l.user_id, l.ts, l.value, "

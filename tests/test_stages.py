@@ -303,3 +303,83 @@ class TestAudio:
 
         with pytest.raises(NotImplementedError):
             AudioFeatureStage(codec=None)(make_fake_audio_table(2))
+
+
+# ---------------------------------------------------------------------------
+# line_repetition (round 4)
+# ---------------------------------------------------------------------------
+
+class TestLineRepetition:
+    def test_brute_force_parity(self):
+        import numpy as np
+
+        from validatelite_ray.stages.text import line_repetition
+
+        rng = np.random.default_rng(11)
+        words = ["alpha", "bb", "c", "", "dddd", "ee"]
+        docs = []
+        for _ in range(300):
+            n = int(rng.integers(1, 12))
+            docs.append("\n".join(rng.choice(words, n)))
+        docs += [None, "", "x"]
+        got = line_repetition(pa.array(docs, pa.string()))
+        for i, d in enumerate(docs):
+            if d is None:
+                assert got["n_lines"][i] == 0
+                assert got["dup_line_frac"][i] == 0.0
+                continue
+            lines = d.split("\n")
+            seen: dict = {}
+            dup = dupch = 0
+            for ln in lines:
+                if ln in seen:
+                    dup += 1
+                    dupch += len(ln)
+                seen[ln] = True
+            tot = sum(len(x) for x in lines)
+            assert got["n_lines"][i] == len(lines)
+            assert got["dup_line_frac"][i] == dup / len(lines)
+            want_cf = dupch / tot if tot else 0.0
+            assert abs(got["dup_line_char_frac"][i] - want_cf) < 1e-12, (i, d)
+
+    def test_custom_delimiter(self):
+        from validatelite_ray.stages.text import line_repetition
+
+        got = line_repetition(pa.array(["a b a"]), delimiter=" ")
+        assert got["n_lines"][0] == 3 and abs(got["dup_line_frac"][0] - 1 / 3) < 1e-12
+
+
+class TestFilterByQuantile:
+    def test_ge_le_and_nulls(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from validatelite_ray.stages.sample import filter_by_quantile
+
+        rng = np.random.default_rng(12)
+        vals = rng.standard_normal(2000)
+        arr = pa.array(vals).take(
+            pa.array(np.arange(2000), pa.int64())
+        )
+        t = pa.table({"x": arr})
+        # add NULLs: they must never pass
+        t = pa.table({"x": pa.concat_arrays([t["x"].combine_chunks(), pa.nulls(50, pa.float64())])})
+        ds = rd.from_arrow(t).repartition(8)
+        top = filter_by_quantile(ds, "x", 0.9, keep="ge", eps=1e-7).take_all()
+        thr = np.sort(vals)[int(np.ceil(0.9 * 2000)) - 1]
+        want = vals[vals >= thr]
+        assert sorted(r["x"] for r in top) == sorted(want.tolist())
+        bot = filter_by_quantile(ds, "x", 0.1, keep="le", eps=1e-7).take_all()
+        thr_lo = np.sort(vals)[int(np.ceil(0.1 * 2000)) - 1]
+        assert len(bot) == int((vals <= thr_lo).sum())
+
+    def test_all_null_and_validation(self, ray_session):
+        import ray.data as rd
+
+        from validatelite_ray.stages.sample import filter_by_quantile
+
+        t = pa.table({"x": pa.nulls(10, pa.float64())})
+        out = filter_by_quantile(rd.from_arrow(t), "x", 0.5).take_all()
+        assert out == []
+        with pytest.raises(ValueError):
+            filter_by_quantile(rd.from_arrow(t), "x", 0.5, keep="between")

@@ -393,3 +393,35 @@ def _approx_distinct_kmv(ds, cols: list[str], k: int) -> dict[str, int]:
         .take_all()
     )
     return {r["column"]: int(r["n_distinct"]) for r in rows}
+
+
+def filter_by_quantile(
+    ds, col: str, q: float, keep: str = "ge", eps: float = 0.01
+):
+    """Percentile-threshold filter: keep rows whose ``col`` is at/above
+    (``keep='ge'``) or at/below (``keep='le'``) the corpus q-quantile —
+    the "drop the worst p% by quality score" selection step of a
+    training-data pipeline.
+
+    Two streaming passes, no shuffle: pass 1 computes the threshold
+    with ``approx_quantiles`` (rank error ≤ eps × n; eps → 0 is the
+    exact lower discrete quantile); pass 2 is a vectorized Arrow
+    compare+filter with the scalar threshold closed over. NULLs never
+    pass, SQL-WHERE-style. ``ds`` is consumed twice — pass a
+    re-readable dataset (e.g. a parquet read).
+    """
+    if keep not in ("ge", "le"):
+        raise ValueError("keep must be 'ge' or 'le'")
+    thr_tbl = approx_quantiles(ds, [col], [q], eps=eps)
+    thr = thr_tbl["value"].to_pylist()[0]
+    if thr is None:  # all-NULL column: nothing can pass
+        return ds.map_batches(
+            lambda b: b.slice(0, 0), batch_format="pyarrow", zero_copy_batch=True
+        )
+    op = pc.greater_equal if keep == "ge" else pc.less_equal
+
+    def keep_batch(b: pa.Table) -> pa.Table:
+        m = op(pc.cast(b[col], pa.float64()), thr)
+        return b.filter(pc.fill_null(m, False))
+
+    return ds.map_batches(keep_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -385,3 +385,75 @@ def token_frequencies(
     if top_k is not None:
         return agg.sort(key=["n", "token"], descending=[True, False]).limit(top_k)
     return agg
+
+
+def line_repetition(
+    arr: pa.ChunkedArray | pa.Array, delimiter: str = "\n"
+) -> dict[str, np.ndarray]:
+    """Per-document duplicate-LINE repetition signals (Gopher-style
+    quality heuristics, the line-level complement of
+    ``shingle_dup_fraction``):
+
+    * ``n_lines`` — lines after splitting on ``\\n``;
+    * ``dup_line_frac`` — fraction of lines that are repeats of an
+      earlier identical line in the SAME document
+      (= 1 − distinct/total);
+    * ``dup_line_char_frac`` — character mass of those repeated lines
+      over the document's total line characters (0 when the document
+      has no characters).
+
+    Fully vectorized and exact: one Arrow C++ split + dictionary
+    encode of every line in the batch, then a single lexsort over
+    (doc, line-id) with run detection — no per-document loop. NULL
+    documents score 0 with ``n_lines = 0``.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lines = pc.split_pattern(arr, pattern=delimiter)
+    n_lines = (
+        pc.fill_null(pc.list_value_length(lines), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_docs = len(n_lines)
+    flat = pc.list_flatten(lines)
+    dup_frac = np.zeros(n_docs, np.float64)
+    dup_char_frac = np.zeros(n_docs, np.float64)
+    if len(flat) == 0:
+        return {
+            "n_lines": n_lines,
+            "dup_line_frac": dup_frac,
+            "dup_line_char_frac": dup_char_frac,
+        }
+    codes = np.asarray(
+        pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False),
+        dtype=np.int64,
+    )
+    charlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of_line = np.repeat(np.arange(n_docs, dtype=np.int64), n_lines)
+    order = np.lexsort((codes, doc_of_line))
+    d, c = doc_of_line[order], codes[order]
+    dup = np.zeros(d.size, bool)
+    dup[1:] = (d[1:] == d[:-1]) & (c[1:] == c[:-1])
+    dup_lines = np.bincount(d[dup], minlength=n_docs)
+    dup_chars = np.bincount(d[dup], weights=charlen[order][dup], minlength=n_docs)
+    tot_chars = np.bincount(doc_of_line, weights=charlen, minlength=n_docs)
+    has = n_lines > 0
+    dup_frac[has] = dup_lines[has] / n_lines[has]
+    hasc = tot_chars > 0
+    dup_char_frac[hasc] = dup_chars[hasc] / tot_chars[hasc]
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac": dup_frac,
+        "dup_line_char_frac": dup_char_frac,
+    }
+
+
+def add_line_repetition(
+    batch: pa.Table, column: str = "content", delimiter: str = "\n"
+) -> pa.Table:
+    """map_batches adapter for ``line_repetition``."""
+    stats = line_repetition(batch[column], delimiter)
+    for name, vals in stats.items():
+        batch = batch.append_column(name, pa.array(vals))
+    return batch
