@@ -546,6 +546,21 @@ def _q_filter_quantile(sf_dir: str):
     return filter_by_quantile(ds, "value", 0.9, keep="ge", eps=1e-7)
 
 
+def _q_sample_mixture(sf_dir: str):
+    """Domain-mixing subsample over documents: per-source keep
+    fractions via deterministic id+group hashing
+    (stages/pack.py:sample_mixture — zero shuffle, layout-independent;
+    custom 64-bit hash ⇒ rows-only check, determinism + rate tests in
+    tests/test_pack_split.py)."""
+    from validatelite_ray.stages.pack import sample_mixture
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return sample_mixture(
+        ds, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default=0.1,
+        seed=4,
+    )
+
+
 def _q_kmeans_embeddings(sf_dir: str):
     """Deterministic spherical k-means assignments over the embeddings
     table (iterative broadcast-and-combine; rows-only — pytest carries
@@ -878,6 +893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles_events": _q_approx_quantiles,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "hash_split_documents": _q_hash_split,
+        "sample_mixture_documents": _q_sample_mixture,
         "token_frequencies_documents": _q_token_frequencies,
         "pack_sequences_documents": _q_pack_sequences,
         "ann_topk_embeddings": _q_ann_topk,

@@ -1,0 +1,112 @@
+"""Cluster job entry point for the flagship quality-filter pipeline.
+
+Submit to a running Ray cluster (the north-rule launch surface):
+
+    ray job submit --working-dir . -- \
+        python scripts/run_quality_filter.py \
+        --input '/data/corpus/*.parquet' --output /data/out \
+        --shards 256 --resume
+
+On a cluster the driver inherits the job's Ray session (`ray job
+submit` sets RAY_ADDRESS); standalone it starts a local one. The
+checkpointed ``run`` path writes per-shard lineage manifests, so a
+killed job resubmitted with ``--resume`` skips finished shards —
+partition-granular resumability is the point of this entry point, use
+``--streaming`` only for one-shot runs.
+
+Prints ONE JSON line with the run summary (rows, kept, dropped,
+per-rule failure counts path, wall seconds).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True,
+                   help="parquet file, glob, or directory of the code corpus")
+    p.add_argument("--output", required=True, help="output directory (labels/kept/metrics)")
+    p.add_argument("--shards", type=int, default=0,
+                   help="number of resumable shards (0 = one shard per input file batch)")
+    p.add_argument("--shard-concurrency", type=int, default=8)
+    p.add_argument("--resume", action="store_true",
+                   help="skip shards whose _DONE manifest already matches")
+    p.add_argument("--streaming", action="store_true",
+                   help="single streaming job, no per-shard checkpoints")
+    p.add_argument("--batch-size", type=int, default=1024)
+    p.add_argument("--near-dedup", type=float, default=None, metavar="JACCARD",
+                   help="enable the MinHash-LSH near-duplicate stage at this "
+                        "Jaccard threshold (e.g. 0.8)")
+    p.add_argument("--max-files-per-repo", type=int, default=0,
+                   help="per-repo file cap (0 = uncapped)")
+    p.add_argument("--num-cpus", type=int, default=0,
+                   help="standalone only: local ray.init CPU count (0 = all)")
+    args = p.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        # under `ray job submit` RAY_ADDRESS points at the cluster; the
+        # num-cpus knob only applies to a standalone local session
+        kw = {"include_dashboard": False}
+        if args.num_cpus and not os.environ.get("RAY_ADDRESS"):
+            kw.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**kw)
+
+    from validatelite_ray.pipelines.quality_filter import (
+        QualityFilterConfig,
+        run,
+        run_streaming,
+    )
+
+    inp = args.input
+    if os.path.isdir(inp):
+        paths = sorted(glob.glob(os.path.join(inp, "*.parquet")))
+    elif glob.has_magic(inp):
+        paths = sorted(glob.glob(inp))
+    else:
+        paths = [inp] if os.path.exists(inp) else []
+    if not paths:
+        print(json.dumps({"error": f"no input files match {inp!r}"}))
+        return 3
+
+    cfg = QualityFilterConfig(
+        batch_size=args.batch_size,
+        near_dedup_threshold=args.near_dedup,
+        max_files_per_repo=args.max_files_per_repo or None,
+    )
+
+    t0 = time.time()
+    if args.streaming:
+        summary = run_streaming(paths, args.output, cfg)
+    else:
+        files_per_shard = (
+            max(1, len(paths) // args.shards) if args.shards else max(1, len(paths) // 8)
+        )
+        summary = run(
+            paths,
+            args.output,
+            cfg,
+            files_per_shard=files_per_shard,
+            shard_concurrency=args.shard_concurrency,
+            resume=args.resume,
+        )
+    summary["wall_sec"] = round(time.time() - t0, 3)
+    print(json.dumps(summary, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

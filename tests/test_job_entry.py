@@ -1,0 +1,75 @@
+"""e2e: scripts/run_quality_filter.py — the `ray job submit` driver.
+
+Runs the script as a subprocess (its own local Ray session, like a
+submitted job's driver), checks the JSON summary, the on-disk layout,
+and that --resume skips completed shards.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from validatelite_ray.testing.codegen import write_corpus_shards
+
+REPO = Path(__file__).resolve().parent.parent
+SCRIPT = REPO / "scripts" / "run_quality_filter.py"
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(tmp_path_factory):
+    out = tmp_path_factory.mktemp("jobcorpus")
+    write_corpus_shards(str(out), n_files=240, n_shards=3, seed=7)
+    return out
+
+
+def _run(args: list[str]) -> dict:
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # force the standalone path
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), *args],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def test_job_entry_checkpointed_and_resume(tiny_corpus, tmp_path):
+    out = tmp_path / "out"
+    args = [
+        "--input", str(tiny_corpus),
+        "--output", str(out),
+        "--shards", "3",
+        "--shard-concurrency", "2",
+        "--num-cpus", "4",
+        "--resume",
+    ]
+    s1 = _run(args)
+    assert s1["total_rows"] == 240
+    assert s1["kept_rows"] > 0
+    assert (out / "metrics.parquet").exists()
+    assert s1["wall_sec"] > 0
+    # second submit with --resume: every shard's manifest matches -> 0 processed
+    s2 = _run(args)
+    assert s2["shards"]["processed"] == 0
+    assert s2["shards"]["skipped"] == 3
+    assert s2["kept_rows"] == s1["kept_rows"]
+
+
+def test_job_entry_missing_input(tmp_path):
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    r = subprocess.run(
+        [sys.executable, str(SCRIPT), "--input", str(tmp_path / "nope*.parquet"),
+         "--output", str(tmp_path / "o"), "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert r.returncode == 3

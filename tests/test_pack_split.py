@@ -174,3 +174,71 @@ def test_sample_fraction_boundaries(ray_session):
     t = pa.table({"doc_id": pa.array(list(range(64)), pa.int64())})
     assert sample_fraction(rd.from_arrow(t), fraction=1.0).count() == 64
     assert sample_fraction(rd.from_arrow(t), fraction=0.0).count() == 0
+
+
+def test_sample_mixture_rates_and_determinism(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from validatelite_ray.stages.pack import sample_mixture
+
+    rng = np.random.default_rng(21)
+    n = 12_000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n)),
+            "source": pa.array(rng.choice(["books", "web", "logs", "misc"], n)),
+        }
+    )
+    frac = {"books": 1.0, "web": 0.3, "logs": 0.0}
+    out = sample_mixture(
+        rd.from_arrow(t), "source", frac, default=0.5, seed=7
+    ).take_all()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    n_by = {s: int((np.asarray(t["source"]) == s).sum()) for s in ["books", "web", "logs", "misc"]}
+    assert len(by_src.get("books", ())) == n_by["books"]        # keep all
+    assert "logs" not in by_src or len(by_src["logs"]) == 0      # drop all
+    web_rate = len(by_src["web"]) / n_by["web"]
+    misc_rate = len(by_src["misc"]) / n_by["misc"]               # default
+    assert abs(web_rate - 0.3) < 0.03
+    assert abs(misc_rate - 0.5) < 0.03
+
+    # layout-independence: same kept ids under a different partitioning
+    out2 = sample_mixture(
+        rd.from_arrow(t).repartition(11), "source", frac, default=0.5, seed=7
+    ).take_all()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+
+    # group value salts the hash: web-kept ids are NOT just a prefix of
+    # the ids another group keeps at the same fraction
+    frac2 = {"books": 0.3, "web": 0.3, "logs": 0.3}
+    o3 = sample_mixture(rd.from_arrow(t), "source", frac2, default=0.3, seed=7).take_all()
+    srcs: dict = {}
+    for r in o3:
+        srcs.setdefault(r["source"], set()).add(r["doc_id"] % 3000)
+    sets = list(srcs.values())
+    assert sets[0] != sets[1]
+
+
+def test_sample_mixture_null_group_and_validation(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.pack import sample_mixture
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4]),
+            "source": pa.array(["a", None, "a", None]),
+        }
+    )
+    # NULL group falls under default
+    kept = sample_mixture(
+        rd.from_arrow(t), "source", {"a": 1.0}, default=0.0
+    ).take_all()
+    assert sorted(r["doc_id"] for r in kept) == [1, 3]
+    with pytest.raises(ValueError):
+        sample_mixture(rd.from_arrow(t), "source", {"a": 1.5})
+    with pytest.raises(ValueError):
+        sample_mixture(rd.from_arrow(t), "source", {}, default=-0.1)

@@ -164,3 +164,60 @@ def sample_fraction(
         return b.filter(pa.array(h <= threshold))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_mixture(
+    ds,
+    group_col: str,
+    fractions: dict,
+    default: float = 1.0,
+    id_col: str = "doc_id",
+    seed: int = 0,
+):
+    """Per-group deterministic subsampling — the domain-mixing step of
+    a pretraining pipeline ("keep 100% of books, 30% of web, 5% of
+    logs"). ``fractions`` maps ``group_col`` values to keep-fractions;
+    groups not listed keep ``default``. Like ``sample_fraction`` the
+    kept set is a pure function of (id, seed): stable across reruns,
+    block layouts and cluster sizes, and independent ACROSS groups (the
+    group value is mixed into the hash salt, so the same document id
+    resamples independently in different groups). Zero shuffle; the
+    mixture spec is closed over (broadcast with the function), never
+    per-batch re-shipped.
+    """
+    for g, f in fractions.items():
+        if not 0.0 <= float(f) <= 1.0:
+            raise ValueError(f"fraction for group {g!r} must be in [0, 1]")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError("default must be in [0, 1]")
+
+    def _thr(f: float) -> np.uint64:
+        return np.uint64(min(int(float(f) * (2**64 - 1)), 2**64 - 1))
+
+    thr_map = {str(g): _thr(f) for g, f in fractions.items()}
+    default_thr = _thr(default)
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        groups = b[group_col]
+        if isinstance(groups, pa.ChunkedArray):
+            groups = groups.combine_chunks()
+        gstr = pc.fill_null(pc.cast(groups, pa.string()), "\x00null")
+        # per-row threshold via dictionary lookup (one Python dict probe
+        # per DISTINCT group value in the batch, not per row)
+        enc = pc.dictionary_encode(gstr)
+        dict_vals = enc.dictionary.to_pylist()
+        lut = np.array(
+            [thr_map.get(v, default_thr) for v in dict_vals], np.uint64
+        )
+        thr = lut[np.asarray(enc.indices)]
+        h = _token_hashes(
+            pc.binary_join_element_wise(
+                pc.cast(ids, pa.string()), gstr, f"mix{seed}", "\x1f"
+            )
+        )
+        return b.filter(pa.array(h <= thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -425,18 +425,31 @@ def line_repetition(
             "dup_line_frac": dup_frac,
             "dup_line_char_frac": dup_char_frac,
         }
-    codes = np.asarray(
-        pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False),
-        dtype=np.int64,
-    )
+    enc = pc.dictionary_encode(flat)
+    codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
     charlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
     doc_of_line = np.repeat(np.arange(n_docs, dtype=np.int64), n_lines)
-    order = np.lexsort((codes, doc_of_line))
-    d, c = doc_of_line[order], codes[order]
-    dup = np.zeros(d.size, bool)
-    dup[1:] = (d[1:] == d[:-1]) & (c[1:] == c[:-1])
-    dup_lines = np.bincount(d[dup], minlength=n_docs)
-    dup_chars = np.bincount(d[dup], weights=charlen[order][dup], minlength=n_docs)
+    vocab = len(enc.dictionary)
+    code_bits = max(1, int(vocab - 1).bit_length()) if vocab > 1 else 1
+    doc_bits = max(1, int(n_docs - 1).bit_length()) if n_docs > 1 else 1
+    # identical lines have identical lengths → a code→length LUT frees
+    # the sort from carrying positions
+    code_len = np.zeros(vocab, np.int64)
+    code_len[codes] = charlen
+    if doc_bits + code_bits <= 63:
+        # (doc, code) packed into ONE int64 → a single np.sort (~15x
+        # faster than np.lexsort on two keys; see shingle kernel above)
+        s = np.sort((doc_of_line << code_bits) | codes)
+        dup_vals = s[1:][s[1:] == s[:-1]]
+        dup_docs = dup_vals >> code_bits
+        dup_codes = dup_vals & ((np.int64(1) << code_bits) - 1)
+    else:  # pragma: no cover - gigantic batch fallback
+        order = np.lexsort((codes, doc_of_line))
+        d, c = doc_of_line[order], codes[order]
+        dupm = (d[1:] == d[:-1]) & (c[1:] == c[:-1])
+        dup_docs, dup_codes = d[1:][dupm], c[1:][dupm]
+    dup_lines = np.bincount(dup_docs, minlength=n_docs)
+    dup_chars = np.bincount(dup_docs, weights=code_len[dup_codes], minlength=n_docs)
     tot_chars = np.bincount(doc_of_line, weights=charlen, minlength=n_docs)
     has = n_lines > 0
     dup_frac[has] = dup_lines[has] / n_lines[has]
