@@ -535,6 +535,22 @@ def _q_line_repetition(sf_dir: str):
     return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_top_ngram(sf_dir: str):
+    """Gopher top-bigram character fraction
+    (stages/text.py:top_ngram_fraction — one tokenize + dictionary
+    encode + packed-int64 sort per batch, zero shuffle; ties on count
+    resolve to larger gram length so the FRACTION is unique and the
+    DuckDB window-function oracle reproduces it bit-for-bit)."""
+    from validatelite_ray.stages.text import add_top_ngram_fraction
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_top_ngram_fraction(b, column="text").drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def _q_filter_quantile(sf_dir: str):
     """Percentile-threshold selection: keep events at/above the exact
     p90 of value (stages/sample.py:filter_by_quantile — two streaming
@@ -889,6 +905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_n_per_group_orders": _q_top_n_per_group,
         "profile_columns_events": _q_profile_events,
         "line_repetition_documents": _q_line_repetition,
+        "top_ngram_documents": _q_top_ngram,
         "filter_quantile_events": _q_filter_quantile,
         "approx_quantiles_events": _q_approx_quantiles,
         "kmeans_embeddings": _q_kmeans_embeddings,
@@ -1037,6 +1054,22 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN tot_chars = 0 THEN 0.0 "
             "ELSE CAST(dup_chars AS DOUBLE) / tot_chars END AS dup_line_char_frac "
             "FROM agg"
+        ),
+        "top_ngram_documents": (
+            r"WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM documents), "
+            "tot AS (SELECT doc_id, CAST(sum(length(u.x)) AS DOUBLE) AS chars "
+            "FROM toks, unnest(t) AS u(x) GROUP BY doc_id), "
+            "grams AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, "
+            "length(t[i]) + length(t[i+1]) AS glen "
+            "FROM toks, unnest(range(1, len(t))) AS r(i)), "
+            "counts AS (SELECT doc_id, count(*) AS c, any_value(glen) AS glen "
+            "FROM grams GROUP BY doc_id, w1, w2), "
+            "best AS (SELECT doc_id, c * glen AS mass, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY c DESC, glen DESC) AS rn FROM counts) "
+            "SELECT d.doc_id, COALESCE(CAST(b.mass AS DOUBLE) / NULLIF(t2.chars, 0), 0.0) "
+            "AS top_ngram_frac FROM documents d "
+            "LEFT JOIN (SELECT doc_id, mass FROM best WHERE rn = 1) b USING (doc_id) "
+            "LEFT JOIN tot t2 USING (doc_id)"
         ),
         "filter_quantile_events": (
             "SELECT event_id, value FROM events "

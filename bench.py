@@ -237,7 +237,13 @@ def scaling() -> dict:
     # and the best pair is reported (with the per-round spread), which
     # under drifting host speed is less biased than pairing the global
     # best lo with a global best hi from a different speed window.
-    lo_n, hi_n = 2, 8
+    # levels overridable (VLRAY_SCALING_LEVELS="1,4"): 1 vs 4 sits even
+    # deeper inside the non-contended bandwidth region (one process
+    # cannot saturate the bus), isolating the pipeline's parallel
+    # efficiency from single-box bus contention entirely
+    lo_n, hi_n = (
+        int(x) for x in os.environ.get("VLRAY_SCALING_LEVELS", "2,8").split(",")
+    )
     rounds = int(os.environ.get("VLRAY_SCALING_ROUNDS", "3"))
     pairs = []
     for _ in range(rounds):

@@ -383,3 +383,41 @@ class TestFilterByQuantile:
         assert out == []
         with pytest.raises(ValueError):
             filter_by_quantile(rd.from_arrow(t), "x", 0.5, keep="between")
+
+
+class TestTopNgramFraction:
+    def test_brute_force_parity(self):
+        import numpy as np
+
+        from validatelite_ray.stages.text import top_ngram_fraction
+
+        rng = np.random.default_rng(31)
+        words = ["a", "bb", "ccc", "dd", "e"]
+        docs = []
+        for _ in range(200):
+            docs.append(" ".join(rng.choice(words, int(rng.integers(0, 15)))))
+        docs += [None, "", "solo", "x y"]
+        for n in (1, 2, 3):
+            got = top_ngram_fraction(pa.array(docs, pa.string()), n)
+            for i, d in enumerate(docs):
+                if d is None:
+                    assert got[i] == 0.0
+                    continue
+                toks = [w for w in d.split() if w]
+                if len(toks) < n or not toks:
+                    assert got[i] == 0.0, (n, i, d)
+                    continue
+                counts: dict = {}
+                for j in range(len(toks) - n + 1):
+                    g = tuple(toks[j : j + n])
+                    c, gl = counts.get(g, (0, sum(len(w) for w in g)))
+                    counts[g] = (c + 1, gl)
+                c, gl = max(counts.values(), key=lambda cg: (cg[0], cg[1]))
+                tot = sum(len(w) for w in toks)
+                assert abs(got[i] - c * gl / tot) < 1e-12, (n, i, d)
+
+    def test_validation(self):
+        from validatelite_ray.stages.text import top_ngram_fraction
+
+        with pytest.raises(ValueError):
+            top_ngram_fraction(pa.array(["x"]), 0)

@@ -470,3 +470,97 @@ def add_line_repetition(
     for name, vals in stats.items():
         batch = batch.append_column(name, pa.array(vals))
     return batch
+
+
+def top_ngram_fraction(arr: pa.ChunkedArray | pa.Array, n: int = 2) -> np.ndarray:
+    """Per-document top-n-gram character fraction (the remaining
+    Gopher repetition signal): characters covered by the occurrences
+    of the MOST FREQUENT token n-gram, over the document's total token
+    characters. Ties on count resolve to the larger n-gram char length
+    — the reported fraction is then unique, so the result is
+    deterministic (and SQL-reproducible) without ranking gram strings.
+
+    Vectorized like ``shingle_dup_fraction``: one tokenize + dictionary
+    encode per batch, n-grams packed into int64, ONE np.sort over
+    (doc, gram), per-run counts, then a lexsort argmax per document.
+    Documents with < n tokens score 0.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n_docs = len(arr)
+    out = np.zeros(n_docs, np.float64)
+    flat, doc_of_token, words_per_doc = _tokenize_ascii(arr)
+    total_tokens = len(flat)
+    if total_tokens < n:
+        return out
+    enc = pc.dictionary_encode(flat)
+    ids = np.asarray(enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+    vocab = len(enc.dictionary)
+    bits = max(1, int(vocab - 1).bit_length()) if vocab > 1 else 1
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    tot_chars = np.bincount(doc_of_token, weights=tok_len, minlength=n_docs)
+
+    doc_bits = max(1, int(n_docs - 1).bit_length()) if n_docs > 1 else 1
+    if bits * n + doc_bits > 63:  # pragma: no cover - gigantic batch fallback
+        return _top_ngram_fraction_slow(
+            np.asarray(flat.to_numpy(zero_copy_only=False), dtype=object),
+            doc_of_token, tok_len, tot_chars, n_docs, n,
+        )
+
+    m = total_tokens - n + 1
+    packed = np.zeros(m, dtype=np.int64)
+    for off in range(n):
+        packed |= ids[off : m + off] << (bits * off)
+    same_doc = doc_of_token[:m] == doc_of_token[n - 1 :]
+    gdoc = doc_of_token[:m][same_doc]
+    if gdoc.size == 0:
+        return out
+    cs = np.zeros(total_tokens + 1, np.int64)
+    np.cumsum(tok_len, out=cs[1:])
+    glen = (cs[n:] - cs[:-n])[same_doc]  # char length of each gram occurrence
+    comb = (gdoc << (bits * n)) | packed[same_doc]
+    order = np.argsort(comb, kind="stable")
+    s = comb[order]
+    starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+    rcount = np.diff(np.append(starts, s.size))
+    rdoc = s[starts] >> (bits * n)
+    rglen = glen[order][starts]
+    # per-doc argmax of (count, glen): lexsort ascending on
+    # (-glen, -count) within doc, take the first run of each doc
+    sel = np.lexsort((-rglen, -rcount, rdoc))
+    sdoc = rdoc[sel]
+    first = np.flatnonzero(np.r_[True, sdoc[1:] != sdoc[:-1]])
+    bdoc = sdoc[first]
+    bmass = (rcount[sel] * rglen[sel])[first].astype(np.float64)
+    ok = tot_chars[bdoc] > 0
+    out[bdoc[ok]] = bmass[ok] / tot_chars[bdoc[ok]]
+    return out
+
+
+def _top_ngram_fraction_slow(
+    flat, doc_of_token, tok_len, tot_chars, n_docs: int, n: int
+) -> np.ndarray:  # pragma: no cover - exercised only via tiny direct tests
+    out = np.zeros(n_docs, np.float64)
+    for d in range(n_docs):
+        idx = np.flatnonzero(doc_of_token == d)
+        if idx.size < n or tot_chars[d] <= 0:
+            continue
+        counts: dict = {}
+        for j in range(idx.size - n + 1):
+            gram = tuple(flat[idx[j : j + n]])
+            gl = int(tok_len[idx[j : j + n]].sum())
+            c, _ = counts.get(gram, (0, gl))
+            counts[gram] = (c + 1, gl)
+        best = max(counts.values(), key=lambda cg: (cg[0], cg[1]))
+        out[d] = best[0] * best[1] / tot_chars[d]
+    return out
+
+
+def add_top_ngram_fraction(
+    batch: pa.Table, column: str = "content", n: int = 2,
+    out: str = "top_ngram_frac",
+) -> pa.Table:
+    """map_batches adapter for ``top_ngram_fraction``."""
+    return batch.append_column(out, pa.array(top_ngram_fraction(batch[column], n)))
