@@ -577,6 +577,20 @@ def _q_sample_mixture(sf_dir: str):
     )
 
 
+def _q_group_quantiles(sf_dir: str):
+    """Per-group distributed quantiles: p25/p75 of value per user
+    (stages/sample.py:approx_quantiles_by_group — vectorized per-batch
+    equi-depth summaries for ALL groups at once + ONE coarse-bucket
+    shuffle of summary points; eps→0 regime equals DuckDB
+    quantile_disc GROUP BY exactly)."""
+    from validatelite_ray.stages.sample import approx_quantiles_by_group
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    return approx_quantiles_by_group(
+        ds, "user_id", "value", [0.25, 0.75], eps=1e-7
+    )
+
+
 def _q_kmeans_embeddings(sf_dir: str):
     """Deterministic spherical k-means assignments over the embeddings
     table (iterative broadcast-and-combine; rows-only — pytest carries
@@ -908,6 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngram_documents": _q_top_ngram,
         "filter_quantile_events": _q_filter_quantile,
         "approx_quantiles_events": _q_approx_quantiles,
+        "group_quantiles_events": _q_group_quantiles,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "hash_split_documents": _q_hash_split,
         "sample_mixture_documents": _q_sample_mixture,
@@ -1074,6 +1089,12 @@ def oracle_sql() -> dict[str, str]:
         "filter_quantile_events": (
             "SELECT event_id, value FROM events "
             "WHERE value >= (SELECT quantile_disc(value, 0.9) FROM events)"
+        ),
+        "group_quantiles_events": (
+            "SELECT user_id, 0.25 AS q, quantile_disc(value, 0.25) AS value "
+            "FROM events GROUP BY user_id "
+            "UNION ALL SELECT user_id, 0.75, quantile_disc(value, 0.75) "
+            "FROM events GROUP BY user_id"
         ),
         "asof_prev_event": (
             "SELECT l.event_id, l.user_id, l.ts, l.value, "

@@ -320,3 +320,80 @@ def test_approx_quantiles_nulls_and_validation(ray_session):
         approx_quantiles(rd.from_arrow(t), ["a"], [1.5])
     with pytest.raises(ValueError):
         approx_quantiles(rd.from_arrow(t), ["a"], [0.5], eps=0.0)
+
+
+# ---------------------------------------------------------------------------
+# approx_quantiles_by_group (round 4)
+# ---------------------------------------------------------------------------
+
+def test_group_quantiles_exact_regime_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from validatelite_ray.stages.sample import approx_quantiles_by_group
+
+    rng = np.random.default_rng(41)
+    n = 8000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 120, n)),
+            "x": pa.array(rng.standard_normal(n)),
+        }
+    )
+    qs = [0.0, 0.1, 0.5, 1.0]
+    out = approx_quantiles_by_group(
+        rd.from_arrow(t).repartition(7), "k", "x", qs, eps=1e-7
+    ).take_all()
+    got = {(r["k"], r["q"]): r["value"] for r in out}
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    for q in qs:
+        for k, v in con.execute(
+            "SELECT k, quantile_disc(x, ?) FROM t GROUP BY k", [q]
+        ).fetchall():
+            assert got[(k, q)] == v, (k, q)
+    con.close()
+    assert len(out) == 120 * len(qs)
+
+
+def test_group_quantiles_rank_bound_and_nulls(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.sample import approx_quantiles_by_group
+
+    rng = np.random.default_rng(42)
+    n = 40_000
+    karr = rng.integers(0, 8, n)
+    xarr = rng.exponential(1.0, n) ** 2
+    mask = rng.random(n) < 0.05
+    t = pa.table(
+        {
+            "k": pa.array(karr),
+            "x": pa.array(xarr, mask=mask),
+        }
+    )
+    eps = 0.02
+    out = approx_quantiles_by_group(
+        rd.from_arrow(t).repartition(3), "k", "x", [0.5, 0.9], eps=eps
+    ).take_all()
+    for r in out:
+        s = np.sort(xarr[(karr == r["k"]) & ~mask])
+        lo = np.searchsorted(s, r["value"], "left")
+        hi = np.searchsorted(s, r["value"], "right")
+        tgt = r["q"] * s.size
+        err = 0 if lo <= tgt <= hi else min(abs(lo - tgt), abs(hi - tgt))
+        assert err <= eps * s.size + 1, (r, err)
+
+    # all-NULL group emits no rows (GROUP BY parity)
+    t2 = pa.table(
+        {
+            "k": pa.array(["a", "a", "b"]),
+            "x": pa.array([1.0, 2.0, None]),
+        }
+    )
+    rows = approx_quantiles_by_group(
+        rd.from_arrow(t2), "k", "x", [0.5], eps=1e-6
+    ).take_all()
+    assert [(r["k"], r["value"]) for r in rows] == [("a", 1.0)]
+    with pytest.raises(ValueError):
+        approx_quantiles_by_group(rd.from_arrow(t2), "k", "x", [])

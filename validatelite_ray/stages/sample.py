@@ -425,3 +425,141 @@ def filter_by_quantile(
         return b.filter(pc.fill_null(m, False))
 
     return ds.map_batches(keep_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def approx_quantiles_by_group(
+    ds, key: str, col: str, qs: list[float], eps: float = 0.01
+):
+    """Per-group quantiles of ``col`` partitioned by ``key`` → Dataset
+    of (key, q, value) rows, per-group rank error ≤ ``eps`` × n_group.
+
+    The group-wise extension of ``approx_quantiles`` (same mergeable
+    equi-depth summary, same lower-discrete-quantile rule in the
+    merge — the eps→0 regime equals DuckDB ``quantile_disc … GROUP
+    BY`` exactly). Built for MILLIONS of groups: every batch sorts
+    once by (group, value) and emits ≤ ``ceil(1/eps)`` weighted points
+    per group per block — all runs processed with vectorized
+    repeat/arange indexing, no per-group Python — then ONE
+    ``hash(group) % NB`` coarse-bucket shuffle of the (small) summary
+    points, and each bucket's merge is again a single sort + global
+    cumsum + searchsorted across all of its groups at once. Grouping
+    on the raw key would be one Python call per distinct group
+    (the repo-wide bucket-cogroup idiom avoids that). NULL values are
+    excluded SQL-style; NULL keys form one group; groups with no
+    non-NULL values emit no rows (SQL GROUP BY parity).
+    """
+    from validatelite_ray.stages.dedup import _token_hashes, coarse_bucket_count
+
+    if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("qs must be non-empty fractions in [0, 1]")
+    if not 0.0 < eps < 1.0:
+        raise ValueError("eps must be in (0, 1)")
+    m = int(np.ceil(1.0 / eps))
+    qs_arr = np.asarray(sorted(qs), np.float64)
+    nb = coarse_bucket_count(ds)
+
+    def partials(b: pa.Table) -> pa.Table:
+        karr = _key_strings(b[key])
+        varr = b[col]
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        valid = pc.is_valid(varr)
+        if not pc.all(valid).as_py():
+            b = b.filter(valid)
+            karr = _key_strings(b[key])
+            varr = b[col]
+            if isinstance(varr, pa.ChunkedArray):
+                varr = varr.combine_chunks()
+        n = b.num_rows
+        empty = pa.table(
+            {
+                "__gk": pa.array([], pa.string()),
+                "__bucket": pa.array([], pa.int32()),
+                key: pa.array([], b.schema.field(key).type),
+                "v": pa.array([], pa.float64()),
+                "w": pa.array([], pa.float64()),
+            }
+        )
+        if n == 0:
+            return empty
+        v = np.asarray(pc.cast(varr, pa.float64()))
+        codes = np.asarray(pc.dictionary_encode(karr).indices).astype(np.int64)
+        order = np.lexsort((v, codes))
+        cs, vs = codes[order], v[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        lens = np.diff(np.append(starts, n))
+        take = np.minimum(lens, m)
+        total = int(take.sum())
+        base = np.repeat(starts, take)
+        offs = np.arange(total) - np.repeat(np.cumsum(take) - take, take)
+        lens_r = np.repeat(lens, take)
+        take_r = np.repeat(take, take)
+        # midpoints of `take` equal-depth slices of each run
+        idx = base + np.minimum(
+            ((offs + 0.5) * lens_r / take_r).astype(np.int64), lens_r - 1
+        )
+        src_rows = np.asarray(order)[idx]
+        gk = karr.take(pa.array(src_rows, pa.int64()))
+        bucket = (_token_hashes(gk) % np.uint64(nb)).astype(np.int32)
+        return pa.table(
+            {
+                "__gk": gk,
+                "__bucket": pa.array(bucket),
+                key: varr_key_take(b, key, src_rows),
+                "v": pa.array(vs[idx]),
+                "w": pa.array(lens_r / take_r),
+            }
+        )
+
+    def varr_key_take(b: pa.Table, key: str, rows: np.ndarray):
+        return b[key].take(pa.array(rows, pa.int64()))
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        key_type = g.schema.field(key).type
+        if n == 0:
+            return pa.table(
+                {
+                    key: pa.array([], key_type),
+                    "q": pa.array([], pa.float64()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        order = pc.sort_indices(
+            g, sort_keys=[("__gk", "ascending"), ("v", "ascending")]
+        )
+        g = g.take(order)
+        gk = np.asarray(pc.dictionary_encode(g["__gk"].combine_chunks()).indices).astype(np.int64)
+        v = np.asarray(g["v"].combine_chunks())
+        w = np.asarray(g["w"].combine_chunks())
+        starts = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1]])
+        lens = np.diff(np.append(starts, n))
+        cum = np.cumsum(w)
+        run_base = np.r_[0.0, cum[starts[1:] - 1]]
+        run_total = cum[np.append(starts[1:], n) - 1] - run_base
+        k = qs_arr.size
+        # one global searchsorted for ALL (group, q) pairs: targets are
+        # strictly inside each group's cumulative-weight span
+        targets = (
+            np.repeat(run_base, k) + np.outer(run_total, qs_arr).ravel()
+        )
+        pos = np.searchsorted(cum, targets, side="left")
+        # clamp into the target's own run: at q=0 the target equals the
+        # previous run's cumulative total exactly, and searchsorted
+        # would land on that earlier row
+        pos = np.maximum(pos, np.repeat(starts, k))
+        pos = np.minimum(pos, np.repeat(np.append(starts[1:], n) - 1, k))
+        out_key = g[key].take(pa.array(np.repeat(starts, k), pa.int64()))
+        return pa.table(
+            {
+                key: out_key,
+                "q": pa.array(np.tile(qs_arr, starts.size)),
+                "value": pa.array(v[pos]),
+            }
+        )
+
+    pre = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        pre.groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
