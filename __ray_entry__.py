@@ -511,6 +511,22 @@ def _q_approx_quantiles(sf_dir: str):
     )
 
 
+def _q_approx_top_tokens(sf_dir: str):
+    """Heavy-hitters vocabulary with deterministic count bounds
+    (stages/text.py:approx_top_tokens — per-block top-M + cutoff
+    accounting; shuffle volume ≤ M × #blocks regardless of vocabulary
+    size). Run in the generous-budget regime where every block's
+    cutoff is 0 ⇒ bounds collapse (n_lower = n_upper = exact n) and
+    the exact-vocabulary oracle applies; the tight-budget containment
+    guarantee is pytest-verified."""
+    from validatelite_ray.stages.text import approx_top_tokens
+
+    return approx_top_tokens(
+        _read(sf_dir, "documents", ["text"]), text_col="text", k=50,
+        per_block_m=100_000,
+    )
+
+
 def _q_line_repetition(sf_dir: str):
     """Gopher-style duplicate-line repetition signals
     (stages/text.py:line_repetition — one Arrow split + dictionary
@@ -927,6 +943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_documents": _q_hash_split,
         "sample_mixture_documents": _q_sample_mixture,
         "token_frequencies_documents": _q_token_frequencies,
+        "approx_top_tokens_documents": _q_approx_top_tokens,
         "pack_sequences_documents": _q_pack_sequences,
         "ann_topk_embeddings": _q_ann_topk,
         "dedup_embedding_cosine": _q_dedup_embedding,
@@ -1150,6 +1167,14 @@ def oracle_sql() -> dict[str, str]:
             "'[^0-9A-Za-z_]+')) AS token FROM documents) "
             "WHERE token <> '' GROUP BY token "
             "ORDER BY n DESC, token LIMIT 50"
+        ),
+        "approx_top_tokens_documents": (
+            "SELECT token, n AS n_lower, n AS n_upper FROM ("
+            "SELECT token, count(*) AS n FROM ("
+            "SELECT unnest(regexp_split_to_array(lower(text), "
+            "'[^0-9A-Za-z_]+')) AS token FROM documents) "
+            "WHERE token <> '' GROUP BY token "
+            "ORDER BY n DESC, token LIMIT 50)"
         ),
         "profile_columns_events": (
             "SELECT 'event_id' AS \"column\", count(*) AS n_rows, "

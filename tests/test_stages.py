@@ -421,3 +421,56 @@ class TestTopNgramFraction:
 
         with pytest.raises(ValueError):
             top_ngram_fraction(pa.array(["x"]), 0)
+
+
+class TestApproxTopTokens:
+    def _truth(self, docs):
+        import re
+        from collections import Counter
+
+        c: Counter = Counter()
+        for d in docs:
+            if d:
+                c.update(t for t in re.split(r"[^0-9A-Za-z_]+", d.lower()) if t)
+        return c
+
+    def test_bounds_contain_truth_and_exact_when_m_large(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from validatelite_ray.stages.text import approx_top_tokens, token_frequencies
+
+        rng = np.random.default_rng(51)
+        vocab = [f"w{i}" for i in range(400)]
+        probs = 1.0 / np.arange(1, 401)
+        probs /= probs.sum()
+        docs = [
+            " ".join(rng.choice(vocab, 30, p=probs)) for _ in range(800)
+        ]
+        t = pa.table({"text": pa.array(docs)})
+        truth = self._truth(docs)
+        ds = rd.from_arrow(t).repartition(8)
+
+        # tight budget: bounds must STILL contain the truth
+        rows = approx_top_tokens(ds, k=20, per_block_m=25).take_all()
+        assert len(rows) == 20
+        for r in rows:
+            assert r["n_lower"] <= truth[r["token"]] <= r["n_upper"], r
+
+        # generous budget: every block's cutoff is 0 -> exact == token_frequencies
+        rows = approx_top_tokens(ds, k=20, per_block_m=4000).take_all()
+        exact = token_frequencies(rd.from_arrow(t).repartition(8), top_k=20).take_all()
+        assert [(r["token"], r["n_lower"], r["n_upper"]) for r in rows] == [
+            (r["token"], r["n"], r["n"]) for r in exact
+        ]
+
+    def test_validation(self, ray_session):
+        import ray.data as rd
+
+        from validatelite_ray.stages.text import approx_top_tokens
+
+        t = pa.table({"text": pa.array(["a b"])})
+        with pytest.raises(ValueError):
+            approx_top_tokens(rd.from_arrow(t), k=0)
+        with pytest.raises(ValueError):
+            approx_top_tokens(rd.from_arrow(t), k=10, per_block_m=5)

@@ -564,3 +564,117 @@ def add_top_ngram_fraction(
 ) -> pa.Table:
     """map_batches adapter for ``top_ngram_fraction``."""
     return batch.append_column(out, pa.array(top_ngram_fraction(batch[column], n)))
+
+
+def approx_top_tokens(
+    ds,
+    text_col: str = "text",
+    k: int = 100,
+    per_block_m: int | None = None,
+    lowercase: bool = True,
+):
+    """Approximate top-k tokens with DETERMINISTIC count bounds — the
+    scale escape for ``token_frequencies``, whose exact path must ship
+    every distinct token through the exchange (at 100-TB cardinalities
+    that shuffle IS the whole cost).
+
+    Distributed SpaceSaving/Misra-Gries-style bound accounting: each
+    block computes exact local counts (Arrow C++ ``group_by``), keeps
+    its top ``per_block_m`` (default ``max(8k, 1024)``) tokens, and
+    records its CUTOFF (the count of the first token it dropped). For
+    a token reported by blocks R with cutoff sum S_R, and total cutoff
+    sum S over all blocks:
+
+        n_lower = Σ_R cnt          (counts actually observed)
+        n_upper = n_lower + S − S_R (what the non-reporting blocks
+                                     could hide at most)
+
+    True count ∈ [n_lower, n_upper] ALWAYS; the gap shrinks as
+    ``per_block_m`` grows, and when every block's cutoff is 0 the
+    result is exact. Shuffle volume is ≤ per_block_m × #blocks rows
+    regardless of vocabulary size; the per-block cutoff rows (one per
+    block) are the only driver state. Returns a Dataset of
+    (token, n_lower, n_upper), sorted by (n_lower desc, token), top k.
+    """
+    from ray.data.aggregate import Sum
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    m = per_block_m if per_block_m is not None else max(8 * k, 1024)
+    if m < k:
+        raise ValueError("per_block_m must be >= k")
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        if lowercase:
+            col = pc.utf8_lower(col)
+        tokens, _, _ = _tokenize_ascii(col)
+        t = pa.table({"token": pc.cast(tokens, pa.string())})
+        g = t.group_by("token").aggregate([("token", "count")])
+        g = pa.table(
+            {
+                "token": g["token"],
+                "cnt": pc.cast(g["token_count"], pa.int64()),
+            }
+        )
+        order = pc.sort_indices(
+            g, sort_keys=[("cnt", "descending"), ("token", "ascending")]
+        )
+        g = g.take(order)
+        cutoff = int(g["cnt"][m].as_py()) if g.num_rows > m else 0
+        g = g.slice(0, m)
+        # one extra NULL-token row carries this block's cutoff
+        return pa.table(
+            {
+                "token": pa.concat_arrays(
+                    [g["token"].combine_chunks(), pa.nulls(1, pa.string())]
+                ),
+                "cnt": pa.concat_arrays(
+                    [g["cnt"].combine_chunks(), pa.array([0], pa.int64())]
+                ),
+                "cutoff": pa.array([cutoff] * (g.num_rows + 1), pa.int64()),
+            }
+        )
+
+    # small (≤ (m+1) × #blocks rows); materialized because it is read
+    # twice (total-cutoff probe + the merge) and must not recompute
+    pre = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    s_total = sum(
+        r["cutoff"]
+        for r in pre.map_batches(
+            lambda b: b.filter(pc.is_null(b["token"])).select(["cutoff"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        lower = np.asarray(b["n_lower"])
+        s_r = np.asarray(b["s_reporting"])
+        return pa.table(
+            {
+                "token": b["token"],
+                "n_lower": b["n_lower"],
+                "n_upper": pa.array(lower + (s_total - s_r)),
+            }
+        )
+
+    agg = (
+        pre.map_batches(
+            lambda b: b.filter(pc.is_valid(b["token"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("token")
+        .aggregate(
+            Sum("cnt", alias_name="n_lower"),
+            Sum("cutoff", alias_name="s_reporting"),
+        )
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return agg.sort(key=["n_lower", "token"], descending=[True, False]).limit(k)
