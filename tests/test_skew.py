@@ -95,3 +95,66 @@ def test_ngram_jaccard_posting_cap(ray_session):
     assert exact == 30 * 29 // 2       # all identical pairs found
     capped = ngram_jaccard_pairs(ds, threshold=0.9, max_posting=10).count()
     assert capped == 0                 # hot postings skipped, not expanded
+
+
+def test_asof_cogroup_hot_key(ray_session):
+    """One user owns 60% of both sides; cogroup result must still match
+    the broadcast strategy exactly (the hot key lands in ONE bucket —
+    bounded by the combiner-free but slim-schema shuffle)."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.joins import asof_join_broadcast, asof_join_cogroup
+
+    rng = np.random.default_rng(61)
+    n = 6000
+    keys = np.where(rng.random(n) < 0.6, 7, rng.integers(0, 40, n))
+    left = pa.table(
+        {
+            "k": pa.array(keys),
+            "ts": pa.array(rng.choice(10**6, n, replace=False)),
+            "i": pa.array(np.arange(n)),
+        }
+    )
+    rkeys = np.where(rng.random(1500) < 0.6, 7, rng.integers(0, 40, 1500))
+    right = pa.table(
+        {
+            "k": pa.array(rkeys),
+            "ts": pa.array(rng.choice(10**6, 1500, replace=False)),
+            "rv": pa.array(rng.standard_normal(1500)),
+        }
+    )
+    kw = dict(on="k", left_ts="ts", right_cols={"rv": "rv_prev"}, strict=True)
+    a = asof_join_broadcast(rd.from_arrow(left).repartition(6), right, **kw).take_all()
+    b = asof_join_cogroup(
+        rd.from_arrow(left).repartition(6), rd.from_arrow(right).repartition(4), **kw
+    ).take_all()
+    sa = sorted((r["i"], r["rv_prev"]) for r in a)
+    sb = sorted((r["i"], r["rv_prev"]) for r in b)
+    assert sa == sb
+
+
+def test_group_quantiles_hot_key(ray_session):
+    """A hot group holding 70% of rows: per-block summaries cap its
+    shuffle volume at m × #blocks points, and the merged value must
+    stay within the eps rank bound."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.sample import approx_quantiles_by_group
+
+    rng = np.random.default_rng(62)
+    n = 50_000
+    keys = np.where(rng.random(n) < 0.7, 0, rng.integers(1, 200, n))
+    vals = rng.standard_normal(n)
+    t = pa.table({"k": pa.array(keys), "x": pa.array(vals)})
+    eps = 0.02
+    rows = approx_quantiles_by_group(
+        rd.from_arrow(t).repartition(10), "k", "x", [0.5], eps=eps
+    ).take_all()
+    hot = next(r for r in rows if r["k"] == 0)
+    s = np.sort(vals[keys == 0])
+    lo = np.searchsorted(s, hot["value"], "left")
+    hi = np.searchsorted(s, hot["value"], "right")
+    tgt = 0.5 * s.size
+    err = 0 if lo <= tgt <= hi else min(abs(lo - tgt), abs(hi - tgt))
+    assert err <= eps * s.size + 1
+    assert len(rows) == 200
