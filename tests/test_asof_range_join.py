@@ -57,8 +57,6 @@ def _duck_asof(left: pa.Table, right: pa.Table, op: str) -> list[tuple]:
 
 
 def _sorted_rows(t: pa.Table) -> list[tuple]:
-    import pandas as pd  # noqa: F401
-
     import pandas as pd
 
     df = t.to_pandas().sort_values(["k", "ts", "lval"])
@@ -208,3 +206,43 @@ def test_range_join_closed_both_and_validation(ray_session):
     assert left.shape[0] == 0 and both.shape[0] == 1
     with pytest.raises(ValueError):
         range_join_broadcast(None, bands, "x", "lo", "hi", closed="neither")
+
+
+def test_asof_nearest_direction(ray_session):
+    import ray.data as rd
+
+    left = pa.table({"k": [1, 1, 1], "ts": [10, 14, 30], "i": [0, 1, 2]})
+    right = pa.table({"k": [1, 1], "ts": [12, 15], "rv": [7.0, 8.0]})
+    out = asof_join_broadcast(
+        rd.from_arrow(left),
+        right,
+        on="k",
+        left_ts="ts",
+        right_cols={"rv": "near_rv"},
+        direction="nearest",
+    ).to_pandas().sort_values("i")
+    # ts=10 -> 12 (d2) ; ts=14 -> tie d=2 vs d=1: 15 wins (d1);
+    # ts=30 -> 15
+    assert list(out["near_rv"]) == [7.0, 8.0, 8.0]
+
+
+def test_asof_match_nearest_brute(ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(71)
+    for _ in range(60):
+        n, m = rng.integers(1, 25, 2)
+        lk = rng.integers(0, 4, n).astype(np.int64)
+        rk = rng.integers(0, 4, m).astype(np.int64)
+        lts = rng.integers(0, 30, n).astype(np.int64)
+        rts = rng.integers(0, 30, m).astype(np.int64)
+        got = _asof_match(lk, lts, rk, rts, False, "nearest")
+        for i in range(n):
+            cand = [j for j in range(m) if rk[j] == lk[i]]
+            if not cand:
+                assert got[i] == -1
+                continue
+            dmin = min(abs(int(rts[j]) - int(lts[i])) for j in cand)
+            back = [j for j in cand if rts[j] <= lts[i] and abs(int(rts[j]) - int(lts[i])) == dmin]
+            fwd = [j for j in cand if rts[j] >= lts[i] and abs(int(rts[j]) - int(lts[i])) == dmin]
+            assert got[i] == (max(back) if back else max(fwd))

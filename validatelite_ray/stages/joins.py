@@ -108,9 +108,11 @@ def _asof_match(
 ) -> np.ndarray:
     """For every left row, the index of the right row with an equal key
     and the greatest ``rts`` ≤ ``lts`` (``direction='backward'``; with
-    ``strict`` the inequality is <), or the least ``rts`` ≥ / > ``lts``
-    (``direction='forward'``). Returns int64 right-row indices, −1 where
-    no match. Ties on (key, ts) in the right side resolve to the
+    ``strict`` the inequality is <), the least ``rts`` ≥ / > ``lts``
+    (``'forward'``), or whichever of the two is closer in time
+    (``'nearest'``; exact distance tie → backward, pandas
+    ``merge_asof`` semantics). Returns int64 right-row indices, −1
+    where no match. Ties on (key, ts) in the right side resolve to the
     highest row position.
 
     One vectorized merge: lexsort both sides together on
@@ -120,6 +122,14 @@ def _asof_match(
     n, m = lcode.size, rcode.size
     if n == 0 or m == 0:
         return np.full(n, -1, np.int64)
+    if direction == "nearest":
+        # closer of the backward and forward matches; exact tie →
+        # backward (the earlier row), matching pandas merge_asof
+        back = _asof_match(lcode, lts, rcode, rts, strict, "backward")
+        fwd = _asof_match(lcode, lts, rcode, rts, strict, "forward")
+        db = np.where(back >= 0, np.abs(lts - rts[np.maximum(back, 0)]), np.iinfo(np.int64).max)
+        df = np.where(fwd >= 0, np.abs(rts[np.maximum(fwd, 0)] - lts), np.iinfo(np.int64).max)
+        return np.where((back >= 0) & (db <= df), back, fwd)
     if direction == "forward":
         lts, rts = -lts, -rts
     elif direction != "backward":
