@@ -96,12 +96,12 @@ def bench_once() -> dict:
         scorer_concurrency=max(2, (NUM_CPUS * 3) // 4),
         scorer_num_cpus=1,
     )
-    # best of 2 (default): this host's steal-time windows make single
+    # best of 3 (default): this host's steal-time windows make single
     # timings vary up to 2-3x; min is the standard de-noising estimator
-    # (the second run also measures warm-worker steady state, which is
+    # (the later runs also measure warm-worker steady state, which is
     # what a long corpus job actually runs in). Scaling legs set
     # repeats=1 — they already repeat via alternating rounds.
-    repeats = int(os.environ.get("VLRAY_BENCH_QF_REPEATS", "2"))
+    repeats = int(os.environ.get("VLRAY_BENCH_QF_REPEATS", "3"))
     best = None
     for _ in range(repeats):
         if out_dir.exists():
