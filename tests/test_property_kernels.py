@@ -115,3 +115,87 @@ def test_not_null_counts(values):
     t = pa.table({"v": pa.array(values, pa.int64())})
     _, failed = compile_rule(rule).counts(t)
     assert failed == sum(v is None for v in values)
+
+
+# ---------------------------------------------------------------------------
+# round 4: as-of merge and interval-level kernels
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 25)), max_size=25),
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 25)), max_size=25),
+    st.booleans(),
+    st.sampled_from(["backward", "forward", "nearest"]),
+)
+def test_asof_match_matches_brute_force(lpairs, rpairs, strict, direction):
+    import numpy as np
+
+    from validatelite_ray.stages.joins import _asof_match
+
+    lk = np.array([p[0] for p in lpairs], np.int64)
+    lts = np.array([p[1] for p in lpairs], np.int64)
+    rk = np.array([p[0] for p in rpairs], np.int64)
+    rts = np.array([p[1] for p in rpairs], np.int64)
+    got = _asof_match(lk, lts.copy(), rk, rts.copy(), strict, direction)
+    for i in range(lk.size):
+        if direction == "nearest":
+            cand = [
+                j for j in range(rk.size)
+                if rk[j] == lk[i] and (rts[j] != lts[i] if strict else True)
+            ]
+            if not cand:
+                assert got[i] == -1
+                continue
+            dmin = min(abs(int(rts[j]) - int(lts[i])) for j in cand)
+            back = [j for j in cand if rts[j] <= lts[i] and abs(int(rts[j]) - int(lts[i])) == dmin]
+            fwd = [j for j in cand if rts[j] >= lts[i] and abs(int(rts[j]) - int(lts[i])) == dmin]
+            assert got[i] == (max(back) if back else max(fwd))
+            continue
+        if direction == "backward":
+            ok = lambda j: rts[j] < lts[i] if strict else rts[j] <= lts[i]
+            pick = max
+        else:
+            ok = lambda j: rts[j] > lts[i] if strict else rts[j] >= lts[i]
+            pick = min
+        cand = [j for j in range(rk.size) if rk[j] == lk[i] and ok(j)]
+        if not cand:
+            assert got[i] == -1
+        else:
+            best_ts = pick(rts[j] for j in cand)
+            assert got[i] == max(j for j in cand if rts[j] == best_ts)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(0, 100, allow_nan=False), st.floats(0.01, 50, allow_nan=False)
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(st.floats(-10, 160, allow_nan=False), min_size=1, max_size=30),
+)
+def test_interval_levels_lookup_complete(intervals, xs):
+    import numpy as np
+
+    from validatelite_ray.stages.joins import _interval_levels
+
+    lo = np.array([a for a, _ in intervals])
+    hi = lo + np.array([w for _, w in intervals])
+    levels = _interval_levels(lo, hi)
+    # partition: every interval appears exactly once
+    seen = np.concatenate([orig for _, _, orig in levels])
+    assert sorted(seen) == list(range(len(intervals)))
+    # disjointness within a level; lookup completeness for every x
+    for llo, lhi, orig in levels:
+        assert all(llo[i + 1] >= lhi[i] for i in range(len(orig) - 1))
+    for x in xs:
+        want = sorted(np.flatnonzero((lo <= x) & (x < hi)))
+        got = []
+        for llo, lhi, orig in levels:
+            i = np.searchsorted(llo, x, side="right") - 1
+            if i >= 0 and x < lhi[i]:
+                got.append(orig[i])
+        assert sorted(got) == want
