@@ -279,6 +279,33 @@ def _q_range_join_bands(sf_dir: str):
     )
 
 
+def _q_range_join_bands_cogroup(sf_dir: str):
+    """Same interval-join semantics through the both-sides-large plan
+    (stages/joins.py:range_join_cogroup — equi-depth value grid from a
+    streaming quantile pass, intervals replicated to overlapped cells,
+    ONE groupby(cell) cogroup). Must hash-match the broadcast strategy
+    AND the same theta-join oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from validatelite_ray.stages.joins import range_join_cogroup
+
+    k = np.arange(24)
+    bands = pa.table(
+        {
+            "band_id": pa.array(k.astype(np.int64)),
+            "lo": pa.array(k * 25.0),
+            "hi": pa.array(k * 25.0 + 40.0),
+        }
+    )
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return range_join_cogroup(
+        ds, rd.from_arrow(bands), value_col="value", lo_col="lo", hi_col="hi",
+        interval_cols=["band_id"],
+    )
+
+
 def _q_topk_orders(sf_dir: str):
     """Global top-10 orders by price (ds.sort + limit — the §2.8 sort/
     limit surface; deterministic via the orderkey tiebreak)."""
@@ -922,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_prev_event": _q_asof_prev_event,
         "asof_prev_event_cogroup": _q_asof_prev_event_cogroup,
         "range_join_bands": _q_range_join_bands,
+        "range_join_bands_cogroup": _q_range_join_bands_cogroup,
         "distinct_parts_lineitem": _q_distinct_parts,
         "agg_events_window": _q_window_events,
         "agg_events_session": _q_session_windows,
@@ -1126,6 +1154,12 @@ def oracle_sql() -> dict[str, str]:
             "ON l.user_id = r.user_id AND l.ts > r.ts"
         ),
         "range_join_bands": (
+            "WITH bands AS (SELECT k AS band_id, k * 25.0 AS lo, "
+            "k * 25.0 + 40.0 AS hi FROM range(24) t(k)) "
+            "SELECT e.event_id, e.value, b.band_id FROM events e "
+            "JOIN bands b ON e.value >= b.lo AND e.value < b.hi"
+        ),
+        "range_join_bands_cogroup": (
             "WITH bands AS (SELECT k AS band_id, k * 25.0 AS lo, "
             "k * 25.0 + 40.0 AS hi FROM range(24) t(k)) "
             "SELECT e.event_id, e.value, b.band_id FROM events e "

@@ -246,3 +246,71 @@ def test_asof_match_nearest_brute(ray_session):
             back = [j for j in cand if rts[j] <= lts[i] and abs(int(rts[j]) - int(lts[i])) == dmin]
             fwd = [j for j in cand if rts[j] >= lts[i] and abs(int(rts[j]) - int(lts[i])) == dmin]
             assert got[i] == (max(back) if back else max(fwd))
+
+
+def test_range_join_cogroup_agrees_with_broadcast(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.joins import range_join_cogroup
+
+    rng = np.random.default_rng(81)
+    n = 4000
+    x = rng.uniform(0, 200, n)
+    xm = rng.random(n) < 0.04
+    big = pa.table(
+        {
+            "id": pa.array(np.arange(n)),
+            "x": pa.array(x, mask=xm),
+        }
+    )
+    # mixed widths: narrow bands + a few wide ones spanning many cells
+    lo = np.concatenate([rng.uniform(0, 195, 60), rng.uniform(0, 100, 5)])
+    width = np.concatenate([rng.uniform(0.5, 10, 60), rng.uniform(50, 120, 5)])
+    ivs = pa.table(
+        {
+            "band": pa.array(np.arange(lo.size)),
+            "lo": pa.array(lo),
+            "hi": pa.array(lo + width),
+        }
+    )
+    for closed in ("left", "both"):
+        a = range_join_broadcast(
+            rd.from_arrow(big).repartition(6), ivs,
+            value_col="x", lo_col="lo", hi_col="hi", closed=closed,
+            interval_cols=["band"],
+        ).take_all()
+        b = range_join_cogroup(
+            rd.from_arrow(big).repartition(6),
+            rd.from_arrow(ivs).repartition(3),
+            value_col="x", lo_col="lo", hi_col="hi", closed=closed,
+            interval_cols=["band"],
+        ).take_all()
+        sa = sorted((r["id"], r["band"]) for r in a)
+        sb = sorted((r["id"], r["band"]) for r in b)
+        assert sa == sb and len(sa) > 0, closed
+
+
+def test_range_join_cogroup_null_bounds_and_validation(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.joins import range_join_cogroup
+
+    big = pa.table({"x": pa.array([5.0, None, 50.0])})
+    ivs = pa.table(
+        {
+            "lo": pa.array([0.0, None]),
+            "hi": pa.array([10.0, 60.0]),
+            "b": pa.array([1, 2]),
+        }
+    )
+    out = range_join_cogroup(
+        rd.from_arrow(big), rd.from_arrow(ivs), "x", "lo", "hi",
+        interval_cols=["b"],
+    ).take_all()
+    # NULL x and NULL lo drop; only x=5.0 in [0,10)
+    assert [(r["x"], r["b"]) for r in out] == [(5.0, 1)]
+    with pytest.raises(ValueError):
+        range_join_cogroup(
+            rd.from_arrow(big), rd.from_arrow(ivs), "x", "lo", "hi",
+            closed="neither",
+        )

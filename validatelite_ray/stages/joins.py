@@ -425,3 +425,141 @@ def range_join_broadcast(
         return out
 
     return big.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def range_join_cogroup(
+    big,
+    intervals,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    closed: str = "left",
+    interval_cols=None,
+    suffix: str = "",
+    eps: float = 0.01,
+):
+    """Interval join when BOTH sides are large Datasets.
+
+    Physical plan: an equi-depth VALUE GRID is computed from the point
+    side in one streaming pass (``approx_quantiles`` — the grid only
+    affects load balance, never correctness), points route to their
+    grid cell, intervals replicate to every cell they overlap, and ONE
+    ``groupby(cell)`` cogroup resolves each cell with the same
+    disjoint-level + searchsorted lookup as ``range_join_broadcast``.
+    Replication factor per interval = #cells it spans, so the plan
+    suits bounded-width intervals (an interval covering the whole
+    value domain replicates to every cell — at that shape use the
+    broadcast operator instead). Inner join; NULL values and NULL
+    bounds drop out.
+    """
+    from validatelite_ray.stages.dedup import coarse_bucket_count
+    from validatelite_ray.stages.sample import approx_quantiles
+
+    if closed not in ("left", "both"):
+        raise ValueError("closed must be 'left' or 'both'")
+    nb = coarse_bucket_count(big)
+    qt = approx_quantiles(big, [value_col], (np.arange(1, nb) / nb).tolist(), eps=eps)
+    splits = np.unique(
+        np.array([v for v in qt["value"].to_pylist() if v is not None], np.float64)
+    )
+
+    big_names = list(big.schema().names)
+    bschema = big.schema()
+    ischema = intervals.schema()
+    btypes = {n: bschema.types[i] for i, n in enumerate(bschema.names)}
+    itypes = {n: ischema.types[i] for i, n in enumerate(ischema.names)}
+    if interval_cols is None:
+        interval_cols = list(ischema.names)
+    rename = (
+        dict(interval_cols)
+        if isinstance(interval_cols, dict)
+        else {c: c + suffix for c in interval_cols}
+    )
+    out_names = big_names + list(rename.values())
+
+    def tag_points(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[value_col]))
+        x = np.asarray(pc.cast(b[value_col], pa.float64()))
+        cell = np.searchsorted(splits, x, side="right").astype(np.int32)
+        cols = {"__cell": pa.array(cell)}
+        cols["__side"] = pa.array(np.zeros(b.num_rows, np.int8))
+        for n in big_names:
+            cols[n] = b[n]
+        cols["__lo"] = pa.nulls(b.num_rows, pa.float64())
+        cols["__hi"] = pa.nulls(b.num_rows, pa.float64())
+        for src, dst in rename.items():
+            cols["__r_" + dst] = pa.nulls(b.num_rows, itypes[src])
+        return pa.table(cols)
+
+    def tag_intervals(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b[lo_col]), pc.is_valid(b[hi_col])))
+        lo = np.asarray(pc.cast(b[lo_col], pa.float64()))
+        hi = np.asarray(pc.cast(b[hi_col], pa.float64()))
+        c_lo = np.searchsorted(splits, lo, side="right").astype(np.int64)
+        hi_side = "left" if closed == "left" else "right"
+        c_hi = np.searchsorted(splits, hi, side=hi_side).astype(np.int64)
+        c_hi = np.maximum(c_hi, c_lo)
+        reps = (c_hi - c_lo + 1).astype(np.int64)
+        total = int(reps.sum())
+        src = np.repeat(np.arange(b.num_rows, dtype=np.int64), reps)
+        cell = (
+            np.repeat(c_lo, reps)
+            + (np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps))
+        ).astype(np.int32)
+        take = pa.array(src, pa.int64())
+        cols = {"__cell": pa.array(cell)}
+        cols["__side"] = pa.array(np.ones(total, np.int8))
+        for n in big_names:
+            cols[n] = pa.nulls(total, btypes[n])
+        cols["__lo"] = pa.array(lo[src])
+        cols["__hi"] = pa.array(hi[src])
+        for s, dst in rename.items():
+            cols["__r_" + dst] = b[s].take(take)
+        return pa.table(cols)
+
+    pts = big.map_batches(tag_points, batch_format="pyarrow", zero_copy_batch=True)
+    ivs = intervals.map_batches(
+        tag_intervals, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["__side"])
+        pb = g.filter(pa.array(side == 0))
+        ib = g.filter(pa.array(side == 1))
+        empty = pa.table(
+            {
+                **{n: pa.array([], btypes[n]) for n in big_names},
+                **{dst: pa.array([], itypes[s]) for s, dst in rename.items()},
+            }
+        )
+        if pb.num_rows == 0 or ib.num_rows == 0:
+            return empty
+        lo = np.asarray(ib["__lo"].combine_chunks())
+        hi = np.asarray(ib["__hi"].combine_chunks())
+        x = np.asarray(pc.cast(pb[value_col], pa.float64()))
+        row_idx, int_idx = [], []
+        for llo, lhi, orig in _interval_levels(lo, hi):
+            i = np.searchsorted(llo, x, side="right") - 1
+            ii = np.maximum(i, 0)
+            inside = (i >= 0) & (
+                (x < lhi[ii]) if closed == "left" else (x <= lhi[ii])
+            )
+            hit = np.flatnonzero(inside)
+            row_idx.append(hit)
+            int_idx.append(orig[i[hit]])
+        rows = np.concatenate(row_idx)
+        ints = np.concatenate(int_idx)
+        order = np.argsort(rows, kind="stable")
+        rows, ints = rows[order], ints[order]
+        out = pb.select(big_names).take(pa.array(rows, pa.int64()))
+        ti = pa.array(ints, pa.int64())
+        for s, dst in rename.items():
+            out = out.append_column(dst, ib["__r_" + dst].take(ti))
+        return out
+
+    return (
+        pts.union(ivs)
+        .groupby("__cell")
+        .map_groups(resolve, batch_format="pyarrow")
+        .select_columns(out_names)
+    )
