@@ -314,3 +314,42 @@ def test_range_join_cogroup_null_bounds_and_validation(ray_session):
             rd.from_arrow(big), rd.from_arrow(ivs), "x", "lo", "hi",
             closed="neither",
         )
+
+
+def test_range_join_touching_intervals_closed_both(ray_session):
+    """closed='both' with intervals sharing a boundary: the boundary
+    point belongs to BOTH (regression — the level builder used to
+    treat touching intervals as disjoint, surfacing only one)."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.joins import range_join_cogroup
+
+    big = pa.table({"x": [5.0, 0.0, 10.0, 7.0]})
+    ivs = pa.table(
+        {"lo": [0.0, 5.0], "hi": [5.0, 10.0], "b": [1, 2]}
+    )
+    want = sorted(
+        [(5.0, 1), (5.0, 2), (0.0, 1), (10.0, 2), (7.0, 2)]
+    )
+    a = range_join_broadcast(
+        rd.from_arrow(big), ivs, "x", "lo", "hi", closed="both",
+        interval_cols=["b"],
+    ).take_all()
+    assert sorted((r["x"], r["b"]) for r in a) == want
+    b = range_join_cogroup(
+        rd.from_arrow(big), rd.from_arrow(ivs), "x", "lo", "hi",
+        closed="both", interval_cols=["b"],
+    ).take_all()
+    assert sorted((r["x"], r["b"]) for r in b) == want
+    # cross-check against DuckDB's inclusive BETWEEN join
+    con = duckdb.connect()
+    con.register("big", big.to_pandas())
+    con.register("ivs", ivs.to_pandas())
+    dd = sorted(
+        con.execute(
+            "SELECT b.x, d.b FROM big b JOIN ivs d "
+            "ON b.x >= d.lo AND b.x <= d.hi"
+        ).fetchall()
+    )
+    con.close()
+    assert dd == want

@@ -330,19 +330,24 @@ def asof_join_cogroup(
 # Range (interval) join
 # ---------------------------------------------------------------------------
 
-def _interval_levels(lo: np.ndarray, hi: np.ndarray):
+def _interval_levels(lo: np.ndarray, hi: np.ndarray, closed: str = "left"):
     """Greedy-partition intervals into LEVELS of pairwise-disjoint
     intervals (sweep over lo-sorted intervals; an interval goes to the
-    first level whose last hi ≤ its lo). #levels = max overlap depth,
-    so point lookup = one searchsorted per level. Returns a list of
-    (sorted_lo, sorted_hi, orig_idx) triples."""
+    first level whose last hi fits before its lo). #levels = max
+    overlap depth, so point lookup = one searchsorted per level.
+    Disjointness depends on ``closed``: with an exclusive hi
+    (``'left'``) touching intervals [a,b) [b,c) may share a level, but
+    with ``'both'`` they may NOT — x=b belongs to both, and one
+    searchsorted per level can only surface one of them. Returns a
+    list of (sorted_lo, sorted_hi, orig_idx) triples."""
     order = np.argsort(lo, kind="stable")
+    fits = (lambda l, end: l >= end) if closed == "left" else (lambda l, end: l > end)
     levels: list[list[int]] = []
     level_end: list[float] = []
     for i in order:
         placed = False
         for li, end in enumerate(level_end):
-            if lo[i] >= end:
+            if fits(lo[i], end):
                 levels[li].append(i)
                 level_end[li] = hi[i]
                 placed = True
@@ -355,6 +360,25 @@ def _interval_levels(lo: np.ndarray, hi: np.ndarray):
         a = np.array(idxs, np.int64)
         out.append((lo[a], hi[a], a))
     return out
+
+
+def _match_levels(x: np.ndarray, levels, closed: str):
+    """Vectorized point-in-interval lookup against a level
+    decomposition → (row indices, interval orig indices), row-sorted.
+    NaN x compares false everywhere and drops out."""
+    row_idx: list[np.ndarray] = []
+    int_idx: list[np.ndarray] = []
+    for llo, lhi, orig in levels:
+        i = np.searchsorted(llo, x, side="right") - 1
+        ii = np.maximum(i, 0)
+        inside = (i >= 0) & ((x < lhi[ii]) if closed == "left" else (x <= lhi[ii]))
+        hit = np.flatnonzero(inside)
+        row_idx.append(hit)
+        int_idx.append(orig[i[hit]])
+    rows = np.concatenate(row_idx) if row_idx else np.empty(0, np.int64)
+    ints = np.concatenate(int_idx) if int_idx else np.empty(0, np.int64)
+    order = np.argsort(rows, kind="stable")
+    return rows[order], ints[order]
 
 
 def range_join_broadcast(
@@ -388,7 +412,7 @@ def range_join_broadcast(
     hi = np.asarray(pc.cast(intervals[hi_col], pa.float64()))
     if np.any(np.isnan(lo)) or np.any(np.isnan(hi)):
         raise ValueError("interval bounds must be non-NULL")
-    levels = _interval_levels(lo, hi)
+    levels = _interval_levels(lo, hi, closed)
     if interval_cols is None:
         interval_cols = list(intervals.schema.names)
     rename = (
@@ -401,23 +425,9 @@ def range_join_broadcast(
 
     def per_batch(b: pa.Table) -> pa.Table:
         p = ray.get(ref)
+        # NaN (from NULL fill) compares false in _match_levels → drops
         x = np.asarray(pc.cast(pc.fill_null(b[value_col], np.nan), pa.float64()))
-        row_idx: list[np.ndarray] = []
-        int_idx: list[np.ndarray] = []
-        for llo, lhi, orig in p["levels"]:
-            i = np.searchsorted(llo, x, side="right") - 1
-            ii = np.maximum(i, 0)
-            inside = (i >= 0) & (
-                (x < lhi[ii]) if p["closed"] == "left" else (x <= lhi[ii])
-            )
-            # NaN compares false → NULL values drop out here
-            hit = np.flatnonzero(inside)
-            row_idx.append(hit)
-            int_idx.append(orig[i[hit]])
-        rows = np.concatenate(row_idx) if row_idx else np.empty(0, np.int64)
-        ints = np.concatenate(int_idx) if int_idx else np.empty(0, np.int64)
-        order = np.argsort(rows, kind="stable")
-        rows, ints = rows[order], ints[order]
+        rows, ints = _match_levels(x, p["levels"], p["closed"])
         out = b.take(pa.array(rows, pa.int64()))
         it = p["table"]
         for src, dst in rename.items():
@@ -537,20 +547,7 @@ def range_join_cogroup(
         lo = np.asarray(ib["__lo"].combine_chunks())
         hi = np.asarray(ib["__hi"].combine_chunks())
         x = np.asarray(pc.cast(pb[value_col], pa.float64()))
-        row_idx, int_idx = [], []
-        for llo, lhi, orig in _interval_levels(lo, hi):
-            i = np.searchsorted(llo, x, side="right") - 1
-            ii = np.maximum(i, 0)
-            inside = (i >= 0) & (
-                (x < lhi[ii]) if closed == "left" else (x <= lhi[ii])
-            )
-            hit = np.flatnonzero(inside)
-            row_idx.append(hit)
-            int_idx.append(orig[i[hit]])
-        rows = np.concatenate(row_idx)
-        ints = np.concatenate(int_idx)
-        order = np.argsort(rows, kind="stable")
-        rows, ints = rows[order], ints[order]
+        rows, ints = _match_levels(x, _interval_levels(lo, hi, closed), closed)
         out = pb.select(big_names).take(pa.array(rows, pa.int64()))
         ti = pa.array(ints, pa.int64())
         for s, dst in rename.items():
