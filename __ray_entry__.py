@@ -701,6 +701,58 @@ def _q_decontaminate(sf_dir: str):
     )
 
 
+def _derive_multiline_docs(sf_dir: str):
+    """documents with a shared per-source license header and generated-by
+    footer wrapped around each body — deterministic multi-line corpus for
+    the cross-document line-dedup oracle (the sf tables' text column is
+    single-line, so boilerplate lines are derived from ``source``, the
+    same derived-input pattern as rule_enum_domain_derived)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        n = len(b)
+
+        def lit(s: str) -> pa.Array:
+            return pa.array([s] * n, pa.string())
+
+        text2 = pc.binary_join_element_wise(
+            lit("license-header: shared "),
+            b["source"],
+            lit("\n"),
+            b["text"],
+            lit("\ngenerated by build-bot for "),
+            b["source"],
+            "",
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": text2})
+
+    return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_dedup_lines(sf_dir: str):
+    """Cross-document line dedup (RefinedWeb-style boilerplate removal):
+    drop lines >= 12 trimmed chars occurring in >= 2 distinct docs
+    (broadcast membership path at this scale)."""
+    from validatelite_ray.stages.dedup import dedup_lines
+
+    return dedup_lines(
+        _derive_multiline_docs(sf_dir), min_dup_docs=2, min_line_chars=12
+    )
+
+
+def _q_dedup_lines_cogroup(sf_dir: str):
+    """Same semantics forced through the scale path: dup fingerprints
+    stay a Dataset, membership and rebuild via two bucket cogroups."""
+    from validatelite_ray.stages.dedup import dedup_lines
+
+    return dedup_lines(
+        _derive_multiline_docs(sf_dir),
+        min_dup_docs=2,
+        min_line_chars=12,
+        strategy="cogroup",
+    )
+
+
 def _q_dedup_simhash_clusters(sf_dir: str):
     """SimHash end-to-end near-dup clusters: band groupby + in-bucket
     Hamming verify + connected components (rows-only; pytest carries a
@@ -955,6 +1007,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_events_session": _q_session_windows,
         "agg_events_sliding": _q_sliding_windows,
         "dedup_exact_documents": _q_dedup_exact,
+        "dedup_lines_documents": _q_dedup_lines,
+        "dedup_lines_documents_cogroup": _q_dedup_lines_cogroup,
         "dedup_minhash_documents": _q_dedup_minhash,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "dedup_simhash_documents": _q_dedup_simhash,
@@ -987,6 +1041,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_winnow_fingerprints": _q_winnow,
         "scrub_email": _q_scrub_email,
     }
+
+
+#: cross-document line dedup over the derived multi-line docs (shared
+#: header/footer per source): a line is dropped from EVERY doc when its
+#: trim(' \t\r') form has >= 12 chars and occurs in >= 2 distinct docs;
+#: docs are rebuilt with '\n' preserving original (untrimmed) lines
+_DEDUP_LINES_SQL = (
+    "WITH src AS (SELECT doc_id, "
+    "'license-header: shared ' || source || chr(10) || text || chr(10) || "
+    "'generated by build-bot for ' || source AS text FROM documents), "
+    "lines AS (SELECT doc_id, unnest(split(text, chr(10))) AS line, "
+    "generate_subscripts(split(text, chr(10)), 1) AS ord FROM src), "
+    "norm AS (SELECT doc_id, ord, line, "
+    "trim(line, ' ' || chr(9) || chr(13)) AS nline FROM lines), "
+    "dup AS (SELECT nline FROM norm WHERE length(nline) >= 12 "
+    "GROUP BY nline HAVING count(DISTINCT doc_id) >= 2) "
+    "SELECT n.doc_id, "
+    "coalesce(string_agg(CASE WHEN d.nline IS NULL THEN n.line END, "
+    "chr(10) ORDER BY n.ord), '') AS text, "
+    "count(*) AS lines_total, count(d.nline) AS lines_dropped "
+    "FROM norm n LEFT JOIN dup d ON n.nline = d.nline GROUP BY n.doc_id"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1250,6 +1326,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
+        "dedup_lines_documents": _DEDUP_LINES_SQL,
+        "dedup_lines_documents_cogroup": _DEDUP_LINES_SQL,
         "ngram_jaccard_pairs": (
             # exact 3-token-shingle Jaccard >= 0.5 over all doc pairs;
             # tokens = ASCII \\w+ on lowered text (same class the Ray

@@ -219,6 +219,10 @@ def _dedup_exact_broadcast(ds, key: str, order_col: str):
 _MERSENNE = np.uint64((1 << 61) - 1)
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 _POLY_B = np.uint64(1099511628211)  # FNV-1a prime as polynomial base
+#: independent second polynomial base — pairing two bases gives an
+#: effective 128-bit content hash (collision odds ~2^-128), used where a
+#: hash stands in for string equality corpus-wide (dedup_lines)
+_POLY_B2 = np.uint64(0x100000001B3 * 2 + 9)  # distinct odd constant
 
 
 def _mix64(h: np.ndarray) -> np.ndarray:
@@ -233,10 +237,13 @@ def _mix64(h: np.ndarray) -> np.ndarray:
     return h
 
 
-def _token_hashes(tokens: pa.Array) -> np.ndarray:
+def _token_hashes(tokens: pa.Array, base: np.uint64 = _POLY_B) -> np.ndarray:
     """64-bit content hash per token, fully vectorized over the flat
     utf8 buffer (positional polynomial mod 2^64 + splitmix finalizer).
-    Batch-invariant: a token hashes identically wherever it appears."""
+    Batch-invariant: a token hashes identically wherever it appears.
+    ``base`` selects the polynomial family — two different bases give
+    two independent hashes of the same bytes (the 128-bit pair used by
+    ``dedup_lines``)."""
     from validatelite_ray.stages.text import _utf8_buffer
 
     data, offsets = _utf8_buffer(tokens)
@@ -249,7 +256,7 @@ def _token_hashes(tokens: pa.Array) -> np.ndarray:
     pows[0] = 1
     if maxlen > 1:
         np.multiply.accumulate(
-            np.full(maxlen - 1, _POLY_B, dtype=np.uint64), out=pows[1:]
+            np.full(maxlen - 1, base, dtype=np.uint64), out=pows[1:]
         )
     byte_pos = np.arange(data.size, dtype=np.int64) - np.repeat(offsets[:-1], lens)
     pos_from_end = np.repeat(lens, lens) - 1 - byte_pos
@@ -1261,3 +1268,378 @@ def dedup_simhash_clusters(
         {id_col: list(roots.keys()), "cluster_id": list(roots.values())}
     ).sort_values(id_col)
     return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line-level deduplication (RefinedWeb / Falcon-style)
+# ---------------------------------------------------------------------------
+
+#: structured dtype for a 128-bit line fingerprint — numpy sorts and
+#: searchsorteds it lexicographically, so membership stays vectorized
+_DT2 = np.dtype([("a", "<u8"), ("b", "<u8")])
+
+
+def _pack2(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    out = np.empty(h1.size, dtype=_DT2)
+    out["a"], out["b"] = h1, h2
+    return out
+
+
+def _member2(q: np.ndarray, dup_sorted: np.ndarray) -> np.ndarray:
+    """Vectorized membership of 128-bit fingerprints ``q`` in the sorted
+    fingerprint set ``dup_sorted`` (binary search + one equality pass)."""
+    if q.size == 0 or dup_sorted.size == 0:
+        return np.zeros(q.size, bool)
+    idx = np.searchsorted(dup_sorted, q)
+    valid = idx < dup_sorted.size
+    member = np.zeros(q.size, bool)
+    member[valid] = dup_sorted[idx[valid]] == q[valid]
+    return member
+
+
+def _split_lines(texts) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """(flat line values, list offsets, null-doc mask) for a string
+    column; NULL docs contribute one '' line (masked out by callers)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if pa.types.is_null(texts.type):  # an all-NULL block types as null
+        texts = texts.cast(pa.string())
+    nulls = np.asarray(pc.is_null(texts))
+    lines = pc.split_pattern(pc.fill_null(texts, ""), pattern="\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    return lines.flatten(), np.asarray(lines.offsets).astype(np.int64), nulls
+
+
+def _line_fingerprints(
+    flat: pa.Array, min_chars: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(qualifying line indices, 128-bit fingerprints of those lines).
+
+    A line qualifies when its whitespace-trimmed form has at least
+    ``min_chars`` characters; matching is on the TRIMMED text (SQL
+    ``trim(line, ' \\t\\r')`` semantics, so '\\r\\n' files match '\\n'
+    files). The fingerprint pairs two independent polynomial hashes and
+    folds in the byte length, for 2^-128 collision odds corpus-wide."""
+    trimmed = pc.utf8_trim(flat, " \t\r")
+    qual_idx = np.flatnonzero(
+        np.asarray(pc.greater_equal(pc.utf8_length(trimmed), min_chars))
+    )
+    if qual_idx.size == 0:
+        return qual_idx, np.empty(0, dtype=_DT2)
+    tq = trimmed.take(pa.array(qual_idx, pa.int64()))
+    blen = np.asarray(pc.binary_length(tq)).astype(np.uint64)
+    h1 = _mix64(_token_hashes(tq) ^ (blen * _GOLDEN))
+    h2 = _mix64(_token_hashes(tq, base=_POLY_B2) ^ (blen * _POLY_B))
+    return qual_idx, _pack2(h1, h2)
+
+
+def _rebuild_docs(
+    flat: pa.Array,
+    offsets: np.ndarray,
+    drop: np.ndarray,
+    nulls: np.ndarray,
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Reassemble documents from flat lines minus dropped ones →
+    (text array, lines_total, lines_dropped); NULL input docs stay NULL
+    with zero counts."""
+    n_docs = offsets.size - 1
+    totals = np.diff(offsets)
+    keep = ~drop
+    if n_docs == 0:
+        return pa.array([], pa.string()), totals, totals
+    dropped = np.add.reduceat(drop.astype(np.int64), offsets[:-1])
+    # reduceat quirk-safe: every doc has >= 1 line after fill_null('')
+    new_counts = totals - dropped
+    new_offsets = np.r_[0, np.cumsum(new_counts)]
+    kept_vals = flat.filter(pa.array(keep))
+    rebuilt = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(new_offsets, pa.int32()), kept_vals),
+        "\n",
+    )
+    if nulls.any():
+        rebuilt = pc.if_else(pa.array(nulls), pa.nulls(n_docs, pa.string()), rebuilt)
+        totals = np.where(nulls, 0, totals)
+        dropped = np.where(nulls, 0, dropped)
+    return rebuilt, totals, dropped
+
+
+def dedup_lines(
+    ds: "ray.data.Dataset",  # noqa: F821
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_dup_docs: int = 2,
+    min_line_chars: int = 12,
+    broadcast_max_lines: int = 2_000_000,
+    strategy: str = "auto",
+):
+    """Drop every line whose trimmed form appears in ≥ ``min_dup_docs``
+    DISTINCT documents — the cross-document boilerplate-removal step of
+    web/code corpus pipelines (license headers, nav bars, generated-code
+    banners; RefinedWeb's line-dedup stage, and the line-level analogue
+    of the reference's UNIQUE rule, uniqueness_executor.py:53-200).
+    Complement of ``text.line_repetition`` (WITHIN-document signals).
+
+    Semantics (SQL-expressible, oracle-verified):
+
+    * a line is each ``\\n``-separated segment; matching is on
+      ``trim(line, ' \\t\\r')`` so CRLF/indentation variants match;
+    * only lines with ≥ ``min_line_chars`` trimmed characters are ever
+      dropped — short idiomatic lines (``}``, ``end``, ``import os``)
+      are never corpus-deduped;
+    * duplication counts DISTINCT documents (multiple occurrences in
+      one document count once), but once a line is duplicated EVERY
+      occurrence is dropped;
+    * output: ``(id_col, text_col rebuilt with '\\n', lines_total,
+      lines_dropped)``; NULL documents pass through NULL with zero
+      counts.
+
+    Physical plan: per-batch partials dedupe (doc, fingerprint) pairs
+    and pre-sum per fingerprint (combiner — shuffle volume is distinct
+    lines per block, 24 bytes each, never the text) → ONE
+    ``groupby(fingerprint)`` sum → the duplicated-fingerprint table.
+    Membership then resolves like the flagship's decision table:
+    broadcast (``ray.put`` once, binary-search per batch) when the dup
+    set is ≤ ``broadcast_max_lines``, else a two-stage bucket cogroup —
+    (1) qualifying line fingerprints cogrouped with the dup table on
+    ``fingerprint % NB`` emit only the dropped (id, position) pairs,
+    (2) docs cogrouped with those pairs on ``hash(id) % NB`` rebuild
+    locally. Driver state is O(1) above the budget. Fingerprints are
+    128-bit (two independent polynomial bases + length fold), so a
+    false cross-line match is ~2^-128 — negligible even at 10^12 lines.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if min_line_chars < 1:
+        raise ValueError("min_line_chars must be >= 1")
+    if min_dup_docs < 2:
+        raise ValueError("min_dup_docs must be >= 2")
+    if strategy not in ("auto", "broadcast", "cogroup"):
+        raise ValueError("strategy must be auto|broadcast|cogroup")
+
+    def count_partials(b: pa.Table) -> pa.Table:
+        flat, offsets, _ = _split_lines(b[text_col])
+        qual_idx, fp = _line_fingerprints(flat, min_line_chars)
+        doc_of = np.repeat(
+            np.arange(offsets.size - 1, dtype=np.int64), np.diff(offsets)
+        )[qual_idx]
+        # one fingerprint per (doc, line) pair, then per-batch counts
+        trip = np.empty(
+            fp.size, dtype=[("d", "<i8"), ("a", "<u8"), ("b", "<u8")]
+        )
+        trip["d"], trip["a"], trip["b"] = doc_of, fp["a"], fp["b"]
+        uniq = np.unique(trip)
+        pairs, counts = np.unique(
+            _pack2(uniq["a"], uniq["b"]), return_counts=True
+        )
+        return pa.table(
+            {
+                "a": pa.array(pairs["a"].view(np.int64), pa.int64()),
+                "b": pa.array(pairs["b"].view(np.int64), pa.int64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    dup = (
+        ds.map_batches(count_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"])
+        .aggregate(Sum("c", alias_name="n"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["n"], min_dup_docs)
+            ).select(["a", "b"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    n_dup = dup.count()
+
+    if strategy == "broadcast" or (strategy == "auto" and n_dup <= broadcast_max_lines):
+        rows = dup.take_all()
+        dup_sorted = np.sort(
+            _pack2(
+                np.array([r["a"] for r in rows], np.int64).view(np.uint64),
+                np.array([r["b"] for r in rows], np.int64).view(np.uint64),
+            )
+        )
+        dup_ref = ray.put(dup_sorted)
+
+        def rebuild_broadcast(b: pa.Table) -> pa.Table:
+            dset = ray.get(dup_ref)
+            flat, offsets, nulls = _split_lines(b[text_col])
+            qual_idx, fp = _line_fingerprints(flat, min_line_chars)
+            drop = np.zeros(len(flat), bool)
+            drop[qual_idx] = _member2(fp, dset)
+            text, totals, dropped = _rebuild_docs(flat, offsets, drop, nulls)
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    text_col: text,
+                    "lines_total": pa.array(totals, pa.int64()),
+                    "lines_dropped": pa.array(dropped, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(
+            rebuild_broadcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    return _dedup_lines_cogroup(ds, dup, id_col, text_col, min_line_chars)
+
+
+def _dedup_lines_cogroup(ds, dup, id_col, text_col, min_line_chars):
+    """Scale path: the dup-fingerprint table never touches the driver.
+
+    Stage 1 — lines ⋈ dup on ``fingerprint % NB``: qualifying (id,
+    line position, fingerprint) rows and dup rows share one aligned slim
+    schema; each bucket binary-searches locally and emits ONLY the
+    dropped (id, position) pairs (output ∝ actual boilerplate volume).
+    Stage 2 — docs ⋈ dropped pairs on ``hash(id) % NB``: each bucket
+    rebuilds its documents with the same vectorized kernel as the
+    broadcast path. Both exchanges are hash-keyed (uniform); stage-2
+    buckets carry whole documents, bounded by ``coarse_bucket_count``'s
+    byte cap."""
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    nb1 = coarse_bucket_count(dup)
+
+    def tag_lines(b: pa.Table) -> pa.Table:
+        flat, offsets, _ = _split_lines(b[text_col])
+        qual_idx, fp = _line_fingerprints(flat, min_line_chars)
+        doc_of = np.repeat(
+            np.arange(offsets.size - 1, dtype=np.int64), np.diff(offsets)
+        )[qual_idx]
+        line_pos = qual_idx - offsets[doc_of]
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "id": ids.take(pa.array(doc_of, pa.int64())),
+                "pos": pa.array(line_pos, pa.int64()),
+                "a": pa.array(fp["a"].view(np.int64), pa.int64()),
+                "b": pa.array(fp["b"].view(np.int64), pa.int64()),
+                "__bucket": pa.array(
+                    (fp["a"] % np.uint64(nb1)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def tag_dup(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["a"]).view(np.uint64)
+        return pa.table(
+            {
+                "id": pa.nulls(len(b), id_type),
+                "pos": pa.nulls(len(b), pa.int64()),
+                "a": b["a"],
+                "b": b["b"],
+                "__bucket": pa.array(
+                    (a % np.uint64(nb1)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def match_bucket(g: pa.Table) -> pa.Table:
+        is_dup = np.asarray(pc.is_null(g["pos"]))
+        fp_all = _pack2(
+            np.asarray(g["a"]).view(np.uint64), np.asarray(g["b"]).view(np.uint64)
+        )
+        dup_sorted = np.sort(fp_all[is_dup])
+        lines = g.filter(pa.array(~is_dup))
+        member = _member2(fp_all[~is_dup], dup_sorted)
+        return lines.select(["id", "pos"]).filter(pa.array(member))
+
+    dropped_pairs = (
+        ds.map_batches(tag_lines, batch_format="pyarrow", zero_copy_batch=True)
+        .union(dup.map_batches(tag_dup, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("__bucket")
+        .map_groups(match_bucket, batch_format="pyarrow")
+    )
+
+    nb2 = coarse_bucket_count(ds)
+
+    def _id_bucket(ids) -> pa.Array:
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        keys = pc.cast(ids, pa.string())
+        return pa.array(
+            (_token_hashes(keys) % np.uint64(nb2)).astype(np.int32), pa.int32()
+        )
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": b[id_col],
+                "text": pc.cast(b[text_col], pa.string()),
+                "isdoc": pa.array(np.ones(len(b), bool)),
+                "pos": pa.nulls(len(b), pa.int64()),
+                "__bucket": _id_bucket(b[id_col]),
+            }
+        )
+
+    def tag_pairs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": b["id"],
+                "text": pa.nulls(len(b), pa.string()),
+                "isdoc": pa.array(np.zeros(len(b), bool)),
+                "pos": b["pos"],
+                "__bucket": _id_bucket(b["id"]),
+            }
+        )
+
+    def rebuild_bucket(g: pa.Table) -> pa.Table:
+        is_doc = np.asarray(g["isdoc"])
+        docs = g.filter(pa.array(is_doc))
+        pairs = g.filter(pa.array(~is_doc))
+        flat, offsets, nulls = _split_lines(docs["text"])
+        drop = np.zeros(len(flat), bool)
+        if pairs.num_rows:
+            # shared dictionary codes for doc ids on both sides
+            all_ids = pa.concat_arrays(
+                [
+                    pc.cast(docs["id"].combine_chunks(), pa.string()),
+                    pc.cast(pairs["id"].combine_chunks(), pa.string()),
+                ]
+            )
+            codes = np.asarray(pc.dictionary_encode(all_ids).indices).astype(
+                np.int64
+            )
+            doc_codes, pair_codes = codes[: docs.num_rows], codes[docs.num_rows :]
+            key = np.empty(
+                pairs.num_rows, dtype=[("d", "<i8"), ("p", "<i8")]
+            )
+            key["d"], key["p"] = pair_codes, np.asarray(pairs["pos"])
+            key = np.sort(key)
+            q = np.empty(len(flat), dtype=key.dtype)
+            doc_of = np.repeat(
+                np.arange(offsets.size - 1, dtype=np.int64), np.diff(offsets)
+            )
+            q["d"] = doc_codes[doc_of]
+            q["p"] = np.arange(len(flat), dtype=np.int64) - offsets[doc_of]
+            idx = np.searchsorted(key, q)
+            valid = idx < key.size
+            drop[valid] = key[idx[valid]] == q[valid]
+        text, totals, dropped = _rebuild_docs(flat, offsets, drop, nulls)
+        ids_out = docs["id"].combine_chunks()
+        return pa.table(
+            {
+                id_col: ids_out,
+                text_col: text,
+                "lines_total": pa.array(totals, pa.int64()),
+                "lines_dropped": pa.array(dropped, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(
+        tag_docs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        dropped_pairs.map_batches(
+            tag_pairs, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    return tagged.groupby("__bucket").map_groups(
+        rebuild_bucket, batch_format="pyarrow"
+    )
