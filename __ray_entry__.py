@@ -753,6 +753,49 @@ def _q_dedup_lines_cogroup(sf_dir: str):
     )
 
 
+def _known_corpus(sf_dir: str):
+    """Deterministic 'already-ingested corpus' stand-in: every third
+    document (by doc_id) — the right side of the incremental-ingest
+    anti-join."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: b.filter(pa.array(np.asarray(b["doc_id"]) % 3 == 0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q_anti_join_documents(sf_dir: str):
+    """Incremental-ingest dedup: keep documents whose text does NOT
+    appear in the known corpus (NOT EXISTS anti-join on content)."""
+    from validatelite_ray.stages.joins import anti_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return anti_join(docs, _known_corpus(sf_dir), on="text").select_columns(
+        ["doc_id"]
+    )
+
+
+def _q_semi_join_documents_cogroup(sf_dir: str):
+    """EXISTS semi-join, forced through the scale path (key set stays a
+    Dataset; one bucket cogroup)."""
+    from validatelite_ray.stages.joins import semi_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return semi_join(
+        docs, _known_corpus(sf_dir), on="text", strategy="cogroup"
+    ).select_columns(["doc_id"])
+
+
+def _q_distinct_types_per_user(sf_dir: str):
+    """COUNT(DISTINCT event_type) per user at corpus scale (exact path:
+    per-batch C++ distinct pairs + one coarse-bucket shuffle)."""
+    from validatelite_ray.stages.sample import count_distinct_per_group
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return count_distinct_per_group(ds, "user_id", "event_type")
+
+
 def _q_dedup_simhash_clusters(sf_dir: str):
     """SimHash end-to-end near-dup clusters: band groupby + in-bucket
     Hamming verify + connected components (rows-only; pytest carries a
@@ -1009,6 +1052,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": _q_dedup_exact,
         "dedup_lines_documents": _q_dedup_lines,
         "dedup_lines_documents_cogroup": _q_dedup_lines_cogroup,
+        "anti_join_documents": _q_anti_join_documents,
+        "semi_join_documents_cogroup": _q_semi_join_documents_cogroup,
+        "distinct_types_per_user": _q_distinct_types_per_user,
         "dedup_minhash_documents": _q_dedup_minhash,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "dedup_simhash_documents": _q_dedup_simhash,
@@ -1328,6 +1374,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_lines_documents": _DEDUP_LINES_SQL,
         "dedup_lines_documents_cogroup": _DEDUP_LINES_SQL,
+        "anti_join_documents": (
+            "SELECT d.doc_id FROM documents d WHERE NOT EXISTS ("
+            "SELECT 1 FROM documents k WHERE k.doc_id % 3 = 0 "
+            "AND k.text = d.text)"
+        ),
+        "semi_join_documents_cogroup": (
+            "SELECT d.doc_id FROM documents d WHERE EXISTS ("
+            "SELECT 1 FROM documents k WHERE k.doc_id % 3 = 0 "
+            "AND k.text = d.text)"
+        ),
+        "distinct_types_per_user": (
+            "SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) "
+            "AS n_distinct FROM events GROUP BY user_id"
+        ),
         "ngram_jaccard_pairs": (
             # exact 3-token-shingle Jaccard >= 0.5 over all doc pairs;
             # tokens = ASCII \\w+ on lowered text (same class the Ray

@@ -1,0 +1,123 @@
+"""semi/anti join (EXISTS / NOT EXISTS) and count_distinct_per_group."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from validatelite_ray.stages.joins import anti_join, semi_join
+from validatelite_ray.stages.sample import count_distinct_per_group
+
+
+def _left():
+    return ray.data.from_items(
+        [
+            {"id": 1, "k": "a"},
+            {"id": 2, "k": "b"},
+            {"id": 3, "k": "c"},
+            {"id": 4, "k": None},
+            {"id": 5, "k": "a"},
+        ]
+    )
+
+
+def _right():
+    return ray.data.from_items(
+        [{"k": "a"}, {"k": "a"}, {"k": "x"}, {"k": None}]
+    )
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "cogroup"])
+def test_semi_anti_null_semantics(ray_session, strategy):
+    # SQL EXISTS: NULL never matches -> semi drops NULL-key rows,
+    # anti keeps them; right-side NULLs match nothing
+    semi = sorted(
+        r["id"] for r in semi_join(_left(), _right(), on="k", strategy=strategy).take_all()
+    )
+    anti = sorted(
+        r["id"] for r in anti_join(_left(), _right(), on="k", strategy=strategy).take_all()
+    )
+    assert semi == [1, 5]
+    assert anti == [2, 3, 4]
+
+
+def test_semi_anti_strategies_identical(ray_session):
+    for fn in (semi_join, anti_join):
+        a = sorted(r["id"] for r in fn(_left(), _right(), on="k", strategy="broadcast").take_all())
+        b = sorted(r["id"] for r in fn(_left(), _right(), on="k", strategy="cogroup").take_all())
+        assert a == b
+
+
+def test_anti_join_skewed_hot_key(ray_session):
+    # one key repeated across every left block; right side huge-ish
+    left = ray.data.from_items(
+        [{"id": i, "k": "hot" if i % 2 else f"u{i}"} for i in range(400)]
+    ).repartition(8)
+    right = ray.data.from_items([{"k": "hot"}] * 50 + [{"k": f"u{i}"} for i in range(0, 100, 4)])
+    for strategy in ("broadcast", "cogroup"):
+        out = sorted(r["id"] for r in anti_join(left, right, on="k", strategy=strategy).take_all())
+        want = sorted(
+            i for i in range(400) if i % 2 == 0 and not (i % 4 == 0 and i < 100)
+        )
+        assert out == want
+
+
+def test_count_distinct_per_group_exact(ray_session):
+    t = pa.table(
+        {
+            "k": ["a", "a", "a", "b", None, None, "b"],
+            "v": [1, 1, 2, None, 5, 5, None],
+        }
+    )
+    out = {
+        r["k"]: r["n_distinct"]
+        for r in count_distinct_per_group(
+            ray.data.from_arrow(t).repartition(3), "k", "v"
+        ).take_all()
+    }
+    # NULL vals excluded; NULL keys one group; keys with only NULL vals -> 0
+    assert out == {"a": 2, "b": 0, None: 1}
+
+
+def test_count_distinct_per_group_exact_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    got = {
+        r["user_id"]: r["n_distinct"]
+        for r in count_distinct_per_group(ds, "user_id", "event_type").take_all()
+    }
+    want = dict(
+        duckdb.sql(
+            f"SELECT user_id, count(DISTINCT event_type) FROM '{sf_dir}/events.parquet' GROUP BY user_id"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_count_distinct_per_group_approx(ray_session):
+    n = 120_000
+    rng = np.random.default_rng(11)
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 4, n).astype(str)),
+            "v": pa.array(rng.integers(0, 20_000, n)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    exact = {r["k"]: r["n_distinct"] for r in count_distinct_per_group(ds, "k", "v").take_all()}
+    approx = {
+        r["k"]: r["n_distinct"]
+        for r in count_distinct_per_group(ds, "k", "v", approx=True, kmv_k=1024).take_all()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.15  # ~5 sigma at k=1024
+    # below-k cardinalities are EXACT under the sketch
+    small = ray.data.from_arrow(
+        pa.table({"k": ["g"] * 100, "v": list(range(50)) * 2})
+    ).repartition(4)
+    out = count_distinct_per_group(small, "k", "v", approx=True, kmv_k=1024).take_all()
+    assert out == [{"k": "g", "n_distinct": 50}]

@@ -560,3 +560,148 @@ def range_join_cogroup(
         .map_groups(resolve, batch_format="pyarrow")
         .select_columns(out_names)
     )
+
+
+def semi_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    strategy: str = "auto",
+    broadcast_max_keys: int = 2_000_000,
+):
+    """Existence filter: keep left rows whose ``on`` value appears
+    (``semi``) / does not appear (``anti=True``) among the right side's
+    ``right_on`` values — SQL ``WHERE [NOT] EXISTS`` with equality.
+    The anti form is "dedup against an existing corpus": filter a new
+    crawl against the hash set of everything already ingested.
+
+    SQL NULL semantics: a NULL key never equals anything, so NULL-key
+    left rows are dropped by semi and KEPT by anti; NULL right keys
+    match nothing.
+
+    Physical plan: the right side reduces to per-batch DISTINCT keys
+    (combiner) → ONE ``groupby`` distinct. Membership then resolves
+
+    * by **broadcast** (distinct right keys ≤ ``broadcast_max_keys``):
+      keys collected once, ``ray.put``, Arrow C++ ``is_in`` per left
+      batch — the left side never shuffles;
+    * by **bucket cogroup** above the budget: left rows and right keys
+      share a ``hash(key) % NB`` bucket column, ONE sort-shuffle
+      colocates them, and each bucket runs the same vectorized ``is_in``
+      locally. Driver state O(1); both exchanges hash-keyed (uniform).
+    """
+    import ray
+
+    from validatelite_ray.stages.dedup import _token_hashes, coarse_bucket_count
+
+    right_on = right_on or on
+    if strategy not in ("auto", "broadcast", "cogroup"):
+        raise ValueError("strategy must be auto|broadcast|cogroup")
+
+    rtype = dict(zip(right.schema().names, right.schema().types))[right_on]
+    if pa.types.is_null(rtype):  # all-NULL right side: nothing matches
+        rtype = dict(zip(left.schema().names, left.schema().types))[on]
+
+    def batch_distinct(b: pa.Table) -> pa.Table:
+        vals = b[right_on]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        if pa.types.is_null(vals.type):  # an all-NULL block types as null
+            return pa.table({"k": pa.array([], rtype)})
+        u = pc.unique(vals.drop_null())
+        return pa.table({"k": u})
+
+    rkeys = (
+        right.map_batches(batch_distinct, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .count()
+        .select_columns(["k"])
+        .materialize()
+    )
+    n_keys = rkeys.count()
+
+    def _filter(b: pa.Table, value_set) -> pa.Table:
+        col = b[on]
+        if pa.types.is_null(
+            col.type if not isinstance(col, pa.ChunkedArray) else col.type
+        ):  # all-NULL key block: NULL matches nothing
+            member = pa.array(np.zeros(len(b), bool))
+        else:
+            member = pc.fill_null(pc.is_in(col, value_set=value_set), False)
+        return b.filter(pc.invert(member) if anti else member)
+
+    if strategy == "broadcast" or (strategy == "auto" and n_keys <= broadcast_max_keys):
+        rows = rkeys.take_all()
+        keys_arr = pa.array([r["k"] for r in rows])
+        keys_ref = ray.put(keys_arr)
+
+        def kept(b: pa.Table) -> pa.Table:
+            return _filter(b, ray.get(keys_ref))
+
+        return left.map_batches(kept, batch_format="pyarrow", zero_copy_batch=True)
+
+    # ---- bucket-cogroup path: the key set never touches the driver ----
+    sch = left.schema()
+    left_names = list(sch.names)
+    left_types = dict(zip(sch.names, sch.types))
+    nb = coarse_bucket_count(left)
+
+    def _bucket(keys) -> pa.Array:
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        ks = pc.fill_null(pc.cast(keys, pa.string()), "\x00\x00__vlray_null__")
+        return pa.array(
+            (_token_hashes(ks) % np.uint64(nb)).astype(np.int32), pa.int32()
+        )
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {n: b[n] for n in left_names}
+        cols["__isright"] = pa.array(np.zeros(len(b), bool))
+        cols["__bucket"] = _bucket(b[on])
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        cols = {
+            n: (pc.cast(b["k"], left_types[n]) if n == on else pa.nulls(len(b), left_types[n]))
+            for n in left_names
+        }
+        cols["__isright"] = pa.array(np.ones(len(b), bool))
+        cols["__bucket"] = _bucket(b["k"])
+        return pa.table(cols)
+
+    def resolve(g: pa.Table) -> pa.Table:
+        is_r = np.asarray(g["__isright"])
+        rk = g.filter(pa.array(is_r))[on]
+        if isinstance(rk, pa.ChunkedArray):
+            rk = rk.combine_chunks()
+        rows = g.filter(pa.array(~is_r)).drop_columns(["__isright", "__bucket"])
+        return _filter(rows, rk)
+
+    tagged = left.map_batches(
+        tag_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        rkeys.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return tagged.groupby("__bucket").map_groups(resolve, batch_format="pyarrow")
+
+
+def anti_join(
+    left,
+    right,
+    on: str,
+    right_on: str | None = None,
+    strategy: str = "auto",
+    broadcast_max_keys: int = 2_000_000,
+):
+    """``WHERE NOT EXISTS`` — see ``semi_join``."""
+    return semi_join(
+        left,
+        right,
+        on,
+        right_on=right_on,
+        anti=True,
+        strategy=strategy,
+        broadcast_max_keys=broadcast_max_keys,
+    )

@@ -563,3 +563,166 @@ def approx_quantiles_by_group(
         pre.groupby("__bucket")
         .map_groups(merge_bucket, batch_format="pyarrow")
     )
+
+
+def count_distinct_per_group(
+    ds,
+    key: str,
+    val: str,
+    approx: bool = False,
+    kmv_k: int = 1024,
+):
+    """``COUNT(DISTINCT val) GROUP BY key`` at corpus scale → Dataset of
+    (key, n_distinct) — distinct users per source, distinct repos per
+    language, etc. (the reference's uniqueness statistics generalized to
+    grouped cardinality; uniqueness_executor.py computes the ungrouped
+    case via SQL COUNT(DISTINCT)).
+
+    SQL semantics: NULL values are excluded; NULL keys form one group.
+
+    * exact (default): per-batch distinct-(key, value) reduction via
+      Arrow C++ ``group_by`` (the combiner — repeated pairs never leave
+      the block, and matching is on the REAL values, no hashing), ONE
+      ``hash(key) % NB`` coarse-bucket sort-shuffle of the distinct
+      pairs, then per bucket one more C++ distinct + per-key count for
+      ALL of its keys at once. Honest exact cost: every distinct
+      (key, value) pair crosses the exchange once. Built for millions
+      of groups — grouping on the raw key would be one Python call per
+      distinct key.
+    * approx (``approx=True``): per-batch KMV partials — the ``kmv_k``
+      smallest 64-bit value hashes PER KEY per block (the grouped form
+      of ``profile_columns``\'s KMV sketch; Bar-Yossef et al. 2002) —
+      through the same single coarse shuffle; shuffle volume per key is
+      ≤ kmv_k × #blocks hashes regardless of value cardinality. Group
+      identity stays exact (bucketing and run detection use the key
+      itself); only the value-set size is estimated, with relative
+      standard error ≈ 1/sqrt(kmv_k - 2) (~3.1% at k=1024);
+      deterministic hash ⇒ repeatable estimates.
+    """
+    from validatelite_ray.stages.dedup import _token_hashes, coarse_bucket_count
+
+    nb = coarse_bucket_count(ds)
+
+    def _bucket_col(keys) -> pa.Array:
+        return pa.array(
+            (_token_hashes(_key_strings(keys)) % np.uint64(nb)).astype(np.int32),
+            pa.int32(),
+        )
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        # NULL values stay in the distinct pass as (key, NULL) rows so a
+        # group whose values are all NULL still exists with count 0
+        # (SQL GROUP BY semantics); the final count skips NULLs.
+        dist = b.select([key, val]).group_by([key, val]).aggregate([])
+        return dist.append_column("__bucket", _bucket_col(dist[key]))
+
+    def exact_reduce(g: pa.Table) -> pa.Table:
+        dist = (
+            g.drop_columns(["__bucket"]).group_by([key, val]).aggregate([])
+        )
+        out = dist.group_by([key]).aggregate([(val, "count")])
+        return pa.table(
+            {
+                key: out[key],
+                "n_distinct": pc.cast(out[f"{val}_count"], pa.int64()),
+            }
+        )
+
+    if not approx:
+        pre = ds.map_batches(
+            exact_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return pre.groupby("__bucket").map_groups(
+            exact_reduce, batch_format="pyarrow"
+        )
+
+    #: order-preserving uint64→int64 map (XOR the sign bit) so an
+    #: Arrow int64 sort ranks hashes in true unsigned order
+    _FLIP = np.uint64(1 << 63)
+
+    def _kmin_per_key(t: pa.Table, vh: np.ndarray) -> pa.Table:
+        """rows of (key cols…, unsigned hashes) → per-key k-min distinct
+        hashes, vectorized first-k-of-runs over a (key, hash) sort; the
+        stored __vh column is sign-flipped for int64 ordering."""
+        t = t.append_column(
+            "__vh", pa.array((vh ^ _FLIP).view(np.int64), pa.int64())
+        )
+        order = pc.sort_indices(
+            t, sort_keys=[(key, "ascending"), ("__vh", "ascending")]
+        )
+        t = t.take(order)
+        ks = _key_strings(t[key])
+        vhs = np.asarray(t["__vh"]).view(np.uint64)
+        m = t.num_rows
+        if m == 0:
+            return t
+        neq_key = np.r_[True, np.asarray(
+            pc.not_equal(ks.slice(1), ks.slice(0, m - 1))
+        )]
+        # distinct (key, hash) rows only
+        new_row = neq_key | np.r_[True, vhs[1:] != vhs[:-1]]
+        t = t.filter(pa.array(new_row))
+        starts = np.flatnonzero(neq_key[new_row])
+        lens = np.diff(np.append(starts, t.num_rows))
+        take = np.minimum(lens, kmv_k)
+        base = np.repeat(starts, take)
+        offs = np.arange(int(take.sum())) - np.repeat(np.cumsum(take) - take, take)
+        return t.take(pa.array(base + offs, pa.int64()))
+
+    #: NULL values ride along as a sentinel hash that sorts LAST in
+    #: unsigned order — it keeps an all-NULL group alive (count 0)
+    #: without ever displacing a real hash from the k-min set
+    _SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def kmv_partial(b: pa.Table) -> pa.Table:
+        vs = b[val]
+        if isinstance(vs, pa.ChunkedArray):
+            vs = vs.combine_chunks()
+        vh = np.full(len(vs), _SENTINEL, np.uint64)
+        nn = np.flatnonzero(np.asarray(pc.is_valid(vs)))
+        if nn.size:
+            h = _token_hashes(
+                pc.cast(vs.take(pa.array(nn, pa.int64())), pa.string())
+            )
+            h[h == _SENTINEL] -= np.uint64(1)
+            vh[nn] = h
+        t = _kmin_per_key(b.select([key]), vh)
+        return t.append_column("__bucket", _bucket_col(t[key]))
+
+    def kmv_reduce(g: pa.Table) -> pa.Table:
+        vh = np.asarray(g["__vh"]).view(np.uint64) ^ _FLIP
+        t = _kmin_per_key(g.select([key]), vh)
+        ks = _key_strings(t[key])
+        m = t.num_rows
+        if m == 0:
+            return pa.table(
+                {
+                    key: t[key],
+                    "n_distinct": pa.array([], pa.int64()),
+                }
+            )
+        neq_key = np.r_[True, np.asarray(
+            pc.not_equal(ks.slice(1), ks.slice(0, m - 1))
+        )]
+        starts = np.flatnonzero(neq_key)
+        lens = np.diff(np.append(starts, m))
+        vhs = np.asarray(t["__vh"]).view(np.uint64) ^ _FLIP
+        # the sentinel sorts last within each run: subtract it from the
+        # partial count; full runs never reach it before the k-th hash
+        has_sent = vhs[starts + lens - 1] == _SENTINEL
+        ests = (lens - has_sent).astype(np.int64)
+        full = lens >= kmv_k
+        if full.any():
+            kth = vhs[starts[full] + kmv_k - 1].astype(np.float64)
+            ests[full] = np.round((kmv_k - 1) / (kth / float(2**64))).astype(
+                np.int64
+            )
+        return pa.table(
+            {
+                key: t[key].take(pa.array(starts, pa.int64())),
+                "n_distinct": pa.array(ests, pa.int64()),
+            }
+        )
+
+    pre = ds.map_batches(kmv_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return pre.groupby("__bucket").map_groups(kmv_reduce, batch_format="pyarrow")
