@@ -787,6 +787,30 @@ def _q_semi_join_documents_cogroup(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def _q_normalize_outliers(sf_dir: str):
+    """Z-score the events value column (streaming Welford moments, zero
+    shuffle) and count |z| > 2 outliers — the integer projection keeps
+    the float pipeline oracle-checkable exactly."""
+    from validatelite_ray.stages.sample import normalize_column
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    z = normalize_column(ds, "value", method="zscore", out="z")
+
+    def count_out(b: pa.Table) -> pa.Table:
+        m = pc.greater(pc.abs(b["z"]), 2.0)
+        return pa.table(
+            {"c": pa.array([pc.sum(pc.cast(m, pa.int64())).as_py() or 0], pa.int64())}
+        )
+
+    n = sum(
+        r["c"]
+        for r in z.map_batches(
+            count_out, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+    )
+    return pa.table({"n_outliers": pa.array([n], pa.int64())})
+
+
 def _q_distinct_types_per_user(sf_dir: str):
     """COUNT(DISTINCT event_type) per user at corpus scale (exact path:
     per-batch C++ distinct pairs + one coarse-bucket shuffle)."""
@@ -1055,6 +1079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_documents": _q_anti_join_documents,
         "semi_join_documents_cogroup": _q_semi_join_documents_cogroup,
         "distinct_types_per_user": _q_distinct_types_per_user,
+        "normalize_outliers_events": _q_normalize_outliers,
         "dedup_minhash_documents": _q_dedup_minhash,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "dedup_simhash_documents": _q_dedup_simhash,
@@ -1387,6 +1412,12 @@ def oracle_sql() -> dict[str, str]:
         "distinct_types_per_user": (
             "SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) "
             "AS n_distinct FROM events GROUP BY user_id"
+        ),
+        "normalize_outliers_events": (
+            "SELECT CAST(count(*) FILTER (abs((value - m) / s) > 2) "
+            "AS BIGINT) AS n_outliers FROM (SELECT value, "
+            "AVG(value) OVER () AS m, STDDEV_POP(value) OVER () AS s "
+            "FROM events)"
         ),
         "ngram_jaccard_pairs": (
             # exact 3-token-shingle Jaccard >= 0.5 over all doc pairs;

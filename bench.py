@@ -115,6 +115,18 @@ def bench_once() -> dict:
         summary["total_rows"] / timings["qf_corpus"], 1
     )
 
+    def _best_of(fn, n=2) -> float:
+        # suite legs were single-run through r03 and swung ±50% with
+        # host steal (r03: unique_events +28%, agg_lineitem +48% vs r02
+        # on unchanged code); min-of-2 is the same de-noising estimator
+        # the flagship legs use
+        best_t = None
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            best_t = min(best_t or 1e18, time.time() - t0)
+        return round(best_t, 3)
+
     # --- fused rule suite over lineitem --------------------------------
     rules = [
         S.not_null("l_orderkey", name="nn"),
@@ -125,29 +137,27 @@ def bench_once() -> dict:
         S.length("l_returnflag", 1, 1, name="len"),
         S.regex("l_returnflag", "^[A-Z]$", name="rx"),
     ]
-    t0 = time.time()
-    RuleEngine(rules).execute(
+    timings["rules_lineitem"] = _best_of(lambda: RuleEngine(rules).execute(
         rd.read_parquet(
             f"{SF_DIR}/lineitem.parquet",
             columns=["l_orderkey", "l_quantity", "l_extendedprice",
                      "l_returnflag", "l_linestatus"],
         )
-    )
-    timings["rules_lineitem"] = round(time.time() - t0, 3)
+    ))
 
     # --- UNIQUE shuffle over events ------------------------------------
-    t0 = time.time()
-    RuleEngine([S.unique("user_id", name="u")]).execute(
-        rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id"])
+    timings["unique_events"] = _best_of(
+        lambda: RuleEngine([S.unique("user_id", name="u")]).execute(
+            rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id"])
+        )
     )
-    timings["unique_events"] = round(time.time() - t0, 3)
 
     # --- grouped aggregate (Q1-style) ----------------------------------
     import __ray_entry__ as entrymod
 
-    t0 = time.time()
-    entrymod._q_agg_lineitem(SF_DIR).materialize()
-    timings["agg_lineitem"] = round(time.time() - t0, 3)
+    timings["agg_lineitem"] = _best_of(
+        lambda: entrymod._q_agg_lineitem(SF_DIR).materialize()
+    )
 
     # --- checkpointed (resumable) flagship path ------------------------
     # Runs LAST (round-2 verdict: its 8-concurrent-job interleaving ran

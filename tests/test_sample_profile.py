@@ -397,3 +397,51 @@ def test_group_quantiles_rank_bound_and_nulls(ray_session):
     assert [(r["k"], r["value"]) for r in rows] == [("a", 1.0)]
     with pytest.raises(ValueError):
         approx_quantiles_by_group(rd.from_arrow(t2), "k", "x", [])
+
+
+class TestNormalize:
+    def test_column_moments_matches_numpy(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from validatelite_ray.stages.sample import column_moments
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(10.0, 4.0, 50_000)
+        t = pa.table({"v": pa.array(x)})
+        n, mean, var = column_moments(ray.data.from_arrow(t).repartition(7), "v")
+        assert n == x.size
+        assert abs(mean - x.mean()) < 1e-9
+        assert abs(var - x.var()) / x.var() < 1e-12
+
+    def test_zscore_and_minmax(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from validatelite_ray.stages.sample import normalize_column
+
+        t = pa.table({"id": [1, 2, 3, 4], "v": [1.0, 3.0, None, 5.0]})
+        ds = ray.data.from_arrow(t)
+        z = {r["id"]: r["v_norm"] for r in normalize_column(ds, "v").take_all()}
+        x = np.array([1.0, 3.0, 5.0])
+        want = (np.array([1.0, 3.0, 5.0]) - x.mean()) / x.std()
+        assert z[3] is None
+        assert abs(z[1] - want[0]) < 1e-12 and abs(z[4] - want[2]) < 1e-12
+        mm = {
+            r["id"]: r["v_norm"]
+            for r in normalize_column(ds, "v", method="minmax").take_all()
+        }
+        assert mm == {1: 0.0, 2: 0.5, 3: None, 4: 1.0}
+
+    def test_degenerate_column_yields_null(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from validatelite_ray.stages.sample import normalize_column
+
+        ds = ray.data.from_arrow(pa.table({"v": [7.0, 7.0, 7.0]}))
+        for method in ("zscore", "minmax"):
+            out = normalize_column(ds, "v", method=method).take_all()
+            assert [r["v_norm"] for r in out] == [None, None, None]

@@ -726,3 +726,89 @@ def count_distinct_per_group(
 
     pre = ds.map_batches(kmv_partial, batch_format="pyarrow", zero_copy_batch=True)
     return pre.groupby("__bucket").map_groups(kmv_reduce, batch_format="pyarrow")
+
+
+def column_moments(ds, col: str) -> tuple[int, float, float]:
+    """(n, mean, variance_pop) of a numeric column in ONE streaming
+    pass, NULLs excluded — per-block (n, mean, M2) partials merged with
+    the parallel Welford/Chan update (numerically stable at any scale;
+    a naive sum-of-squares cancels catastrophically on 100-TB sums).
+    Driver state is 3 floats per block."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.cast(b[col], pa.float64()).drop_null()
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        x = np.asarray(v)
+        n = x.size
+        mean = float(x.mean()) if n else 0.0
+        m2 = float(((x - mean) ** 2).sum()) if n else 0.0
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "mean": pa.array([mean], pa.float64()),
+                "m2": pa.array([m2], pa.float64()),
+            }
+        )
+
+    rows = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n, mean, m2 = 0, 0.0, 0.0
+    for r in rows:
+        nb, mb, m2b = r["n"], r["mean"], r["m2"]
+        if nb == 0:
+            continue
+        delta = mb - mean
+        tot = n + nb
+        mean += delta * nb / tot
+        m2 += m2b + delta * delta * n * nb / tot
+        n = tot
+    return n, mean, (m2 / n if n else 0.0)
+
+
+def normalize_column(
+    ds, col: str, method: str = "zscore", out: str | None = None
+):
+    """Append a normalized copy of ``col`` — the score-standardization
+    step before mixing quality signals ("z-score the perplexity and the
+    heuristic score, then threshold the sum").
+
+    * ``zscore``: (v − mean) / stddev_pop  (SQL ``(v - AVG(v) OVER ())
+      / STDDEV_POP(v) OVER ()``)
+    * ``minmax``: (v − min) / (max − min)
+
+    NULLs stay NULL; a degenerate column (zero variance / constant)
+    yields NULL scores, SQL division-semantics-adjacent and explicit.
+
+    Two streaming passes, zero shuffle: pass 1 reduces per-block moment
+    partials on the driver (3 floats per block); pass 2 is a vectorized
+    Arrow transform with the scalar constants closed over. ``ds`` is
+    consumed twice — pass a re-readable dataset (e.g. a parquet read).
+    """
+    if method not in ("zscore", "minmax"):
+        raise ValueError("method must be 'zscore' or 'minmax'")
+    out = out or f"{col}_norm"
+
+    if method == "zscore":
+        _, mean, var = column_moments(ds, col)
+        std = var ** 0.5
+        lo, scale = mean, std
+    else:
+        import ray.data
+
+        agg = ds.aggregate(
+            ray.data.aggregate.Min(col), ray.data.aggregate.Max(col)
+        )
+        lo = float(agg[f"min({col})"])
+        scale = float(agg[f"max({col})"]) - lo
+
+    def apply(b: pa.Table) -> pa.Table:
+        v = pc.cast(b[col], pa.float64())
+        if scale == 0.0 or scale != scale:  # degenerate or NaN
+            z = pa.nulls(len(b), pa.float64())
+        else:
+            z = pc.divide(pc.subtract(v, lo), scale)
+        return b.append_column(out, z)
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
