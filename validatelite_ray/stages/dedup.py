@@ -1473,14 +1473,11 @@ def dedup_lines(
             drop = np.zeros(len(flat), bool)
             drop[qual_idx] = _member2(fp, dset)
             text, totals, dropped = _rebuild_docs(flat, offsets, drop, nulls)
-            return pa.table(
-                {
-                    id_col: b[id_col],
-                    text_col: text,
-                    "lines_total": pa.array(totals, pa.int64()),
-                    "lines_dropped": pa.array(dropped, pa.int64()),
-                }
-            )
+            # all input columns pass through; text_col is replaced
+            cols = {n: (text if n == text_col else b[n]) for n in b.schema.names}
+            cols["lines_total"] = pa.array(totals, pa.int64())
+            cols["lines_dropped"] = pa.array(dropped, pa.int64())
+            return pa.table(cols)
 
         return ds.map_batches(
             rebuild_broadcast, batch_format="pyarrow", zero_copy_batch=True
@@ -1568,40 +1565,38 @@ def _dedup_lines_cogroup(ds, dup, id_col, text_col, min_line_chars):
             (_token_hashes(keys) % np.uint64(nb2)).astype(np.int32), pa.int32()
         )
 
+    left_names = list(sch.names)
+    left_types = dict(zip(sch.names, sch.types))
+
     def tag_docs(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "id": b[id_col],
-                "text": pc.cast(b[text_col], pa.string()),
-                "isdoc": pa.array(np.ones(len(b), bool)),
-                "pos": pa.nulls(len(b), pa.int64()),
-                "__bucket": _id_bucket(b[id_col]),
-            }
-        )
+        cols = {n: b[n] for n in left_names}
+        cols["__isdoc"] = pa.array(np.ones(len(b), bool))
+        cols["__pos"] = pa.nulls(len(b), pa.int64())
+        cols["__bucket"] = _id_bucket(b[id_col])
+        return pa.table(cols)
 
     def tag_pairs(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "id": b["id"],
-                "text": pa.nulls(len(b), pa.string()),
-                "isdoc": pa.array(np.zeros(len(b), bool)),
-                "pos": b["pos"],
-                "__bucket": _id_bucket(b["id"]),
-            }
-        )
+        cols = {
+            n: (b["id"] if n == id_col else pa.nulls(len(b), left_types[n]))
+            for n in left_names
+        }
+        cols["__isdoc"] = pa.array(np.zeros(len(b), bool))
+        cols["__pos"] = b["pos"]
+        cols["__bucket"] = _id_bucket(b["id"])
+        return pa.table(cols)
 
     def rebuild_bucket(g: pa.Table) -> pa.Table:
-        is_doc = np.asarray(g["isdoc"])
+        is_doc = np.asarray(g["__isdoc"])
         docs = g.filter(pa.array(is_doc))
         pairs = g.filter(pa.array(~is_doc))
-        flat, offsets, nulls = _split_lines(docs["text"])
+        flat, offsets, nulls = _split_lines(docs[text_col])
         drop = np.zeros(len(flat), bool)
         if pairs.num_rows:
             # shared dictionary codes for doc ids on both sides
             all_ids = pa.concat_arrays(
                 [
-                    pc.cast(docs["id"].combine_chunks(), pa.string()),
-                    pc.cast(pairs["id"].combine_chunks(), pa.string()),
+                    pc.cast(docs[id_col].combine_chunks(), pa.string()),
+                    pc.cast(pairs[id_col].combine_chunks(), pa.string()),
                 ]
             )
             codes = np.asarray(pc.dictionary_encode(all_ids).indices).astype(
@@ -1611,7 +1606,7 @@ def _dedup_lines_cogroup(ds, dup, id_col, text_col, min_line_chars):
             key = np.empty(
                 pairs.num_rows, dtype=[("d", "<i8"), ("p", "<i8")]
             )
-            key["d"], key["p"] = pair_codes, np.asarray(pairs["pos"])
+            key["d"], key["p"] = pair_codes, np.asarray(pairs["__pos"])
             key = np.sort(key)
             q = np.empty(len(flat), dtype=key.dtype)
             doc_of = np.repeat(
@@ -1623,15 +1618,12 @@ def _dedup_lines_cogroup(ds, dup, id_col, text_col, min_line_chars):
             valid = idx < key.size
             drop[valid] = key[idx[valid]] == q[valid]
         text, totals, dropped = _rebuild_docs(flat, offsets, drop, nulls)
-        ids_out = docs["id"].combine_chunks()
-        return pa.table(
-            {
-                id_col: ids_out,
-                text_col: text,
-                "lines_total": pa.array(totals, pa.int64()),
-                "lines_dropped": pa.array(dropped, pa.int64()),
-            }
-        )
+        cols = {
+            n: (text if n == text_col else docs[n]) for n in left_names
+        }
+        cols["lines_total"] = pa.array(totals, pa.int64())
+        cols["lines_dropped"] = pa.array(dropped, pa.int64())
+        return pa.table(cols)
 
     tagged = ds.map_batches(
         tag_docs, batch_format="pyarrow", zero_copy_batch=True
