@@ -246,3 +246,85 @@ def test_sample_columns_selects_rule_inputs():
     assert cols[:4] == ["repo", "path", "commit", "uid"]
     assert "ppl_bits" in cols and "lang_gate" in cols
     assert "content_scrubbed" not in cols and "content" not in cols
+
+
+BOILER = "# SPDX-License-Identifier: PLANTED-BOILERPLATE-MIT"
+
+
+def _planted_boiler_corpus(tmp_path, n_planted=30):
+    """Clean corpus plus a distinctive license-header line appended to
+    ``n_planted`` clean docs (content change ⇒ new sha256, so every
+    planted doc survives exact dedup as its own row)."""
+    import pyarrow.parquet as pq2
+    from validatelite_ray.testing.codegen import generate_corpus
+
+    table = generate_corpus(n_files=300, seed=11)
+    content = table["content"].to_pylist()
+    defect = table["defect"].to_pylist()
+    planted = 0
+    for i in range(len(content)):
+        if planted == n_planted:
+            break
+        if defect[i] == "clean" and content[i]:
+            content[i] = BOILER + "\n" + content[i]
+            planted += 1
+    assert planted == n_planted
+    out = table.set_column(
+        table.schema.get_field_index("content"), "content", pa.array(content)
+    )
+    src = tmp_path / "boiler_corpus.parquet"
+    pq2.write_table(out, src)
+    return str(src)
+
+
+def test_line_dedup_stage_removes_boilerplate(ray_session, tmp_path):
+    """Opt-in flagship line dedup: a line planted into 30 docs is
+    removed from every kept doc, rows are never dropped, and the
+    row-level dedup accounting is untouched."""
+    src = _planted_boiler_corpus(tmp_path)
+    base = run_streaming(
+        [src], str(tmp_path / "ld_off"), QualityFilterConfig()
+    )
+    cfg = QualityFilterConfig(line_dedup_min_docs=3)
+    s = run_streaming([src], str(tmp_path / "ld_on"), cfg)
+
+    assert s["kept_rows"] == base["kept_rows"]
+    assert s["dropped_duplicates"] == base["dropped_duplicates"]
+    assert s["boilerplate_lines_dropped"] >= 20
+    assert base["boilerplate_lines_dropped"] == 0
+
+    kept = _kept(tmp_path / "ld_on")
+    assert not any(
+        BOILER in (t or "") for t in kept["content_scrubbed"].to_pylist()
+    )
+    assert int(pc.sum(kept["lines_dropped"]).as_py()) == s[
+        "boilerplate_lines_dropped"
+    ]
+    # every non-planted row round-trips byte-identical
+    kept_off = _kept(tmp_path / "ld_off")
+    by_uid_off = dict(
+        zip(kept_off["uid"].to_pylist(), kept_off["content_scrubbed"].to_pylist())
+    )
+    for uid, text, dropped in zip(
+        kept["uid"].to_pylist(),
+        kept["content_scrubbed"].to_pylist(),
+        kept["lines_dropped"].to_pylist(),
+    ):
+        if dropped == 0:
+            assert text == by_uid_off[uid], uid
+
+
+def test_line_dedup_ckpt_path(ray_session, tmp_path):
+    """Checkpointed run(): same stage, lines_* columns in the kept
+    projection, same summary key."""
+    src = _planted_boiler_corpus(tmp_path, n_planted=12)
+    cfg = QualityFilterConfig(line_dedup_min_docs=3)
+    summary = run(
+        [src], str(tmp_path / "ld_ckpt"), cfg, files_per_shard=1, resume=False
+    )
+    assert summary["boilerplate_lines_dropped"] >= 8
+    kept = _kept(tmp_path / "ld_ckpt")
+    assert "lines_total" in kept.column_names
+    assert not any(
+        BOILER in (t or "") for t in kept["content_scrubbed"].to_pylist()
+    )

@@ -33,9 +33,10 @@ Input: Parquet table (repo, path, commit, lang, content). Stages:
    ``samples.parquet`` — one fused single-job pass), plus per-shard
    lineage manifests carrying each shard's rule counts.
 6. optional post-dedup controls — ``near_dedup_threshold`` (MinHash-LSH
-   near-duplicate drop over the kept rows' scrubbed text) and
-   ``max_files_per_repo`` (coarse-bucket top-n per-repo cap), each with
-   separate drop accounting in the summary.
+   near-duplicate drop over the kept rows' scrubbed text),
+   ``max_files_per_repo`` (coarse-bucket top-n per-repo cap), and
+   ``line_dedup_min_docs`` (cross-document boilerplate-line removal
+   over the kept text), each with separate accounting in the summary.
 
 Rule verdict accounting matches the reference contract: a rule's
 ``failed_records`` counts rows violating it; ``keep`` requires passing
@@ -112,6 +113,21 @@ class QualityFilterConfig:
     #: ``dropped_near_duplicates``. ``None`` disables (the default —
     #: exact dedup alone matches the reference contract).
     near_dedup_threshold: float | None = None
+    #: opt-in cross-document boilerplate-line removal (the RefinedWeb
+    #: line-dedup stage): after exact/near dedup and the repo cap, every
+    #: line of the kept ``content_scrubbed`` that appears in ≥ this many
+    #: DISTINCT kept documents is dropped and the text rebuilt
+    #: (stages/dedup.py::dedup_lines — combiner-pre-aggregated 128-bit
+    #: fingerprint shuffle, broadcast/cogroup membership). Rows are
+    #: never dropped; removed-line totals surface in the summary as
+    #: ``boilerplate_lines_dropped`` and per-row as the
+    #: ``lines_total``/``lines_dropped`` kept-output columns. ``None``
+    #: disables (the default).
+    line_dedup_min_docs: int | None = None
+    #: minimum trimmed length for a line to be eligible for corpus-wide
+    #: line dedup (short idiomatic lines — ``}``, ``import os`` — are
+    #: never dropped)
+    line_dedup_min_chars: int = 12
 
     def rules(self) -> list[RuleSpec]:
         """Quality thresholds expressed as ordinary ValidateLite rules
@@ -959,6 +975,39 @@ def _near_dedup_filter(kept_ds, out: str, cfg: QualityFilterConfig):
     )
 
 
+def _line_dedup_stage(kept_ds, cfg: QualityFilterConfig):
+    """Opt-in cross-document boilerplate-line removal over the kept
+    rows: rebuild ``content_scrubbed`` with every corpus-duplicated
+    line (≥ ``line_dedup_min_docs`` distinct kept docs) removed. All
+    kept columns pass through; ``lines_total`` / ``lines_dropped``
+    are appended per row. Row count is unchanged — this is a content
+    transform, not a filter — so dedup/cap row accounting is
+    unaffected."""
+    from validatelite_ray.stages.dedup import dedup_lines
+
+    return dedup_lines(
+        kept_ds,
+        id_col="uid",
+        text_col="content_scrubbed",
+        min_dup_docs=cfg.line_dedup_min_docs,
+        min_line_chars=cfg.line_dedup_min_chars,
+    )
+
+
+def _lines_dropped_total(kept_dir: str) -> int:
+    """Σ lines_dropped over the written kept output (column-pruned
+    re-read — one int64 column, never the text)."""
+    import ray.data as rd
+
+    files = ckpt.list_files(kept_dir)
+    if not files:
+        return 0
+    rfiles, rfs = ckpt.resolve_for_read(files)
+    ds = rd.read_parquet(rfiles, columns=["lines_dropped"], filesystem=rfs)
+    n = ds.sum("lines_dropped")
+    return int(n) if n is not None else 0
+
+
 def _dedup_extra_rows(dec) -> int:
     """Σ(c−1) over the (materialized, tiny-schema) decision table = the
     exact number of passing rows exact-dedup removes (each duplicated
@@ -1071,6 +1120,8 @@ def run_streaming(
         kept = top_n_per_group(
             kept, cfg.key_cols[0], "uid", cfg.max_files_per_repo
         )
+    if cfg.line_dedup_min_docs is not None:
+        kept = _line_dedup_stage(kept, cfg)
     kept.write_parquet(kept_dir)
     n_dedup_dropped = _dedup_extra_rows(dec)
 
@@ -1086,6 +1137,9 @@ def run_streaming(
     kept_count = (
         rd.read_parquet(kept_dir).count() if ckpt.list_files(kept_dir) else 0
     )
+    n_lines_dropped = (
+        _lines_dropped_total(kept_dir) if cfg.line_dedup_min_docs is not None else 0
+    )
     return {
         "total_rows": n_total,
         "kept_rows": int(kept_count),
@@ -1094,6 +1148,7 @@ def run_streaming(
         "dropped_repo_cap": int(
             passing_count - n_dedup_dropped - n_near_dropped - kept_count
         ),
+        "boilerplate_lines_dropped": n_lines_dropped,
         "rules": rows,
     }
 
@@ -1217,6 +1272,9 @@ def run(
         from validatelite_ray.stages.sample import top_n_per_group
 
         kept = top_n_per_group(kept, cfg.key_cols[0], "uid", cfg.max_files_per_repo)
+    if cfg.line_dedup_min_docs is not None:
+        kept = _line_dedup_stage(kept, cfg)
+        kept_cols = kept_cols + ["lines_total", "lines_dropped"]
     kept.map_batches(
         lambda b: b.select(kept_cols),
         batch_format="pyarrow",
@@ -1237,6 +1295,9 @@ def run(
     kept_count = (
         rd.read_parquet(kept_dir).count() if ckpt.list_files(kept_dir) else 0
     )
+    n_lines_dropped = (
+        _lines_dropped_total(kept_dir) if cfg.line_dedup_min_docs is not None else 0
+    )
     summary = {
         "shards": stats,
         "total_rows": n_total,
@@ -1246,6 +1307,7 @@ def run(
         "dropped_repo_cap": int(
             passing_count - n_dedup_dropped - n_near_dropped - kept_count
         ),
+        "boilerplate_lines_dropped": n_lines_dropped,
         "rules": mrows,
         "out_dir": str(out),
     }
