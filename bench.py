@@ -101,19 +101,59 @@ def bench_once() -> dict:
     # (the later runs also measure warm-worker steady state, which is
     # what a long corpus job actually runs in). Scaling legs set
     # repeats=1 — they already repeat via alternating rounds.
+    #
+    # The streaming and checkpointed flagship legs ALTERNATE within each
+    # round (r03 verdict: the ckpt leg ran once, last in bench order,
+    # and absorbed end-of-bench steal — 17.3 s recorded vs 7.3 s idle).
+    # Adjacent legs sample the same host window, so the per-round
+    # ckpt/streaming ratio is drift-immune — the same adjacent-pair
+    # estimator the scaling bench uses (bench.py --scaling).
     repeats = int(os.environ.get("VLRAY_BENCH_QF_REPEATS", "3"))
+    bench_ckpt = not os.environ.get("VLRAY_SKIP_CKPT_BENCH")
+    if bench_ckpt:
+        from validatelite_ray.pipelines.quality_filter import run as run_ckpt
+
+        ckpt_dir = Path("/tmp/vlray_bench_out_ckpt")
     best = None
+    best_ckpt = None
+    ratios = []
     for _ in range(repeats):
         if out_dir.exists():
             shutil.rmtree(out_dir)
         t0 = time.time()
         summary = run_streaming(corpus_paths, str(out_dir), cfg)
-        best = min(best or 1e18, time.time() - t0)
+        t_stream = time.time() - t0
+        best = min(best or 1e18, t_stream)
+        if bench_ckpt:
+            if ckpt_dir.exists():
+                shutil.rmtree(ckpt_dir)
+            t0 = time.time()
+            s2 = run_ckpt(
+                corpus_paths, str(ckpt_dir), cfg,
+                files_per_shard=max(1, len(corpus_paths) // 8),
+                shard_concurrency=8,
+                resume=False,
+            )
+            t_ckpt = time.time() - t0
+            best_ckpt = min(best_ckpt or 1e18, t_ckpt)
+            ratios.append(t_ckpt / t_stream)
+            assert s2["kept_rows"] == summary["kept_rows"], (
+                "checkpointed and streaming paths disagree on kept rows"
+            )
     timings["qf_corpus"] = round(best, 3)
     extras["corpus_files"] = summary["total_rows"]
     extras["corpus_files_per_sec"] = round(
         summary["total_rows"] / timings["qf_corpus"], 1
     )
+    if bench_ckpt:
+        extras["qf_corpus_ckpt_sec"] = round(best_ckpt, 3)
+        extras["qf_corpus_ckpt_files_per_sec"] = round(
+            s2["total_rows"] / extras["qf_corpus_ckpt_sec"], 1
+        )
+        ratios.sort()
+        extras["qf_ckpt_vs_streaming_ratio_median"] = round(
+            ratios[len(ratios) // 2], 3
+        )
 
     def _best_of(fn, n=2) -> float:
         # suite legs were single-run through r03 and swung ±50% with
@@ -158,40 +198,6 @@ def bench_once() -> dict:
     timings["agg_lineitem"] = _best_of(
         lambda: entrymod._q_agg_lineitem(SF_DIR).materialize()
     )
-
-    # --- checkpointed (resumable) flagship path ------------------------
-    # Runs LAST (round-2 verdict: its 8-concurrent-job interleaving ran
-    # between qf_corpus and the rule suites and contaminated their
-    # timings) and reports in extras (not the headline total) so
-    # round-over-round totals stay composition-comparable. Target:
-    # within ~1.2x of streaming. Skipped inside scaling legs
-    # (efficiency is measured on qf_corpus).
-    if not os.environ.get("VLRAY_SKIP_CKPT_BENCH"):
-        from validatelite_ray.pipelines.quality_filter import run as run_ckpt
-
-        ckpt_dir = Path("/tmp/vlray_bench_out_ckpt")
-        # same best-of-N estimator as qf_corpus (round-3 verdict: this
-        # leg was single-run AND last in bench order, where it absorbs
-        # end-of-bench host steal — r03 recorded 17.3 s vs 7.3 s idle)
-        best_ckpt = None
-        for _ in range(repeats):
-            if ckpt_dir.exists():
-                shutil.rmtree(ckpt_dir)
-            t0 = time.time()
-            s2 = run_ckpt(
-                corpus_paths, str(ckpt_dir), cfg,
-                files_per_shard=max(1, len(corpus_paths) // 8),
-                shard_concurrency=8,
-                resume=False,
-            )
-            best_ckpt = min(best_ckpt or 1e18, time.time() - t0)
-        extras["qf_corpus_ckpt_sec"] = round(best_ckpt, 3)
-        extras["qf_corpus_ckpt_files_per_sec"] = round(
-            s2["total_rows"] / extras["qf_corpus_ckpt_sec"], 1
-        )
-        assert s2["kept_rows"] == summary["kept_rows"], (
-            "checkpointed and streaming paths disagree on kept rows"
-        )
 
     ray.shutdown()
     total = round(sum(timings.values()), 3)
