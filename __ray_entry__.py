@@ -433,6 +433,40 @@ def _q_scrub_email(sf_dir: str):
     )
 
 
+def _q_normalize_text(sf_dir: str):
+    """Unicode normalization cleaning pass (NFC + CRLF fold + control
+    strip + space collapse + trim + lowercase) — pure Arrow-kernel
+    chain, oracle-matched against DuckDB's utf8proc-backed
+    nfc_normalize/lower/regexp_replace."""
+    from validatelite_ray.stages.text import normalize_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = normalize_text(
+        ds,
+        column="text",
+        out="text_norm",
+        form="NFC",
+        normalize_newlines=True,
+        strip_control=True,
+        collapse_spaces=True,
+        strip=True,
+        lower=True,
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text_norm": b["text_norm"],
+                "n_chars_norm": pc.cast(
+                    pc.utf8_length(b["text_norm"]), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def _q_window_events(sf_dir: str):
     """Tumbling-window aggregate over the events stream: per
     (event_type, 1-hour window) count + exact value sum in cents.
@@ -1111,6 +1145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": _q_fingerprint,
         "text_winnow_fingerprints": _q_winnow,
         "scrub_email": _q_scrub_email,
+        "normalize_text_documents": _q_normalize_text,
     }
 
 
@@ -1490,6 +1525,23 @@ def oracle_sql() -> dict[str, str]:
         "scrub_email": (
             "SELECT doc_id, regexp_replace(text, "
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed "
+            "FROM documents"
+        ),
+        # same step order as the Ray op: CRLF fold -> NFC -> control
+        # strip -> space/tab collapse -> trim -> lower (both sides are
+        # utf8proc + RE2, so values are bit-comparable)
+        "normalize_text_documents": (
+            "SELECT doc_id, "
+            "lower(trim(regexp_replace(regexp_replace("
+            "nfc_normalize(regexp_replace(text, '\\r\\n?', chr(10), 'g')), "
+            "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), "
+            "'[ \\t]+', ' ', 'g'), ' ' || chr(9) || chr(10) || chr(13))) "
+            "AS text_norm, "
+            "CAST(length(lower(trim(regexp_replace(regexp_replace("
+            "nfc_normalize(regexp_replace(text, '\\r\\n?', chr(10), 'g')), "
+            "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), "
+            "'[ \\t]+', ' ', 'g'), ' ' || chr(9) || chr(10) || chr(13)))) AS BIGINT) "
+            "AS n_chars_norm "
             "FROM documents"
         ),
     }

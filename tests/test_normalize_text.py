@@ -1,0 +1,103 @@
+"""Unicode text normalization stage (stages/text.py::normalize_text):
+kernel chain semantics, toggle independence, NULL/empty passthrough,
+and Dataset wrapper in-place vs append."""
+
+import pyarrow as pa
+import pytest
+
+from validatelite_ray.stages.text import normalize_text, normalize_text_array
+
+
+def _one(s, **kw):
+    return normalize_text_array(pa.array([s]), **kw).to_pylist()[0]
+
+
+class TestKernelChain:
+    def test_defaults_newlines_and_control_only(self):
+        assert _one("a\r\nb\rc\x00d\x1fe") == "a\nb\nc" + "de"
+
+    def test_nfc_composes(self):
+        # e + combining acute (NFD) -> é (NFC)
+        assert _one("Café") == "Café"
+
+    def test_nfkc_folds_compat(self):
+        assert _one("ＡＢＣ ﬁn", form="NFKC") == "ABC fin"
+
+    def test_nfc_keeps_compat(self):
+        assert _one("ＡＢＣ") == "ＡＢＣ"
+
+    def test_collapse_spaces_not_newlines(self):
+        assert (
+            _one("a  \t b\n\n  c", collapse_spaces=True) == "a b\n\n c"
+        )
+
+    def test_strip_trims_all_whitespace(self):
+        assert _one(" \t\na b\r\n ", strip=True) == "a b"
+
+    def test_lower_full_unicode(self):
+        assert _one("ÉØĲ", lower=True) == "éøĳ"
+
+    def test_tabs_and_lf_survive_control_strip(self):
+        assert _one("a\tb\nc", normalize_newlines=False) == "a\tb\nc"
+
+    def test_nulls_and_empty_pass_through(self):
+        out = normalize_text_array(
+            pa.array([None, "", "x"]), collapse_spaces=True, strip=True, lower=True
+        ).to_pylist()
+        assert out == [None, "", "x"]
+
+    def test_all_off_is_identity(self):
+        s = "  A\r\nb\x00 "
+        assert (
+            _one(s, form=None, normalize_newlines=False, strip_control=False)
+            == s
+        )
+
+    def test_chunked_input(self):
+        ca = pa.chunked_array([pa.array(["A\r"]), pa.array(["b\x01"])])
+        assert normalize_text_array(ca).to_pylist() == ["A\n", "b"]
+
+
+class TestDatasetWrapper:
+    def test_in_place_and_append(self, ray_session):
+        import ray.data as rd
+
+        t = pa.table({"doc_id": [1, 2], "text": ["A\r\nB", None]})
+        ds = rd.from_arrow(t)
+        inplace = pa.Table.from_pylist(
+            normalize_text(ds, column="text").take_all()
+        )
+        assert inplace["text"].to_pylist() == ["A\nB", None]
+        appended = pa.Table.from_pylist(
+            normalize_text(rd.from_arrow(t), column="text", out="clean").take_all()
+        )
+        assert appended["text"].to_pylist() == ["A\r\nB", None]
+        assert appended["clean"].to_pylist() == ["A\nB", None]
+
+
+class TestOracleParity:
+    def test_matches_duckdb_on_tricky_unicode(self):
+        """The sf testdata is ASCII-only, which would hide a broken
+        compose step (pyarrow's own utf8_normalize kernel has exactly
+        that bug) — so pin parity against DuckDB's utf8proc
+        nfc_normalize on decomposed/compat/mixed inputs directly."""
+        import duckdb
+
+        cases = [
+            "Café",          # NFD -> must compose to é
+            "é́",        # composed + extra combining
+            "ＡＢＣ ﬁn",            # compat chars: NFC must KEEP them
+            "ä́o",      # multiple combining marks ordering
+            "ascii only",
+            "",
+        ]
+        got = normalize_text_array(
+            pa.array(cases), form="NFC",
+            normalize_newlines=False, strip_control=False,
+        ).to_pylist()
+        con = duckdb.connect()
+        for s, g in zip(cases, got):
+            want = con.execute(
+                "SELECT nfc_normalize(?)", [s]
+            ).fetchone()[0]
+            assert g == want, (ascii(s), ascii(g), ascii(want))

@@ -678,3 +678,105 @@ def approx_top_tokens(
         .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
     )
     return agg.sort(key=["n_lower", "token"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Unicode text normalization (corpus-cleaning stage)
+# ---------------------------------------------------------------------------
+
+_CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def _unicode_normalize(arr: pa.Array, form: str) -> pa.Array:
+    """Unicode-normalize a string array to ``form``.
+
+    ``pc.utf8_normalize`` is NOT used: on pyarrow 16 its NFC/NFKC do
+    not COMPOSE (verified: NFC('e'+U+0301) comes back decomposed), so
+    it diverges from every conformant implementation (DuckDB's
+    utf8proc ``nfc_normalize``, stdlib ``unicodedata``). Instead:
+    ASCII rows are normalization fixed points under ALL forms, so we
+    gate per row on "has any non-ASCII byte" — vectorized as
+    byte-length ≠ codepoint-length — and run stdlib
+    ``unicodedata.normalize`` only over that tail (rare in web/code
+    corpora; blocks that are pure ASCII never leave Arrow)."""
+    import unicodedata
+
+    mask = pc.not_equal(pc.binary_length(arr), pc.utf8_length(arr))
+    n_tail = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+    if n_tail == 0:
+        return arr
+    vals = arr.to_numpy(zero_copy_only=False)  # object ndarray
+    idx = np.nonzero(
+        np.asarray(pc.fill_null(mask, False), dtype=bool)
+    )[0]
+    for i in idx:
+        s = vals[i]
+        if not unicodedata.is_normalized(form, s):
+            vals[i] = unicodedata.normalize(form, s)
+    return pa.array(vals, pa.string())
+
+
+def normalize_text_array(
+    arr: pa.ChunkedArray | pa.Array,
+    form: str = "NFC",
+    normalize_newlines: bool = True,
+    strip_control: bool = True,
+    collapse_spaces: bool = False,
+    strip: bool = False,
+    lower: bool = False,
+) -> pa.Array:
+    """Vectorized Unicode normalization over a string column — the
+    standard pre-filter cleaning pass of web/code corpus pipelines
+    (cf. the reference's value casting + validation-regex prep,
+    shared/database/query_executor.py's charset handling; here it is a
+    pure Arrow-kernel chain, no Python per row).
+
+    Order (each step optional):
+      1. CRLF / lone-CR → LF (``normalize_newlines``)
+      2. Unicode normal form ``form`` ∈ NFC/NFKC/NFD/NFKD
+         (ASCII-gated stdlib normalize — see :func:`_unicode_normalize`
+         for why pyarrow's own kernel can't be used; results match
+         DuckDB's ``nfc_normalize`` bit-for-bit)
+      3. strip C0 control chars except ``\\t``/``\\n`` (+ DEL)
+      4. collapse runs of spaces/tabs to one space
+      5. trim leading/trailing whitespace
+      6. full-Unicode lowercase
+
+    NULLs pass through. Zero-copy in, one new buffer out per step.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if normalize_newlines:
+        arr = pc.replace_substring_regex(arr, pattern="\r\n?", replacement="\n")
+    if form:
+        arr = _unicode_normalize(arr, form)
+    if strip_control:
+        arr = pc.replace_substring_regex(arr, pattern=_CONTROL_RE, replacement="")
+    if collapse_spaces:
+        arr = pc.replace_substring_regex(arr, pattern="[ \t]+", replacement=" ")
+    if strip:
+        arr = pc.utf8_trim(arr, characters=" \t\n\r")
+    if lower:
+        arr = pc.utf8_lower(arr)
+    return arr
+
+
+def normalize_text(
+    ds,
+    column: str = "text",
+    out: str | None = None,
+    **kwargs,
+):
+    """Dataset wrapper for :func:`normalize_text_array`: rewrites
+    ``column`` in place (or appends as ``out``) via one stateless
+    zero-copy ``map_batches`` stage. Embarrassingly parallel — no
+    shuffle, no state, scales linearly with blocks."""
+    dest = out or column
+
+    def apply(b: pa.Table) -> pa.Table:
+        norm = normalize_text_array(b[column], **kwargs)
+        if dest in b.column_names:
+            return b.set_column(b.schema.get_field_index(dest), dest, norm)
+        return b.append_column(dest, norm)
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
