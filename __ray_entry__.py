@@ -433,6 +433,22 @@ def _q_scrub_email(sf_dir: str):
     )
 
 
+def _q_dedup_substrings(sf_dir: str):
+    """Exact substring (k-token-run) dedup flags, Lee et al. 2022
+    style: per doc the token count, tokens covered by a verbatim
+    5-token run occurring ≥2 times corpus-wide, and the number of
+    maximal covered spans (stages/dedup.py::dedup_substrings —
+    combiner-pre-aggregated 128-bit fingerprint shuffle + broadcast/
+    cogroup membership; the DuckDB oracle rebuilds the identical
+    case-sensitive \\w+ 5-shingles with list lambdas)."""
+    from validatelite_ray.stages.dedup import dedup_substrings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_substrings(ds, k=5, min_count=2, mode="flag").select_columns(
+        ["doc_id", "n_tokens", "dup_tokens", "dup_spans"]
+    )
+
+
 def _q_normalize_text(sf_dir: str):
     """Unicode normalization cleaning pass (NFC + CRLF fold + control
     strip + space collapse + trim + lowercase) — pure Arrow-kernel
@@ -1146,6 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_winnow_fingerprints": _q_winnow,
         "scrub_email": _q_scrub_email,
         "normalize_text_documents": _q_normalize_text,
+        "substring_dedup_documents": _q_dedup_substrings,
     }
 
 
@@ -1526,6 +1543,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, regexp_replace(text, "
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed "
             "FROM documents"
+        ),
+        "substring_dedup_documents": (
+            "WITH toks AS ("
+            "  SELECT doc_id, list_filter("
+            "    regexp_split_to_array(coalesce(text, ''), '[^0-9A-Za-z_]+'),"
+            "    x -> x <> '') AS t FROM documents"
+            "), sh AS ("
+            "  SELECT doc_id, t, CASE WHEN len(t) >= 5 THEN"
+            "    list_transform(generate_series(1, len(t) - 4),"
+            "      i -> array_to_string(t[i:i+4], ' '))"
+            "    ELSE [] END AS s FROM toks"
+            "), ex AS ("
+            "  SELECT doc_id, u.i AS j, s[u.i] AS g FROM sh,"
+            "  unnest(generate_series(1, len(s))) AS u(i)"
+            "), dup AS ("
+            "  SELECT g FROM ex GROUP BY g HAVING count(*) >= 2"
+            "), starts AS ("
+            "  SELECT e.doc_id, e.j FROM ex e JOIN dup d ON e.g = d.g"
+            "), covered AS ("
+            "  SELECT DISTINCT s.doc_id, s.j + dd.d AS ci FROM starts s,"
+            "  unnest(generate_series(0, 4)) AS dd(d)"
+            "), dt AS ("
+            "  SELECT doc_id, count(*) AS dup_tokens FROM covered GROUP BY doc_id"
+            "), sp AS ("
+            "  SELECT c.doc_id, count(*) AS dup_spans FROM covered c"
+            "  WHERE NOT EXISTS (SELECT 1 FROM covered c2"
+            "    WHERE c2.doc_id = c.doc_id AND c2.ci = c.ci - 1)"
+            "  GROUP BY c.doc_id"
+            ") SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,"
+            "  CAST(coalesce(dt.dup_tokens, 0) AS BIGINT) AS dup_tokens,"
+            "  CAST(coalesce(sp.dup_spans, 0) AS BIGINT) AS dup_spans"
+            " FROM toks LEFT JOIN dt ON toks.doc_id = dt.doc_id"
+            " LEFT JOIN sp ON toks.doc_id = sp.doc_id"
         ),
         # same step order as the Ray op: CRLF fold -> NFC -> control
         # strip -> space/tab collapse -> trim -> lower (both sides are

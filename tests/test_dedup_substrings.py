@@ -1,0 +1,151 @@
+"""Exact substring dedup (stages/dedup.py::dedup_substrings):
+brute-force oracle on planted fixtures, strategy equivalence
+(broadcast vs bucket-cogroup), cut-mode byte splicing, NULL/short-doc
+edges, determinism under repartition."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from validatelite_ray.stages.dedup import dedup_substrings
+
+TOK = re.compile(r"[0-9A-Za-z_]+")
+
+
+def _brute(texts, k, min_count):
+    """Reference: per-doc (n_tokens, dup_tokens, dup_spans, cut_text)."""
+    toks = [
+        [(m.group(), m.start(), m.end()) for m in TOK.finditer(t or "")]
+        for t in texts
+    ]
+    counts = {}
+    for tt in toks:
+        for i in range(len(tt) - k + 1):
+            g = tuple(w for w, _, _ in tt[i : i + k])
+            counts[g] = counts.get(g, 0) + 1
+    dup = {g for g, c in counts.items() if c >= min_count}
+    out = []
+    for t, tt in zip(texts, toks):
+        n = len(tt)
+        covered = [False] * n
+        for i in range(n - k + 1):
+            if tuple(w for w, _, _ in tt[i : i + k]) in dup:
+                for j in range(i, i + k):
+                    covered[j] = True
+        dup_tokens = sum(covered)
+        spans = []
+        for j in range(n):
+            if covered[j] and (j == 0 or not covered[j - 1]):
+                e = j
+                while e + 1 < n and covered[e + 1]:
+                    e += 1
+                spans.append((j, e))
+        if t is None:
+            out.append((0, 0, 0, None))
+            continue
+        cut = t
+        for j, e in reversed(spans):
+            cut = cut[: tt[j][1]] + cut[tt[e][2] :]
+        out.append((n, dup_tokens, len(spans), cut))
+    return out
+
+
+FIX = [
+    "alpha beta gamma delta shared run of boiler plate text here end one",
+    "totally different words alpha beta gamma delta nothing else matches",
+    "prefix shared run of boiler plate text here end suffix tokens",
+    "the same four same four same four same four internal repeats",
+    "short doc",
+    None,
+    "",
+    "shared run of boiler plate text here end standalone",
+]
+
+
+def _run(ds, **kw):
+    t = pa.Table.from_pylist(dedup_substrings(ds, **kw).take_all())
+    order = pa.compute.sort_indices(t["doc_id"])
+    return t.take(order)
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "cogroup"])
+def test_flag_matches_bruteforce(ray_session, strategy):
+    import ray.data as rd
+
+    k, mc = 4, 2
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(FIX))), "text": FIX})
+    ).repartition(3)
+    got = _run(ds, k=k, min_count=mc, mode="flag", strategy=strategy)
+    want = _brute(FIX, k, mc)
+    assert got["n_tokens"].to_pylist() == [w[0] for w in want]
+    assert got["dup_tokens"].to_pylist() == [w[1] for w in want]
+    assert got["dup_spans"].to_pylist() == [w[2] for w in want]
+    # some duplication was actually planted
+    assert sum(w[1] for w in want) > 0
+    # original text untouched in flag mode
+    assert got["text"].to_pylist() == FIX
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "cogroup"])
+def test_cut_matches_bruteforce(ray_session, strategy):
+    import ray.data as rd
+
+    k, mc = 4, 2
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(FIX))), "text": FIX})
+    ).repartition(3)
+    got = _run(ds, k=k, min_count=mc, mode="cut", strategy=strategy)
+    want = _brute(FIX, k, mc)
+    assert got["text"].to_pylist() == [w[3] for w in want]
+    # cut text no longer contains the planted boilerplate run
+    for t in got["text"].to_pylist():
+        if t is not None:
+            assert "shared run of boiler plate text here end" not in t
+
+
+def test_internal_repetition_counts(ray_session):
+    """A run repeated WITHIN one document is duplicated (Lee et al.
+    count any second occurrence, not distinct docs)."""
+    import ray.data as rd
+
+    doc = "x y z w q " * 3 + "tail words only once here"
+    ds = rd.from_arrow(pa.table({"doc_id": [0], "text": [doc]}))
+    got = _run(ds, k=5, min_count=2, mode="flag")
+    assert got["dup_tokens"].to_pylist()[0] >= 15
+
+
+def test_case_sensitive(ray_session):
+    import ray.data as rd
+
+    texts = [
+        "Alpha Beta Gamma Delta Epsilon",
+        "alpha beta gamma delta epsilon",
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": [0, 1], "text": texts}))
+    got = _run(ds, k=5, min_count=2, mode="flag")
+    assert got["dup_tokens"].to_pylist() == [0, 0]
+
+
+def test_determinism_under_repartition(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"doc_id": list(range(len(FIX))), "text": FIX})
+    outs = []
+    for nb in (1, 4):
+        ds = rd.from_arrow(t).repartition(nb)
+        outs.append(_run(ds, k=4, min_count=2, mode="cut").to_pylist())
+    assert outs[0] == outs[1]
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        dedup_substrings(None, k=1)
+    with pytest.raises(ValueError):
+        dedup_substrings(None, min_count=1)
+    with pytest.raises(ValueError):
+        dedup_substrings(None, mode="nope")
+    with pytest.raises(ValueError):
+        dedup_substrings(None, strategy="nope")

@@ -1635,3 +1635,405 @@ def _dedup_lines_cogroup(ds, dup, id_col, text_col, min_line_chars):
     return tagged.groupby("__bucket").map_groups(
         rebuild_bucket, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (k-token-run) dedup — Lee et al. 2022-style
+# ---------------------------------------------------------------------------
+
+
+def _substring_shingle_fps(
+    th1: np.ndarray, th2: np.ndarray, doc_of_token: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(flat start-token indices, 128-bit fingerprints) of every
+    k-token shingle fully inside one document. Two independent
+    polynomial families (token-hash base × combine base) → collision
+    odds ~2^-128, the same contract as ``dedup_lines``."""
+    n = th1.size - k + 1
+    if n <= 0:
+        return np.empty(0, np.int64), np.empty(0, dtype=_DT2)
+    acc1 = np.zeros(n, np.uint64)
+    acc2 = np.zeros(n, np.uint64)
+    for off in range(k):
+        acc1 = acc1 * _GOLDEN + th1[off : off + n]
+        acc2 = acc2 * _POLY_B + th2[off : off + n]
+    mask = doc_of_token[:n] == doc_of_token[k - 1 :]
+    starts = np.flatnonzero(mask)
+    return starts, _pack2(_mix64(acc1[mask]), _mix64(acc2[mask]))
+
+
+def _reduceat_per_doc(
+    vals: np.ndarray, offs: np.ndarray, n_docs: int
+) -> np.ndarray:
+    out = np.zeros(n_docs, np.int64)
+    nonempty = np.diff(offs) > 0
+    if nonempty.any():
+        out[nonempty] = np.add.reduceat(
+            vals.astype(np.int64), offs[:-1][nonempty].astype(np.int64)
+        )
+    return out
+
+
+def _covered_token_mask(
+    dup_starts: np.ndarray, n_tokens: int, k: int
+) -> np.ndarray:
+    """Bool mask over the flat token sequence: token covered by at
+    least one duplicated k-shingle. Interval-stabbing via a difference
+    array + cumsum — O(n), no per-span loop. Shingles never cross doc
+    boundaries, so neither does coverage."""
+    diff = np.zeros(n_tokens + 1, np.int64)
+    np.add.at(diff, dup_starts, 1)
+    np.add.at(diff, dup_starts + k, -1)
+    return np.cumsum(diff[:-1]) > 0
+
+
+def _span_edges(
+    covered: np.ndarray, doc_offs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(first-token idx, last-token idx) of each maximal covered run,
+    never merging across document boundaries."""
+    if covered.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts_mask = covered.copy()
+    starts_mask[1:] &= ~covered[:-1]
+    ends_mask = covered.copy()
+    ends_mask[:-1] &= ~covered[1:]
+    # adjacent docs can both be covered at the boundary — those are
+    # DISTINCT spans (coverage itself never crosses; only the masks
+    # computed from neighbours would wrongly merge them)
+    firsts = doc_offs[:-1][np.diff(doc_offs) > 0]
+    starts_mask[firsts] = covered[firsts]
+    lasts = doc_offs[1:][np.diff(doc_offs) > 0] - 1
+    ends_mask[lasts] = covered[lasts]
+    return np.flatnonzero(starts_mask), np.flatnonzero(ends_mask)
+
+
+def dedup_substrings(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 2,
+    mode: str = "flag",
+    strategy: str = "auto",
+    broadcast_max_shingles: int = 2_000_000,
+):
+    """Exact substring dedup: find every verbatim run of ≥ ``k``
+    ``\\w+`` tokens that occurs at least ``min_count`` times in the
+    WHOLE corpus (any document, including repeats inside one document),
+    and flag or cut every occurrence — the substring-level member of
+    this repo's dedup family (doc-exact / MinHash / SimHash / n-gram
+    Jaccard / embedding / line), after Lee et al. 2022's ExactSubstr
+    ("Deduplicating Training Data Makes Language Models Better"),
+    reformulated for Ray Data: a duplicated substring of length ≥ k
+    contains a duplicated k-shingle at every offset, so marking tokens
+    covered by duplicated k-shingles marks exactly the tokens inside
+    duplicated runs of length ≥ k.
+
+    Semantics (deliberate divergence, documented): EVERY occurrence is
+    flagged/cut, not "all but one" — keep-one would need a per-shingle
+    global winner resolution; at corpus scale duplicated long runs are
+    boilerplate you want gone everywhere. Matching is CASE-SENSITIVE
+    (verbatim), unlike the lowercased fuzzy sketches.
+
+    * ``mode="flag"``: append ``n_tokens``, ``dup_tokens``,
+      ``dup_spans`` (maximal covered runs) — SQL-expressible, oracle-
+      verified (`substring_dedup_documents`).
+    * ``mode="cut"``: additionally rewrite ``text_col`` with each
+      covered span's byte range (first covered token's first byte →
+      last covered token's last byte) removed; separators OUTSIDE the
+      span survive. NULL docs pass through NULL.
+
+    Physical plan: per-batch partials count occurrences per 128-bit
+    shingle fingerprint (combiner — shuffle volume is distinct shingles
+    per block, 24 bytes each, never text) → ONE ``groupby`` sum →
+    duplicated-fingerprint table. Membership resolves like
+    ``dedup_lines``: broadcast sorted packed fingerprints under
+    ``broadcast_max_shingles``, else a two-stage bucket cogroup
+    ((fingerprint-bucket cogroup emits (id, start_pos) hits, then an
+    id-bucket cogroup rebuilds) — O(1) driver state above the budget).
+
+    Reference scope: ValidateLite has no substring operator; the
+    accounting shape mirrors its UNIQUE Σ(cnt−1) idiom
+    (core/executors/uniqueness_executor.py:53-200).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from validatelite_ray.stages.text import _tokenize_ascii_spans, _utf8_buffer
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    if mode not in ("flag", "cut"):
+        raise ValueError("mode must be 'flag' or 'cut'")
+    if strategy not in ("auto", "broadcast", "cogroup"):
+        raise ValueError("strategy must be auto|broadcast|cogroup")
+
+    def _doc_fps(col: pa.Array):
+        """tokenize + two-family shingle fingerprints for one batch."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled = pc.fill_null(col, "")
+        tokens, doc_of, per_doc, rs, re_ = _tokenize_ascii_spans(filled)
+        th1 = _token_hashes(tokens)
+        th2 = _token_hashes(tokens, base=_POLY_B2)
+        starts, fps = _substring_shingle_fps(th1, th2, doc_of, k)
+        return filled, per_doc, rs, re_, starts, fps
+
+    def fp_partials(b: pa.Table) -> pa.Table:
+        _, _, _, _, _, fps = _doc_fps(b[text_col])
+        pairs, counts = np.unique(fps, return_counts=True)
+        return pa.table(
+            {
+                "a": pa.array(pairs["a"].view(np.int64), pa.int64()),
+                "b": pa.array(pairs["b"].view(np.int64), pa.int64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    dup = (
+        ds.map_batches(fp_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"])
+        .aggregate(Sum("c", alias_name="n"))
+        .map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["n"], min_count)
+            ).select(["a", "b"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    n_dup = dup.count()
+
+    if strategy == "cogroup" or (
+        strategy == "auto" and n_dup > broadcast_max_shingles
+    ):
+        return _dedup_substrings_cogroup(
+            ds, dup, id_col, text_col, k, mode, _doc_fps
+        )
+
+    rows = dup.take_all()
+    dup_sorted = np.sort(
+        _pack2(
+            np.array([r["a"] for r in rows], np.int64).view(np.uint64),
+            np.array([r["b"] for r in rows], np.int64).view(np.uint64),
+        )
+    )
+    dup_ref = ray.put(dup_sorted)
+
+    def apply(b: pa.Table) -> pa.Table:
+        dset = ray.get(dup_ref)
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled, per_doc, rs, re_, starts, fps = _doc_fps(col)
+        dup_starts = starts[_member2(fps, dset)]
+        return _substring_result(
+            b, col, filled, per_doc, rs, re_, dup_starts, k, text_col, mode
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _substring_result(
+    b: pa.Table,
+    orig: pa.Array,
+    filled: pa.Array,
+    per_doc: np.ndarray,
+    run_starts: np.ndarray,
+    run_ends: np.ndarray,
+    dup_starts: np.ndarray,
+    k: int,
+    text_col: str,
+    mode: str,
+):
+    """Shared finish for both membership strategies: covered-token
+    interval stabbing → per-doc counts (+ byte-splice rebuild in cut
+    mode)."""
+    from validatelite_ray.stages.text import _utf8_buffer
+
+    n_docs = len(per_doc)
+    n_tokens = int(per_doc.sum())
+    doc_offs = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(per_doc, out=doc_offs[1:])
+    covered = _covered_token_mask(dup_starts, n_tokens, k)
+    dup_tokens = _reduceat_per_doc(covered, doc_offs, n_docs)
+    span_first, span_last = _span_edges(covered, doc_offs)
+    span_starts_mask = np.zeros(n_tokens, bool)
+    span_starts_mask[span_first] = True
+    dup_spans = _reduceat_per_doc(span_starts_mask, doc_offs, n_docs)
+
+    null_mask = np.asarray(pc.is_null(orig))
+    out = b
+    if mode == "cut":
+        data, offsets = _utf8_buffer(filled)
+        keep = np.ones(data.size, bool)
+        if span_first.size:
+            bdiff = np.zeros(data.size + 1, np.int64)
+            np.add.at(bdiff, run_starts[span_first], 1)
+            np.add.at(bdiff, run_ends[span_last], -1)
+            keep = np.cumsum(bdiff[:-1]) <= 0
+        new_vals = data[keep]
+        new_lens = _reduceat_per_doc(keep, offsets, n_docs)
+        new_offs = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(new_lens, out=new_offs[1:])
+        rebuilt = pa.Array.from_buffers(
+            pa.large_string(),
+            n_docs,
+            [None, pa.py_buffer(new_offs.tobytes()), pa.py_buffer(new_vals.tobytes())],
+        ).cast(pa.string())
+        if null_mask.any():
+            rebuilt = pc.if_else(pc.is_null(orig), pa.nulls(n_docs, pa.string()), rebuilt)
+        out = out.set_column(
+            out.schema.get_field_index(text_col), text_col, rebuilt
+        )
+    out = out.append_column("n_tokens", pa.array(per_doc, pa.int64()))
+    out = out.append_column("dup_tokens", pa.array(dup_tokens, pa.int64()))
+    return out.append_column("dup_spans", pa.array(dup_spans, pa.int64()))
+
+
+def _dedup_substrings_cogroup(ds, dup, id_col, text_col, k, mode, doc_fps):
+    """Scale path for ``dedup_substrings`` — the duplicated-fingerprint
+    table never touches the driver (same two-exchange shape as
+    ``_dedup_lines_cogroup``):
+
+    Stage 1 — shingle occurrences ⋈ dup on ``fingerprint % NB``: slim
+    (id, start-pos, fp) rows vs dup rows; each bucket binary-searches
+    locally and emits ONLY the duplicated (id, pos) hits (output ∝
+    actual duplicated-run volume). Stage 2 — docs ⋈ hits on
+    ``hash(id) % NB``: each bucket re-tokenizes its documents and runs
+    the same covered-token kernel as the broadcast path."""
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    nb1 = coarse_bucket_count(dup)
+
+    def tag_shingles(b: pa.Table) -> pa.Table:
+        _, per_doc, _, _, starts, fps = doc_fps(b[text_col])
+        doc_offs = np.zeros(per_doc.size + 1, np.int64)
+        np.cumsum(per_doc, out=doc_offs[1:])
+        doc_of = np.searchsorted(doc_offs[1:], starts, side="right").astype(
+            np.int64
+        )
+        pos = starts - doc_offs[doc_of]
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "id": ids.take(pa.array(doc_of, pa.int64())),
+                "pos": pa.array(pos, pa.int64()),
+                "a": pa.array(fps["a"].view(np.int64), pa.int64()),
+                "b": pa.array(fps["b"].view(np.int64), pa.int64()),
+                "__bucket": pa.array(
+                    (fps["a"] % np.uint64(nb1)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def tag_dup(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["a"]).view(np.uint64)
+        return pa.table(
+            {
+                "id": pa.nulls(len(b), id_type),
+                "pos": pa.nulls(len(b), pa.int64()),
+                "a": b["a"],
+                "b": b["b"],
+                "__bucket": pa.array(
+                    (a % np.uint64(nb1)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def match_bucket(g: pa.Table) -> pa.Table:
+        is_dup = np.asarray(pc.is_null(g["pos"]))
+        fp_all = _pack2(
+            np.asarray(g["a"]).view(np.uint64), np.asarray(g["b"]).view(np.uint64)
+        )
+        dup_sorted = np.sort(fp_all[is_dup])
+        occ = g.filter(pa.array(~is_dup))
+        member = _member2(fp_all[~is_dup], dup_sorted)
+        return occ.select(["id", "pos"]).filter(pa.array(member))
+
+    hits = (
+        ds.map_batches(tag_shingles, batch_format="pyarrow", zero_copy_batch=True)
+        .union(dup.map_batches(tag_dup, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("__bucket")
+        .map_groups(match_bucket, batch_format="pyarrow")
+    )
+
+    nb2 = coarse_bucket_count(ds)
+    left_names = list(sch.names)
+    left_types = dict(zip(sch.names, sch.types))
+
+    def _id_bucket(ids) -> pa.Array:
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        keys = pc.cast(ids, pa.string())
+        return pa.array(
+            (_token_hashes(keys) % np.uint64(nb2)).astype(np.int32), pa.int32()
+        )
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        cols = {n: b[n] for n in left_names}
+        cols["__isdoc"] = pa.array(np.ones(len(b), bool))
+        cols["__pos"] = pa.nulls(len(b), pa.int64())
+        cols["__bucket"] = _id_bucket(b[id_col])
+        return pa.table(cols)
+
+    def tag_hits(b: pa.Table) -> pa.Table:
+        cols = {
+            n: (b["id"] if n == id_col else pa.nulls(len(b), left_types[n]))
+            for n in left_names
+        }
+        cols["__isdoc"] = pa.array(np.zeros(len(b), bool))
+        cols["__pos"] = b["pos"]
+        cols["__bucket"] = _id_bucket(b["id"])
+        return pa.table(cols)
+
+    def rebuild_bucket(g: pa.Table) -> pa.Table:
+        from validatelite_ray.stages.text import _tokenize_ascii_spans
+
+        is_doc = np.asarray(g["__isdoc"])
+        docs = g.filter(pa.array(is_doc)).select(left_names)
+        pairs = g.filter(pa.array(~is_doc))
+        orig = docs[text_col]
+        if isinstance(orig, pa.ChunkedArray):
+            orig = orig.combine_chunks()
+        filled = pc.fill_null(orig, "")
+        _, _, per_doc, rs, re_ = _tokenize_ascii_spans(filled)
+        doc_offs = np.zeros(per_doc.size + 1, np.int64)
+        np.cumsum(per_doc, out=doc_offs[1:])
+        dup_starts = np.empty(0, np.int64)
+        if pairs.num_rows:
+            all_ids = pa.concat_arrays(
+                [
+                    pc.cast(docs[id_col].combine_chunks(), pa.string()),
+                    pc.cast(pairs[id_col].combine_chunks(), pa.string()),
+                ]
+            )
+            codes = np.asarray(pc.dictionary_encode(all_ids).indices).astype(
+                np.int64
+            )
+            doc_codes, pair_codes = codes[: docs.num_rows], codes[docs.num_rows :]
+            code_to_doc = np.full(int(codes.max()) + 1, -1, np.int64)
+            code_to_doc[doc_codes] = np.arange(docs.num_rows, dtype=np.int64)
+            tgt = code_to_doc[pair_codes]
+            ok = tgt >= 0
+            dup_starts = (
+                doc_offs[tgt[ok]] + np.asarray(pairs["__pos"])[ok]
+            )
+        return _substring_result(
+            docs, orig, filled, per_doc, rs, re_, dup_starts, k, text_col, mode
+        )
+
+    tagged = ds.map_batches(
+        tag_docs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        hits.map_batches(tag_hits, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return tagged.groupby("__bucket").map_groups(
+        rebuild_bucket, batch_format="pyarrow"
+    )

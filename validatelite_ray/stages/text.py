@@ -54,11 +54,23 @@ def _tokenize_ascii(arr: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     Byte-identical to splitting each doc with RE2 ``\\W+`` and dropping
     empties (runs never cross document boundaries).
     """
+    return _tokenize_ascii_spans(arr)[:3]
+
+
+def _tokenize_ascii_spans(
+    arr: pa.Array,
+) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """:func:`_tokenize_ascii` plus each token's byte span in the flat
+    utf8 buffer of ``arr`` (same rebased base as ``_utf8_buffer``):
+    → (tokens, doc_of_token, tokens_per_doc, run_starts, run_ends).
+    The spans let callers cut or splice the ORIGINAL text around token
+    boundaries (``dedup_substrings``)."""
     data, offsets = _utf8_buffer(arr)
     n_docs = len(offsets) - 1
     empty_tokens = pa.array([], pa.large_string())
+    empty_i = np.empty(0, np.int64)
     if data.size == 0:
-        return empty_tokens, np.empty(0, np.int64), np.zeros(n_docs, np.int64)
+        return empty_tokens, empty_i, np.zeros(n_docs, np.int64), empty_i, empty_i
     word = _WORD_BYTE[data]
     prev = np.empty_like(word)
     prev[0] = False
@@ -69,7 +81,7 @@ def _tokenize_ascii(arr: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     start_flags = word & ~prev
     run_starts = np.flatnonzero(start_flags)
     if run_starts.size == 0:
-        return empty_tokens, np.empty(0, np.int64), np.zeros(n_docs, np.int64)
+        return empty_tokens, empty_i, np.zeros(n_docs, np.int64), empty_i, empty_i
     # run ENDS mirror the starts (a doc boundary also terminates a run);
     # lengths from end-start — ~7x cheaper than the old full-buffer
     # int64 cumsum + bincount
@@ -92,7 +104,7 @@ def _tokenize_ascii(arr: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
         np.searchsorted(offsets[1:], run_starts, side="right").astype(np.int64)
     )
     tokens_per_doc = np.bincount(doc_of_byte, minlength=n_docs).astype(np.int64)
-    return tokens, doc_of_byte, tokens_per_doc
+    return tokens, doc_of_byte, tokens_per_doc, run_starts, run_ends
 
 
 def token_count(arr: pa.ChunkedArray | pa.Array, pattern: str = TOKEN_PATTERN) -> pa.Array:
