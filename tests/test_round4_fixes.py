@@ -328,3 +328,81 @@ def test_line_dedup_ckpt_path(ray_session, tmp_path):
     assert not any(
         BOILER in (t or "") for t in kept["content_scrubbed"].to_pylist()
     )
+
+
+SUBRUN = "unique marker alpha bravo charlie delta echo foxtrot golf hotel"
+
+
+def test_substring_dedup_stage_cuts_planted_runs(ray_session, tmp_path):
+    """Opt-in flagship substring cut: a 9-token run planted into many
+    docs is spliced out of every kept doc; rows and row-level dedup
+    accounting are untouched."""
+    import pyarrow.parquet as pq2
+    from validatelite_ray.testing.codegen import generate_corpus
+
+    table = generate_corpus(n_files=250, seed=23)
+    content = table["content"].to_pylist()
+    defect = table["defect"].to_pylist()
+    planted = 0
+    for i in range(len(content)):
+        if planted == 25:
+            break
+        if defect[i] == "clean" and content[i]:
+            content[i] = content[i] + "\n# " + SUBRUN + "\n"
+            planted += 1
+    assert planted == 25
+    out_t = table.set_column(
+        table.schema.get_field_index("content"), "content", pa.array(content)
+    )
+    src = tmp_path / "sub_corpus.parquet"
+    pq2.write_table(out_t, src)
+
+    base = run_streaming(
+        [str(src)], str(tmp_path / "sub_off"), QualityFilterConfig()
+    )
+    cfg = QualityFilterConfig(substring_dedup_k=8)
+    s = run_streaming([str(src)], str(tmp_path / "sub_on"), cfg)
+
+    assert s["kept_rows"] == base["kept_rows"]
+    assert s["dropped_duplicates"] == base["dropped_duplicates"]
+    assert s["substring_dup_tokens_cut"] >= 9 * 15
+    assert base["substring_dup_tokens_cut"] == 0
+
+    kept = _kept(tmp_path / "sub_on")
+    assert not any(
+        SUBRUN in (t or "") for t in kept["content_scrubbed"].to_pylist()
+    )
+    assert int(pc.sum(kept["dup_tokens"]).as_py()) == s[
+        "substring_dup_tokens_cut"
+    ]
+
+
+def test_substring_dedup_ckpt_path(ray_session, tmp_path):
+    import pyarrow.parquet as pq2
+    from validatelite_ray.testing.codegen import generate_corpus
+
+    table = generate_corpus(n_files=120, seed=29)
+    content = table["content"].to_pylist()
+    defect = table["defect"].to_pylist()
+    planted = 0
+    for i in range(len(content)):
+        if planted == 10:
+            break
+        if defect[i] == "clean" and content[i]:
+            content[i] = content[i] + "\n# " + SUBRUN + "\n"
+            planted += 1
+    out_t = table.set_column(
+        table.schema.get_field_index("content"), "content", pa.array(content)
+    )
+    src = tmp_path / "sub_ckpt_corpus.parquet"
+    pq2.write_table(out_t, src)
+    cfg = QualityFilterConfig(substring_dedup_k=8)
+    summary = run(
+        [str(src)], str(tmp_path / "sub_ckpt"), cfg, files_per_shard=1, resume=False
+    )
+    assert summary["substring_dup_tokens_cut"] >= 9 * 5
+    kept = _kept(tmp_path / "sub_ckpt")
+    assert "dup_spans" in kept.column_names
+    assert not any(
+        SUBRUN in (t or "") for t in kept["content_scrubbed"].to_pylist()
+    )

@@ -36,7 +36,9 @@ Input: Parquet table (repo, path, commit, lang, content). Stages:
    near-duplicate drop over the kept rows' scrubbed text),
    ``max_files_per_repo`` (coarse-bucket top-n per-repo cap), and
    ``line_dedup_min_docs`` (cross-document boilerplate-line removal
-   over the kept text), each with separate accounting in the summary.
+   over the kept text) and ``substring_dedup_k`` (exact-substring cut
+   of verbatim k-token runs), each with separate accounting in the
+   summary.
 
 Rule verdict accounting matches the reference contract: a rule's
 ``failed_records`` counts rows violating it; ``keep`` requires passing
@@ -128,6 +130,16 @@ class QualityFilterConfig:
     #: line dedup (short idiomatic lines — ``}``, ``import os`` — are
     #: never dropped)
     line_dedup_min_chars: int = 12
+    #: opt-in exact substring dedup over the kept text (Lee et al.
+    #: 2022 ExactSubstr, stages/dedup.py::dedup_substrings in ``cut``
+    #: mode): every verbatim run of ≥ this many ``\\w+`` tokens that
+    #: occurs ≥ ``substring_dedup_min_count`` times among kept docs is
+    #: byte-spliced out of every occurrence. Rows are never dropped;
+    #: removed-token totals surface as ``substring_dup_tokens_cut`` in
+    #: the summary and per row as ``n_tokens``/``dup_tokens``/
+    #: ``dup_spans`` kept-output columns. ``None`` disables.
+    substring_dedup_k: int | None = None
+    substring_dedup_min_count: int = 2
 
     def rules(self) -> list[RuleSpec]:
         """Quality thresholds expressed as ordinary ValidateLite rules
@@ -994,8 +1006,25 @@ def _line_dedup_stage(kept_ds, cfg: QualityFilterConfig):
     )
 
 
-def _lines_dropped_total(kept_dir: str) -> int:
-    """Σ lines_dropped over the written kept output (column-pruned
+def _substring_dedup_stage(kept_ds, cfg: QualityFilterConfig):
+    """Opt-in exact-substring cut over the kept rows (Lee et al.
+    ExactSubstr): verbatim ≥k-token runs occurring ≥min_count times
+    among the KEPT documents are byte-spliced out of every occurrence.
+    Content transform only — rows are never dropped."""
+    from validatelite_ray.stages.dedup import dedup_substrings
+
+    return dedup_substrings(
+        kept_ds,
+        id_col="uid",
+        text_col="content_scrubbed",
+        k=cfg.substring_dedup_k,
+        min_count=cfg.substring_dedup_min_count,
+        mode="cut",
+    )
+
+
+def _kept_column_total(kept_dir: str, column: str) -> int:
+    """Σ ``column`` over the written kept output (column-pruned
     re-read — one int64 column, never the text)."""
     import ray.data as rd
 
@@ -1003,8 +1032,8 @@ def _lines_dropped_total(kept_dir: str) -> int:
     if not files:
         return 0
     rfiles, rfs = ckpt.resolve_for_read(files)
-    ds = rd.read_parquet(rfiles, columns=["lines_dropped"], filesystem=rfs)
-    n = ds.sum("lines_dropped")
+    ds = rd.read_parquet(rfiles, columns=[column], filesystem=rfs)
+    n = ds.sum(column)
     return int(n) if n is not None else 0
 
 
@@ -1122,6 +1151,8 @@ def run_streaming(
         )
     if cfg.line_dedup_min_docs is not None:
         kept = _line_dedup_stage(kept, cfg)
+    if cfg.substring_dedup_k is not None:
+        kept = _substring_dedup_stage(kept, cfg)
     kept.write_parquet(kept_dir)
     n_dedup_dropped = _dedup_extra_rows(dec)
 
@@ -1138,7 +1169,12 @@ def run_streaming(
         rd.read_parquet(kept_dir).count() if ckpt.list_files(kept_dir) else 0
     )
     n_lines_dropped = (
-        _lines_dropped_total(kept_dir) if cfg.line_dedup_min_docs is not None else 0
+        _kept_column_total(kept_dir, "lines_dropped") if cfg.line_dedup_min_docs is not None else 0
+    )
+    n_sub_tokens = (
+        _kept_column_total(kept_dir, "dup_tokens")
+        if cfg.substring_dedup_k is not None
+        else 0
     )
     return {
         "total_rows": n_total,
@@ -1149,6 +1185,7 @@ def run_streaming(
             passing_count - n_dedup_dropped - n_near_dropped - kept_count
         ),
         "boilerplate_lines_dropped": n_lines_dropped,
+        "substring_dup_tokens_cut": n_sub_tokens,
         "rules": rows,
     }
 
@@ -1275,6 +1312,9 @@ def run(
     if cfg.line_dedup_min_docs is not None:
         kept = _line_dedup_stage(kept, cfg)
         kept_cols = kept_cols + ["lines_total", "lines_dropped"]
+    if cfg.substring_dedup_k is not None:
+        kept = _substring_dedup_stage(kept, cfg)
+        kept_cols = kept_cols + ["n_tokens", "dup_tokens", "dup_spans"]
     kept.map_batches(
         lambda b: b.select(kept_cols),
         batch_format="pyarrow",
@@ -1296,7 +1336,12 @@ def run(
         rd.read_parquet(kept_dir).count() if ckpt.list_files(kept_dir) else 0
     )
     n_lines_dropped = (
-        _lines_dropped_total(kept_dir) if cfg.line_dedup_min_docs is not None else 0
+        _kept_column_total(kept_dir, "lines_dropped") if cfg.line_dedup_min_docs is not None else 0
+    )
+    n_sub_tokens = (
+        _kept_column_total(kept_dir, "dup_tokens")
+        if cfg.substring_dedup_k is not None
+        else 0
     )
     summary = {
         "shards": stats,
@@ -1308,6 +1353,7 @@ def run(
             passing_count - n_dedup_dropped - n_near_dropped - kept_count
         ),
         "boilerplate_lines_dropped": n_lines_dropped,
+        "substring_dup_tokens_cut": n_sub_tokens,
         "rules": mrows,
         "out_dir": str(out),
     }
