@@ -433,6 +433,18 @@ def _q_scrub_email(sf_dir: str):
     )
 
 
+def _q_gopher_signals(sf_dir: str):
+    """Gopher §A1.1 quality-rule signals per document (stopword /
+    alpha-word / symbol ratios, bullet / ellipsis line fractions) —
+    stages/text.py::gopher_quality_signals, zero-shuffle stateless
+    map_batches; DuckDB oracle rebuilds identical definitions with
+    list lambdas."""
+    from validatelite_ray.stages.text import gopher_quality_signals
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return gopher_quality_signals(ds)
+
+
 def _q_dedup_substrings(sf_dir: str):
     """Exact substring (k-token-run) dedup flags, Lee et al. 2022
     style: per doc the token count, tokens covered by a verbatim
@@ -1163,6 +1175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_email": _q_scrub_email,
         "normalize_text_documents": _q_normalize_text,
         "substring_dedup_documents": _q_dedup_substrings,
+        "gopher_signals_documents": _q_gopher_signals,
     }
 
 
@@ -1543,6 +1556,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, regexp_replace(text, "
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed "
             "FROM documents"
+        ),
+        "gopher_signals_documents": (
+            "WITH toks AS ("
+            "  SELECT doc_id, text, list_filter("
+            "    regexp_split_to_array(coalesce(text, ''), '[^0-9A-Za-z_]+'),"
+            "    x -> x <> '') AS t,"
+            "  string_split(coalesce(text, ''), chr(10)) AS ls"
+            "  FROM documents"
+            ") SELECT doc_id,"
+            "  CASE WHEN text IS NULL THEN NULL ELSE CAST(len(t) AS BIGINT) END AS n_words,"
+            "  CASE WHEN text IS NULL OR len(t) = 0 THEN NULL ELSE"
+            "    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) END"
+            "    AS mean_word_len,"
+            "  CASE WHEN text IS NULL OR len(t) = 0 THEN NULL ELSE"
+            "    CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)"
+            "    / len(t) END AS frac_words_alpha,"
+            "  CASE WHEN text IS NULL THEN NULL ELSE CAST(len(list_filter(t,"
+            "    x -> list_contains(['the','be','to','of','and','that','have','with'],"
+            "    lower(x)))) AS BIGINT) END AS stopword_count,"
+            "  CASE WHEN text IS NULL OR len(t) = 0 THEN NULL ELSE"
+            "    CAST(len(list_filter(t,"
+            "    x -> list_contains(['the','be','to','of','and','that','have','with'],"
+            "    lower(x)))) AS DOUBLE) / len(t) END AS stopword_frac,"
+            "  CASE WHEN text IS NULL OR len(t) = 0 THEN NULL ELSE CAST("
+            "    (length(text) - length(replace(text, '#', '')))"
+            "    + (length(text) - length(replace(text, '...', ''))) // 3"
+            "    + (length(text) - length(replace(text, chr(8230), '')))"
+            "    AS DOUBLE) / len(t) END AS symbol_word_ratio,"
+            "  CASE WHEN text IS NULL OR len(ls) = 0 THEN NULL ELSE"
+            "    CAST(len(list_filter(ls, l -> regexp_matches(l,"
+            "    '^[ \\t]*[-*' || chr(8226) || chr(8227) || chr(9654) || ']')))"
+            "    AS DOUBLE) / len(ls) END AS frac_lines_bullet,"
+            "  CASE WHEN text IS NULL OR len(ls) = 0 THEN NULL ELSE"
+            "    CAST(len(list_filter(ls, l -> regexp_matches(l,"
+            "    '(\\.\\.\\.|' || chr(8230) || ')$')))"
+            "    AS DOUBLE) / len(ls) END AS frac_lines_ellipsis"
+            " FROM toks"
         ),
         "substring_dedup_documents": (
             "WITH toks AS ("

@@ -1,0 +1,76 @@
+"""Gopher quality signals (stages/text.py::gopher_quality_signals):
+edge semantics + DuckDB-oracle parity on planted tricky inputs (the
+sf testdata contains few symbols/bullets, which would hide kernel
+divergence)."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from validatelite_ray.stages.text import gopher_quality_signals
+
+TRICKY = [
+    "the cat sat... on # mats\n- bullet one\n* two",
+    "• unicode bullet\nplain line…",
+    "dots.... and ...... runs",
+    "#### many hashes",
+    "THE BE TO OF AND THAT HAVE WITH",
+    "12 34 _under_ 56",
+    "",
+    None,
+    "   \n \t \n  ",
+    "one",
+]
+
+
+def _ray_result(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"doc_id": list(range(len(TRICKY))), "text": TRICKY})
+    out = pa.Table.from_pylist(
+        gopher_quality_signals(rd.from_arrow(t).repartition(3)).take_all()
+    )
+    return out.take(pa.compute.sort_indices(out["doc_id"]))
+
+
+def _oracle_result():
+    import __ray_entry__ as entrymod
+
+    sql = entrymod.oracle_sql()["gopher_signals_documents"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        list(zip(range(len(TRICKY)), TRICKY)),
+    )
+    return con.execute(sql + " ORDER BY doc_id").df()
+
+
+def test_matches_duckdb_on_tricky_inputs(ray_session):
+    got = _ray_result(ray_session)
+    want = _oracle_result()
+    for c in got.column_names:
+        g = got[c].to_pylist()
+        w = [None if pa.compute.is_nan(pa.scalar(x)).as_py() else x
+             for x in want[c].where(want[c].notna(), None).tolist()] \
+            if str(want[c].dtype).startswith("float") else \
+            [None if x is None else int(x) for x in want[c].where(want[c].notna(), None).tolist()]
+        assert g == w, (c, g, w)
+
+
+def test_edge_semantics(ray_session):
+    got = _ray_result(ray_session)
+    rows = {r["doc_id"]: r for r in got.to_pylist()}
+    # NULL doc -> all NULL
+    assert all(v is None for k, v in rows[7].items() if k != "doc_id")
+    # empty doc -> 0 words, NULL ratios, 0 line fracs (one empty line)
+    assert rows[6]["n_words"] == 0 and rows[6]["mean_word_len"] is None
+    assert rows[6]["frac_lines_bullet"] == 0.0
+    # stopwords are case-insensitive
+    assert rows[4]["stopword_count"] == 8 and rows[4]["stopword_frac"] == 1.0
+    # '....' counts one non-overlapping '...', '......' counts two;
+    # words = dots/and/runs = 3 -> ratio (1+2)/3
+    assert rows[2]["symbol_word_ratio"] == pytest.approx(1.0)
+    # unicode bullet recognised; ellipsis char at line end recognised
+    assert rows[1]["frac_lines_bullet"] == 0.5
+    assert rows[1]["frac_lines_ellipsis"] == 0.5

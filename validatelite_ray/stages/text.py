@@ -792,3 +792,137 @@ def normalize_text(
         return b.append_column(dest, norm)
 
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality signals
+# ---------------------------------------------------------------------------
+
+#: the Gopher rule's stop words (Rae et al. 2021 §A1.1: "must contain at
+#: least two of the stop words the, be, to, of, and, that, have, with")
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: bullet prefixes / ellipsis suffixes from the same rule family
+_BULLET_RE = "^[ \\t]*[-*\u2022\u2023\u25b6]"
+_ELLIPSIS_RE = "(\\.\\.\\.|\u2026)$"
+
+
+def gopher_quality_signals(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document Gopher quality-rule signals (Rae et al. 2021,
+    Gopher §A1.1 — the public heuristic family behind most web-corpus
+    quality filters), complementing this repo's length/alnum/repetition
+    stats (``add_text_features``) and repetition signals
+    (``line_repetition``, ``top_ngram_fraction``):
+
+    * ``n_words`` — ``\\w+`` token count
+    * ``mean_word_len`` — mean token length (NULL when no words)
+    * ``frac_words_alpha`` — fraction of words containing ≥1 [A-Za-z]
+    * ``stopword_count`` / ``stopword_frac`` — occurrences of the 8
+      Gopher stop words (case-insensitive)
+    * ``symbol_word_ratio`` — (#, …, ...) occurrences / words
+    * ``frac_lines_bullet`` — lines starting with a bullet
+    * ``frac_lines_ellipsis`` — lines ending with an ellipsis
+
+    Stateless zero-copy ``map_batches``; every kernel is Arrow C++ or
+    a reduceat over the flat token buffer — no Python per row. NULL
+    documents yield NULL signals. Oracle-verified against DuckDB
+    (`gopher_signals_documents`).
+    """
+
+    stop_arr = pa.array(list(GOPHER_STOPWORDS), pa.string())
+
+    def apply(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        null_mask = np.asarray(pc.is_null(col))
+        filled = pc.fill_null(col, "")
+        n_docs = len(col)
+
+        tokens, doc_of, per_doc = _tokenize_ascii(filled)
+        tok_lens = np.asarray(pc.utf8_length(tokens)).astype(np.int64)
+        doc_offs = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(per_doc, out=doc_offs[1:])
+
+        def per_doc_sum(vals: np.ndarray) -> np.ndarray:
+            out = np.zeros(n_docs, np.int64)
+            nz = per_doc > 0
+            if nz.any():
+                out[nz] = np.add.reduceat(
+                    vals.astype(np.int64), doc_offs[:-1][nz]
+                )
+            return out
+
+        len_sum = per_doc_sum(tok_lens)
+        alpha = np.asarray(
+            pc.match_substring_regex(tokens, "[A-Za-z]")
+        )
+        alpha_sum = per_doc_sum(alpha)
+        stop = np.asarray(pc.is_in(pc.utf8_lower(tokens), value_set=stop_arr))
+        stop_sum = per_doc_sum(stop)
+
+        n_words = per_doc.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_word_len = np.where(per_doc > 0, len_sum / n_words, np.nan)
+            frac_alpha = np.where(per_doc > 0, alpha_sum / n_words, np.nan)
+            stop_frac = np.where(per_doc > 0, stop_sum / n_words, np.nan)
+
+        sym = (
+            np.asarray(pc.count_substring(filled, "#")).astype(np.int64)
+            + np.asarray(pc.count_substring(filled, "...")).astype(np.int64)
+            + np.asarray(pc.count_substring(filled, "\u2026")).astype(np.int64)
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sym_ratio = np.where(per_doc > 0, sym / n_words, np.nan)
+
+        lines = pc.split_pattern(filled, pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = lines.flatten()
+        line_offs = np.asarray(lines.offsets).astype(np.int64)
+        lines_per_doc = np.diff(line_offs)
+        bullet = np.asarray(pc.match_substring_regex(flat, _BULLET_RE))
+        ellip = np.asarray(pc.match_substring_regex(flat, _ELLIPSIS_RE))
+
+        def per_doc_line_sum(vals: np.ndarray) -> np.ndarray:
+            out = np.zeros(n_docs, np.int64)
+            nz = lines_per_doc > 0
+            if nz.any():
+                out[nz] = np.add.reduceat(
+                    vals.astype(np.int64), line_offs[:-1][nz]
+                )
+            return out
+
+        nl = lines_per_doc.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac_bullet = np.where(
+                lines_per_doc > 0, per_doc_line_sum(bullet) / nl, np.nan
+            )
+            frac_ellip = np.where(
+                lines_per_doc > 0, per_doc_line_sum(ellip) / nl, np.nan
+            )
+
+        def fcol(vals: np.ndarray) -> pa.Array:
+            return pa.array(vals, pa.float64(), mask=null_mask | np.isnan(vals))
+
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_words": pa.array(per_doc, pa.int64(), mask=null_mask),
+                "mean_word_len": fcol(mean_word_len),
+                "frac_words_alpha": fcol(frac_alpha),
+                "stopword_count": pa.array(stop_sum, pa.int64(), mask=null_mask),
+                "stopword_frac": fcol(stop_frac),
+                "symbol_word_ratio": fcol(sym_ratio),
+                "frac_lines_bullet": fcol(frac_bullet),
+                "frac_lines_ellipsis": fcol(frac_ellip),
+            }
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
