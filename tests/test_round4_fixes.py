@@ -461,3 +461,41 @@ def test_all_optin_controls_compose(ray_session, tmp_path):
         + s["dropped_repo_cap"]
         <= s["total_rows"]
     )
+
+
+def test_normalize_form_preserves_sha_invariant(ray_session):
+    """Opt-in normalize pre-step: sha256 stays the hash of the RAW
+    bytes (reference per-row invariant) while features and scrubbed
+    content see normalized text (CRLF folded, controls stripped,
+    NFC-composed)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from validatelite_ray.pipelines.quality_filter import fused_label
+
+    raw = "line one\r\nCafé x\x00y ok\r\n" + ("word " * 40)
+    t = pa.table(
+        {
+            "repo": ["r"], "path": ["p"], "commit": ["c"],
+            "lang": ["python"], "content": [raw],
+        }
+    )
+    out = pa.Table.from_pylist(
+        fused_label(
+            rd.from_arrow(t), QualityFilterConfig(normalize_form="NFC"),
+            keep_content=True,
+        ).take_all()
+    )
+    row = out.to_pylist()[0]
+    assert row["sha256"] == hashlib.sha256(raw.encode()).hexdigest()
+    assert "\r" not in row["content_scrubbed"]
+    assert "\x00" not in row["content_scrubbed"]
+    assert "Café" in row["content_scrubbed"]  # composed NFC
+    # flag off -> raw text flows through untouched
+    out2 = pa.Table.from_pylist(
+        fused_label(
+            rd.from_arrow(t), QualityFilterConfig(), keep_content=True
+        ).take_all()
+    )
+    assert "\r\n" in out2.to_pylist()[0]["content_scrubbed"]

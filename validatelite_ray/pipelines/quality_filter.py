@@ -140,6 +140,14 @@ class QualityFilterConfig:
     #: ``dup_spans`` kept-output columns. ``None`` disables.
     substring_dedup_k: int | None = None
     substring_dedup_min_count: int = 2
+    #: opt-in Unicode normalization pre-step (stages/text.py::
+    #: normalize_text_array with this normal form + CRLF fold + control
+    #: strip) applied INSIDE the fused label stage — AFTER sha256, so
+    #: the per-row content-sha256 invariant vs the reference (and dedup
+    #: identity) stays byte-exact on the RAW input; features, scrubbing
+    #: and the kept ``content_scrubbed`` all see normalized text.
+    #: ``None`` disables (the default).
+    normalize_form: str | None = None
 
     def rules(self) -> list[RuleSpec]:
         """Quality thresholds expressed as ordinary ValidateLite rules
@@ -249,6 +257,14 @@ class FusedLabelStage:
         cfg = self.cfg
         text = cfg.text_col
         b = add_sha256(batch, text, "sha256")
+        if cfg.normalize_form:
+            from validatelite_ray.stages.text import normalize_text_array
+
+            b = b.set_column(
+                b.schema.get_field_index(text),
+                text,
+                normalize_text_array(b[text], form=cfg.normalize_form),
+            )
         b = add_text_features(b, text, k=cfg.shingle_k)  # one tokenize
         b = add_scrubbed(b, text, "content_scrubbed")
         uid = None
