@@ -1,11 +1,20 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
-Image/audio decode libraries are NOT available in this environment, so
-the decode kernels are STUBBED — ``FakeCodec`` documents and implements
-a deterministic stand-in (parses a tiny header we define), while
-``decode=None`` raises ``NotImplementedError`` at the decode step.
-Everything Ray-side is real and tested: schemas, actor-pool signatures,
-small-batch sizing for wide binary rows, and the output layout.
+Decode support comes in two tiers:
+
+* **REAL codecs** (bottom of this module) for uncompressed container
+  formats that need no external libraries: ``BmpCodec`` (24/32-bit +
+  8-bit-palette Windows BMP) and ``WavCodec`` (RIFF/WAVE PCM) — pure
+  struct + numpy, validated against hand-constructed byte fixtures.
+  Any standard tool's BMP/WAV output decodes here.
+* **Injection-only stubs** for compressed formats (JPEG/PNG/MP3/video)
+  whose libraries are NOT in this environment: ``FakeCodec`` /
+  ``FakeAudioCodec`` are deterministic stand-ins, and ``codec=None``
+  raises ``NotImplementedError`` at the decode step.
+
+Everything Ray-side is real and tested either way: schemas, actor-pool
+signatures, small-batch sizing for wide binary rows, and the output
+layout.
 
 Pattern (the production shape):
 
@@ -224,3 +233,144 @@ def make_fake_image_table(n: int = 64, seed: int = 42) -> pa.Table:
         rows["meta_height"].append(h)
         rows["meta_duration_ms"].append(0)
     return pa.table(rows, schema=MULTIMODAL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs for uncompressed container formats (pure struct + numpy).
+# BMP and PCM WAV need no external libraries, so these are fully
+# functional decoders — any tool's output decodes here. Compressed
+# formats (JPEG/PNG/MP3/video) remain injection-only stubs above.
+# ---------------------------------------------------------------------------
+
+#: ITU-R BT.601 luma weights (the JPEG/MPEG grayscale convention)
+_LUMA_BGR = np.array([0.114, 0.587, 0.299], dtype=np.float64)
+
+
+class BmpCodec:
+    """Decoder for uncompressed Windows BMP (BITMAPINFOHEADER or
+    larger; BI_RGB): 24/32-bit BGR(A) and 8-bit paletted, 4-byte row
+    padding, bottom-up (positive height) or top-down (negative).
+    Output matches the ``ImageFeatureStage`` contract: 8-bit grayscale
+    ``pixels`` via BT.601 luma. Pure numpy — one reshape + one matmul
+    per image, no Python per pixel."""
+
+    def decode(self, payload: bytes) -> dict:
+        if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        pix_off = struct.unpack_from("<I", payload, 10)[0]
+        dib = struct.unpack_from("<I", payload, 14)[0]
+        if dib < 40:
+            raise ValueError("BITMAPCOREHEADER BMPs not supported")
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if compression != 0:
+            raise ValueError(f"compressed BMP (BI_ code {compression}) not supported")
+        if width <= 0 or height == 0:
+            raise ValueError("degenerate BMP dimensions")
+        abs_h = abs(height)
+        stride = ((bpp * width + 31) // 32) * 4
+        data = np.frombuffer(
+            payload, np.uint8, count=stride * abs_h, offset=pix_off
+        ).reshape(abs_h, stride)
+        if bpp == 24:
+            bgr = data[:, : width * 3].reshape(abs_h, width, 3)
+            gray = (bgr @ _LUMA_BGR).round()
+        elif bpp == 32:
+            bgra = data[:, : width * 4].reshape(abs_h, width, 4)
+            gray = (bgra[:, :, :3] @ _LUMA_BGR).round()
+        elif bpp == 8:
+            # palette: dib-size bytes after offset 14, BGRX entries
+            pal = np.frombuffer(
+                payload, np.uint8, count=256 * 4, offset=14 + dib
+            ).reshape(256, 4)
+            pal_gray = (pal[:, :3].astype(np.float64) @ _LUMA_BGR).round()
+            gray = pal_gray[data[:, :width]]
+        else:
+            raise ValueError(f"{bpp}-bit BMP not supported")
+        pixels = gray.astype(np.uint8)
+        if height > 0:  # bottom-up storage
+            pixels = pixels[::-1]
+        return {"width": width, "height": abs_h, "pixels": np.ascontiguousarray(pixels)}
+
+    def resize(self, pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+        h, w = pixels.shape
+        ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+        xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+        return pixels[np.ix_(ys, xs)]
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Writer for 24-bit uncompressed BMP from an (H, W) grayscale or
+    (H, W, 3) RGB uint8 array (test fixture + sink helper; standard
+    bottom-up layout, any BMP viewer opens the result)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    h, w, _ = px.shape
+    bgr = px[:, :, ::-1]
+    stride = ((24 * w + 31) // 32) * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    body = rows[::-1].tobytes()  # bottom-up
+    off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return header + body
+
+
+class WavCodec:
+    """Decoder for RIFF/WAVE PCM: 8-bit unsigned or 16-bit signed
+    little-endian samples, any channel count (channels are averaged to
+    mono, the usual feature-extraction convention). Pure struct +
+    numpy; walks the chunk list, so extra chunks (LIST, fact…) are
+    fine. Output matches the ``AudioFeatureStage`` contract."""
+
+    def decode(self, payload: bytes) -> dict:
+        if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+            elif cid == b"data":
+                data = payload[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        audio_format, n_ch, rate, _, _, bits = fmt
+        if audio_format != 1:
+            raise ValueError(f"non-PCM WAV (format {audio_format}) not supported")
+        if bits == 16:
+            x = np.frombuffer(data, "<i2")
+        elif bits == 8:
+            x = (np.frombuffer(data, np.uint8).astype(np.int16) - 128) << 8
+        else:
+            raise ValueError(f"{bits}-bit WAV not supported")
+        if n_ch > 1:
+            x = x[: (x.size // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+            x = x.round().astype(np.int16)
+        return {"sample_rate": rate, "samples": x}
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Writer for 16-bit PCM mono WAV (test fixture + sink helper)."""
+    x = np.asarray(samples, dtype="<i2")
+    data = x.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
