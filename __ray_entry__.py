@@ -461,6 +461,30 @@ def _q_dedup_substrings(sf_dir: str):
     )
 
 
+def _q_multimodal_bmp(sf_dir: str):
+    """Same actor-pool decode->feature pipeline over REAL 24-bit BMP
+    payloads (stages/multimodal.py::BmpCodec — pure struct+numpy, no
+    image libraries; validated against hand-built byte fixtures in
+    test_real_codecs.py). Rows-only: SQL cannot decode BMP."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.multimodal import (
+        BmpCodec,
+        ImageFeatureStage,
+        make_bmp_image_table,
+    )
+
+    n = max(_read(sf_dir, "documents", ["doc_id"]).count() // 4, 16)
+    ds = rd.from_arrow(make_bmp_image_table(int(n), seed=42))
+    return ds.map_batches(
+        ImageFeatureStage,
+        fn_constructor_kwargs={"codec": BmpCodec()},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    ).drop_columns(["thumb_8x8"])
+
+
 def _q_normalize_text(sf_dir: str):
     """Unicode normalization cleaning pass (NFC + CRLF fold + control
     strip + space collapse + trim + lowercase) — pure Arrow-kernel
@@ -1168,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_documents": _q_perplexity,
         "rule_schema_orders": _q_schema_check,
         "multimodal_image_features": _q_multimodal_features,
+        "multimodal_bmp_features": _q_multimodal_bmp,
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,

@@ -374,3 +374,22 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
         + struct.pack("<I", len(data))
         + data
     )
+
+
+def make_bmp_image_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic corpus of REAL 24-bit BMP payloads (decodable by
+    any image tool, and by ``BmpCodec`` with zero external libs)."""
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("item_id", "modality", "media_type", "payload",
+                            "meta_width", "meta_height", "meta_duration_ms")}
+    for i in range(n):
+        w, h = int(rng.integers(4, 48)), int(rng.integers(4, 48))
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows["item_id"].append(i)
+        rows["modality"].append("image")
+        rows["media_type"].append("image/bmp")
+        rows["payload"].append(encode_bmp(px))
+        rows["meta_width"].append(w)
+        rows["meta_height"].append(h)
+        rows["meta_duration_ms"].append(0)
+    return pa.table(rows, schema=MULTIMODAL_SCHEMA)
