@@ -192,3 +192,62 @@ class TestStagesWithRealCodecs(object):
         assert r["duration_ms"] == 1000
         assert 0.1 < r["rms"] < 0.8
         assert 0.0 < r["zero_crossing_rate"] < 0.05
+
+
+class TestY4M:
+    def test_manual_header_and_luma(self):
+        from validatelite_ray.stages.multimodal import Y4MCodec
+
+        w, h = 4, 2
+        y0 = bytes(range(8))
+        y1 = bytes(range(8, 16))
+        chroma = b"\x80" * 4  # C420: (w/2)*(h/2)*2
+        payload = (
+            b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg\n"
+            + b"FRAME\n" + y0 + chroma
+            + b"FRAME\n" + y1 + chroma
+        )
+        out = Y4MCodec().decode(payload)
+        assert (out["width"], out["height"], out["fps"]) == (4, 2, 25.0)
+        assert out["frames"].shape == (2, 2, 4)
+        assert out["frames"][0].ravel().tolist() == list(range(8))
+        assert out["frames"][1].ravel().tolist() == list(range(8, 16))
+
+    def test_roundtrip_all_chroma_modes(self):
+        from validatelite_ray.stages.multimodal import Y4MCodec, encode_y4m
+
+        rng = np.random.default_rng(5)
+        f = rng.integers(0, 256, size=(3, 6, 8), dtype=np.uint8)
+        for mode in ("420jpeg", "422", "444", "mono"):
+            out = Y4MCodec().decode(encode_y4m(f, fps=30, chroma=mode))
+            assert (out["frames"] == f).all(), mode
+            assert out["fps"] == 30.0
+
+    def test_frame_sample_stage(self, ray_session):
+        import ray.data as rd
+
+        from validatelite_ray.stages.multimodal import (
+            FrameSampleStage,
+            Y4MCodec,
+            encode_y4m,
+        )
+
+        # 50 frames at 25 fps = 2 s; every_ms=1000 -> frames 0 and 25
+        f = np.stack([np.full((4, 4), i, np.uint8) for i in range(50)])
+        ds = rd.from_items([{"item_id": 7, "payload": encode_y4m(f, fps=25)}])
+        out = ds.map_batches(
+            FrameSampleStage,
+            fn_constructor_kwargs={"every_ms": 1000, "codec": Y4MCodec()},
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=2,
+            num_cpus=0.5,
+        ).take_all()
+        got = sorted((r["frame_idx"], r["t_ms"], r["mean_intensity"]) for r in out)
+        assert got == [(0, 0, 0.0), (25, 1000, 25.0)]
+
+    def test_no_codec_raises(self, ray_session):
+        from validatelite_ray.stages.multimodal import FrameSampleStage
+
+        with pytest.raises(NotImplementedError):
+            FrameSampleStage()(pa.table({"item_id": [1], "payload": [b"x"]}))

@@ -4,10 +4,11 @@ Decode support comes in two tiers:
 
 * **REAL codecs** (bottom of this module) for uncompressed container
   formats that need no external libraries: ``BmpCodec`` (24/32-bit +
-  8-bit-palette Windows BMP) and ``WavCodec`` (RIFF/WAVE PCM) — pure
-  struct + numpy, validated against hand-constructed byte fixtures.
-  Any standard tool's BMP/WAV output decodes here.
-* **Injection-only stubs** for compressed formats (JPEG/PNG/MP3/video)
+  8-bit-palette Windows BMP), ``WavCodec`` (RIFF/WAVE PCM) and
+  ``Y4MCodec`` (YUV4MPEG2 video) — pure struct + numpy, validated
+  against hand-constructed byte fixtures. Any standard tool's
+  BMP/WAV/Y4M output decodes here.
+* **Injection-only stubs** for compressed formats (JPEG/PNG/MP3, mp4)
   whose libraries are NOT in this environment: ``FakeCodec`` /
   ``FakeAudioCodec`` are deterministic stand-ins, and ``codec=None``
   raises ``NotImplementedError`` at the decode step.
@@ -202,20 +203,54 @@ def make_fake_audio_table(n: int = 64, seed: int = 42) -> pa.Table:
 
 
 class FrameSampleStage:
-    """Actor-pool stage signature for video frame sampling (STUB).
+    """Actor-pool stage: video frame sampling — one output row per
+    sampled frame (flat-map shape; a clip fans out to ≤ duration /
+    ``every_ms`` rows).
 
-    Real implementation would wrap pyav/ffmpeg; here every call raises
-    unless a codec is injected. Kept so the pipeline shape (schema,
-    batch sizing) is testable.
+    Codec contract: ``decode(payload) -> {"width", "height", "fps",
+    "frames": uint8 ndarray (n, h, w) grayscale}``. ``Y4MCodec`` below
+    is a REAL implementation for uncompressed YUV4MPEG2 streams (pure
+    numpy); compressed containers (mp4/webm) need an injected
+    ffmpeg/pyav wrapper — ``codec=None`` raises at the decode step.
+    Output: item_id, frame_idx, t_ms, width, height, mean_intensity.
     """
 
-    def __init__(self, every_ms: int = 1000, codec=None):
+    def __init__(self, every_ms: int = 1000, codec=None, payload_col: str = "payload"):
         self.every_ms = every_ms
         self.codec = codec
+        self.payload_col = payload_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "video frame sampling requires ffmpeg/pyav (not in this environment)"
+        if self.codec is None:
+            raise NotImplementedError(
+                "video decode requires a codec (ffmpeg/pyav not available in "
+                "this environment for compressed containers); pass "
+                "codec=Y4MCodec() for uncompressed YUV4MPEG2"
+            )
+        ids, idxs, ts, ws, hs, means = [], [], [], [], [], []
+        for item_id, payload in zip(
+            batch["item_id"].to_pylist(), batch[self.payload_col].to_pylist()
+        ):
+            clip = self.codec.decode(payload)
+            frames = clip["frames"]
+            fps = float(clip["fps"])
+            step = max(1, int(round(self.every_ms * fps / 1000.0)))
+            for i in range(0, len(frames), step):
+                ids.append(item_id)
+                idxs.append(i)
+                ts.append(int(round(i * 1000.0 / fps)))
+                ws.append(clip["width"])
+                hs.append(clip["height"])
+                means.append(float(frames[i].mean()))
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "t_ms": pa.array(ts, pa.int32()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "mean_intensity": pa.array(means, pa.float64()),
+            }
         )
 
 
@@ -393,3 +428,77 @@ def make_bmp_image_table(n: int = 64, seed: int = 42) -> pa.Table:
         rows["meta_height"].append(h)
         rows["meta_duration_ms"].append(0)
     return pa.table(rows, schema=MULTIMODAL_SCHEMA)
+
+
+class Y4MCodec:
+    """REAL decoder for uncompressed YUV4MPEG2 (.y4m) video streams —
+    the interchange format every ffmpeg build can emit (`ffmpeg -i x
+    out.y4m`). Pure numpy: parses the stream header (W/H/F tags and
+    chroma mode), then slices the luma plane of each FRAME; chroma is
+    skipped (frame features are grayscale). Supports C420*, C422,
+    C444 and Cmono subsampling."""
+
+    _CHROMA_FACTOR = {  # chroma bytes per luma byte
+        "420": 0.5, "420jpeg": 0.5, "420mpeg2": 0.5, "420paldv": 0.5,
+        "422": 1.0, "444": 2.0, "mono": 0.0,
+    }
+
+    def decode(self, payload: bytes) -> dict:
+        if payload is None or not payload.startswith(b"YUV4MPEG2"):
+            raise ValueError("not a YUV4MPEG2 payload")
+        nl = payload.index(b"\n")
+        width = height = None
+        num, den = 30, 1
+        chroma = "420jpeg"
+        for tag in payload[10:nl].split(b" "):
+            if not tag:
+                continue
+            c, val = chr(tag[0]), tag[1:].decode("ascii", "replace")
+            if c == "W":
+                width = int(val)
+            elif c == "H":
+                height = int(val)
+            elif c == "F":
+                num, den = (int(x) for x in val.split(":"))
+            elif c == "C":
+                chroma = val
+        if not width or not height:
+            raise ValueError("missing W/H in YUV4MPEG2 header")
+        if chroma not in self._CHROMA_FACTOR:
+            raise ValueError(f"unsupported chroma mode C{chroma}")
+        y_size = width * height
+        frame_size = y_size + int(y_size * self._CHROMA_FACTOR[chroma])
+        frames = []
+        pos = nl + 1
+        while pos < len(payload):
+            fnl = payload.index(b"\n", pos)
+            if payload[pos : pos + 5] != b"FRAME":
+                raise ValueError("malformed FRAME marker")
+            start = fnl + 1
+            frames.append(
+                np.frombuffer(payload, np.uint8, count=y_size, offset=start)
+                .reshape(height, width)
+            )
+            pos = start + frame_size
+        return {
+            "width": width,
+            "height": height,
+            "fps": num / den,
+            "frames": np.stack(frames) if frames else np.empty((0, height, width), np.uint8),
+        }
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25, chroma: str = "420jpeg") -> bytes:
+    """Writer for YUV4MPEG2 from (n, h, w) uint8 grayscale frames
+    (chroma planes neutral-gray; standard players render the result)."""
+    f = np.asarray(frames, np.uint8)
+    n, h, w = f.shape
+    cf = Y4MCodec._CHROMA_FACTOR[chroma]
+    chroma_bytes = b"\x80" * int(w * h * cf)
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C{chroma}\n".encode()
+    out = [head]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(f[i].tobytes())
+        out.append(chroma_bytes)
+    return b"".join(out)
