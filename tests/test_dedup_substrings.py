@@ -149,3 +149,22 @@ def test_validation():
         dedup_substrings(None, mode="nope")
     with pytest.raises(ValueError):
         dedup_substrings(None, strategy="nope")
+
+
+def test_hot_shingle_skew(ray_session):
+    """Skew guard: ONE boilerplate doc duplicated 800x concentrates all
+    its shingle mass in few buckets of the coarse-bucket reduce; counts
+    and coverage must be exact through both strategies."""
+    import ray.data as rd
+
+    doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [doc] * 800 + ["totally unique words nothing repeats here at all"]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    for strategy in ("broadcast", "cogroup"):
+        got = _run(
+            rd.from_arrow(t).repartition(6),
+            k=5, min_count=2, mode="flag", strategy=strategy,
+        )
+        dup_tokens = got["dup_tokens"].to_pylist()
+        assert dup_tokens[:800] == [10] * 800, strategy
+        assert dup_tokens[800] == 0, strategy
