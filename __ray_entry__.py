@@ -815,6 +815,46 @@ def _derive_multiline_docs(sf_dir: str):
     return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _derive_paragraph_docs(sf_dir: str):
+    """documents wrapped in a shared per-source header/footer PARAGRAPH
+    (blank-line separated) — the paragraph-granularity analogue of
+    ``_derive_multiline_docs`` for the ``sep="\n\n"`` dedup oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        n = len(b)
+
+        def lit(s: str) -> pa.Array:
+            return pa.array([s] * n, pa.string())
+
+        text2 = pc.binary_join_element_wise(
+            lit("shared paragraph header for "),
+            b["source"],
+            lit("\n\n"),
+            b["text"],
+            lit("\n\nshared paragraph footer for "),
+            b["source"],
+            "",
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": text2})
+
+    return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_dedup_paragraphs(sf_dir: str):
+    """Cross-document PARAGRAPH dedup: same operator as dedup_lines
+    with sep="\n\n" — segments are blank-line-separated paragraphs;
+    shared header/footer paragraphs are dropped from every doc."""
+    from validatelite_ray.stages.dedup import dedup_lines
+
+    return dedup_lines(
+        _derive_paragraph_docs(sf_dir),
+        min_dup_docs=2,
+        min_line_chars=12,
+        sep="\n\n",
+    )
+
+
 def _q_dedup_lines(sf_dir: str):
     """Cross-document line dedup (RefinedWeb-style boilerplate removal):
     drop lines >= 12 trimmed chars occurring in >= 2 distinct docs
@@ -1162,6 +1202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": _q_dedup_exact,
         "dedup_lines_documents": _q_dedup_lines,
         "dedup_lines_documents_cogroup": _q_dedup_lines_cogroup,
+        "dedup_paragraphs_documents": _q_dedup_paragraphs,
         "anti_join_documents": _q_anti_join_documents,
         "semi_join_documents_cogroup": _q_semi_join_documents_cogroup,
         "distinct_types_per_user": _q_distinct_types_per_user,
@@ -1223,6 +1264,27 @@ _DEDUP_LINES_SQL = (
     "chr(10) ORDER BY n.ord), '') AS text, "
     "count(*) AS lines_total, count(d.nline) AS lines_dropped "
     "FROM norm n LEFT JOIN dup d ON n.nline = d.nline GROUP BY n.doc_id"
+)
+
+
+#: paragraph-granularity variant of _DEDUP_LINES_SQL: segments split on
+#: a blank line; drop rule identical (trim >= 12 chars, >= 2 docs)
+_DEDUP_PARAGRAPHS_SQL = (
+    "WITH src AS (SELECT doc_id, "
+    "'shared paragraph header for ' || source || chr(10) || chr(10) || text "
+    "|| chr(10) || chr(10) || 'shared paragraph footer for ' || source AS text "
+    "FROM documents), "
+    "segs AS (SELECT doc_id, unnest(split(text, chr(10) || chr(10))) AS seg, "
+    "generate_subscripts(split(text, chr(10) || chr(10)), 1) AS ord FROM src), "
+    "norm AS (SELECT doc_id, ord, seg, "
+    "trim(seg, ' ' || chr(9) || chr(13)) AS nseg FROM segs), "
+    "dup AS (SELECT nseg FROM norm WHERE length(nseg) >= 12 "
+    "GROUP BY nseg HAVING count(DISTINCT doc_id) >= 2) "
+    "SELECT n.doc_id, "
+    "coalesce(string_agg(CASE WHEN d.nseg IS NULL THEN n.seg END, "
+    "chr(10) || chr(10) ORDER BY n.ord), '') AS text, "
+    "count(*) AS lines_total, count(d.nseg) AS lines_dropped "
+    "FROM norm n LEFT JOIN dup d ON n.nseg = d.nseg GROUP BY n.doc_id"
 )
 
 
@@ -1488,6 +1550,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
         "dedup_lines_documents": _DEDUP_LINES_SQL,
+        "dedup_paragraphs_documents": _DEDUP_PARAGRAPHS_SQL,
         "dedup_lines_documents_cogroup": _DEDUP_LINES_SQL,
         "anti_join_documents": (
             "SELECT d.doc_id FROM documents d WHERE NOT EXISTS ("

@@ -1347,15 +1347,16 @@ def _fp_pairs_sorted(dup) -> np.ndarray:
     return np.sort(np.concatenate(parts))
 
 
-def _split_lines(texts) -> tuple[pa.Array, np.ndarray, np.ndarray]:
-    """(flat line values, list offsets, null-doc mask) for a string
-    column; NULL docs contribute one '' line (masked out by callers)."""
+def _split_lines(texts, sep: str = "\n") -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """(flat segment values, list offsets, null-doc mask) for a string
+    column split on ``sep`` (line dedup: "\n"; paragraph dedup:
+    "\n\n"); NULL docs contribute one '' segment (masked by callers)."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     if pa.types.is_null(texts.type):  # an all-NULL block types as null
         texts = texts.cast(pa.string())
     nulls = np.asarray(pc.is_null(texts))
-    lines = pc.split_pattern(pc.fill_null(texts, ""), pattern="\n")
+    lines = pc.split_pattern(pc.fill_null(texts, ""), pattern=sep)
     if isinstance(lines, pa.ChunkedArray):
         lines = lines.combine_chunks()
     return lines.flatten(), np.asarray(lines.offsets).astype(np.int64), nulls
@@ -1389,6 +1390,7 @@ def _rebuild_docs(
     offsets: np.ndarray,
     drop: np.ndarray,
     nulls: np.ndarray,
+    sep: str = "\n",
 ) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     """Reassemble documents from flat lines minus dropped ones →
     (text array, lines_total, lines_dropped); NULL input docs stay NULL
@@ -1405,7 +1407,7 @@ def _rebuild_docs(
     kept_vals = flat.filter(pa.array(keep))
     rebuilt = pc.binary_join(
         pa.ListArray.from_arrays(pa.array(new_offsets, pa.int32()), kept_vals),
-        "\n",
+        sep,
     )
     if nulls.any():
         rebuilt = pc.if_else(pa.array(nulls), pa.nulls(n_docs, pa.string()), rebuilt)
@@ -1422,6 +1424,7 @@ def dedup_lines(
     min_line_chars: int = 12,
     broadcast_max_lines: int = 2_000_000,
     strategy: str = "auto",
+    sep: str = "\n",
 ):
     """Drop every line whose trimmed form appears in ≥ ``min_dup_docs``
     DISTINCT documents — the cross-document boilerplate-removal step of
@@ -1468,7 +1471,7 @@ def dedup_lines(
         raise ValueError("strategy must be auto|broadcast|cogroup")
 
     def count_partials(b: pa.Table) -> pa.Table:
-        flat, offsets, _ = _split_lines(b[text_col])
+        flat, offsets, _ = _split_lines(b[text_col], sep)
         qual_idx, fp = _line_fingerprints(flat, min_line_chars)
         doc_of = np.repeat(
             np.arange(offsets.size - 1, dtype=np.int64), np.diff(offsets)
@@ -1505,11 +1508,11 @@ def dedup_lines(
 
         def rebuild_broadcast(b: pa.Table) -> pa.Table:
             dset = ray.get(dup_ref)
-            flat, offsets, nulls = _split_lines(b[text_col])
+            flat, offsets, nulls = _split_lines(b[text_col], sep)
             qual_idx, fp = _line_fingerprints(flat, min_line_chars)
             drop = np.zeros(len(flat), bool)
             drop[qual_idx] = _member2(fp, dset)
-            text, totals, dropped = _rebuild_docs(flat, offsets, drop, nulls)
+            text, totals, dropped = _rebuild_docs(flat, offsets, drop, nulls, sep)
             # all input columns pass through; text_col is replaced
             cols = {n: (text if n == text_col else b[n]) for n in b.schema.names}
             cols["lines_total"] = pa.array(totals, pa.int64())
@@ -1520,10 +1523,10 @@ def dedup_lines(
             rebuild_broadcast, batch_format="pyarrow", zero_copy_batch=True
         )
 
-    return _dedup_lines_cogroup(ds, dup, id_col, text_col, min_line_chars)
+    return _dedup_lines_cogroup(ds, dup, id_col, text_col, min_line_chars, sep)
 
 
-def _dedup_lines_cogroup(ds, dup, id_col, text_col, min_line_chars):
+def _dedup_lines_cogroup(ds, dup, id_col, text_col, min_line_chars, sep="\n"):
     """Scale path: the dup-fingerprint table never touches the driver.
 
     Stage 1 — lines ⋈ dup on ``fingerprint % NB``: qualifying (id,
@@ -1540,7 +1543,7 @@ def _dedup_lines_cogroup(ds, dup, id_col, text_col, min_line_chars):
     nb1 = coarse_bucket_count(dup)
 
     def tag_lines(b: pa.Table) -> pa.Table:
-        flat, offsets, _ = _split_lines(b[text_col])
+        flat, offsets, _ = _split_lines(b[text_col], sep)
         qual_idx, fp = _line_fingerprints(flat, min_line_chars)
         doc_of = np.repeat(
             np.arange(offsets.size - 1, dtype=np.int64), np.diff(offsets)
@@ -1626,7 +1629,7 @@ def _dedup_lines_cogroup(ds, dup, id_col, text_col, min_line_chars):
         is_doc = np.asarray(g["__isdoc"])
         docs = g.filter(pa.array(is_doc))
         pairs = g.filter(pa.array(~is_doc))
-        flat, offsets, nulls = _split_lines(docs[text_col])
+        flat, offsets, nulls = _split_lines(docs[text_col], sep)
         drop = np.zeros(len(flat), bool)
         if pairs.num_rows:
             # shared dictionary codes for doc ids on both sides
@@ -1654,7 +1657,7 @@ def _dedup_lines_cogroup(ds, dup, id_col, text_col, min_line_chars):
             idx = np.searchsorted(key, q)
             valid = idx < key.size
             drop[valid] = key[idx[valid]] == q[valid]
-        text, totals, dropped = _rebuild_docs(flat, offsets, drop, nulls)
+        text, totals, dropped = _rebuild_docs(flat, offsets, drop, nulls, sep)
         cols = {
             n: (text if n == text_col else docs[n]) for n in left_names
         }
