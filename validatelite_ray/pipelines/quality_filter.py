@@ -345,64 +345,94 @@ def dedup_decision_table(labels_ds):
     result is a Ray **Dataset** (sha256, winner, c, mc) with one row per
     DUPLICATED hash — it never has to fit on the driver.
 
-    One custom aggregate per sha256 over passing (sha256, uid) pairs
-    computes (min uid, row count, count of rows equal to the min) —
-    vectorized per sorted group block. Round-2 history: the first
-    version ran a second full scan+groupby for tie detection, whose
-    fixed overhead cost ~15% of the flagship's 8-cpu wall time; the
-    custom aggregate folds it into the one exchange. Round-3: the
-    decision rows used to be ``take_all()``-ed into driver string
-    arrays unconditionally; now they stay a (materialized, object-
-    store-resident) Dataset and ``select_kept`` chooses broadcast vs
-    join resolution from the duplicated-group count.
+    Per-sha reduction of the passing (sha256, uid) pairs into (min uid,
+    row count, count of rows equal to the min). Round-2 history: the
+    first version ran a second full scan+groupby for tie detection,
+    whose fixed overhead cost ~15% of the flagship's 8-cpu wall time; a
+    custom aggregate folded it into one exchange. Round-3: the decision
+    rows used to be ``take_all()``-ed into driver string arrays
+    unconditionally; now they stay a (materialized, object-store-
+    resident) Dataset and ``select_kept`` chooses broadcast vs join
+    resolution from the duplicated-group count. Round-4: the round-3
+    custom ``AggregateFn`` called its Python ``accumulate_block`` once
+    per DISTINCT sha — 384k Python calls on the 384k-file bench,
+    measured at HALF the 8-cpu flagship wall time (23.9 of 46.7 s) —
+    so the reduce is now the repo's coarse-bucket idiom: partials carry
+    ``hash(sha) % NB``, ONE int32-key groupby, and each bucket reduces
+    ALL its shas with one vectorized sort + run-detection pass
+    (``_decision_reduce_bucket``). Python call count: #buckets.
     """
-    from ray.data.aggregate import AggregateFn, Count, Min
+    from validatelite_ray.stages.dedup import coarse_bucket_count
 
-    def merge(a, b):
-        """State = (min uid so far, #rows equal to that min)."""
-        if a is None:
-            return b
-        if b is None:
-            return a
-        if a[0] < b[0]:
-            return a
-        if b[0] < a[0]:
-            return b
-        return (a[0], a[1] + b[1])
+    nb = coarse_bucket_count(labels_ds)
 
-    def acc_block(acc, block):
-        """Group block of PARTIAL rows for one sha: min winner + the
-        min-count contributions of partials sharing that winner."""
-        winners = block["winner"]
-        mn = pc.min(winners).as_py()
-        mc = int(
-            pc.sum(
-                pc.if_else(pc.equal(winners, mn), block["mc"], pa.scalar(0))
-            ).as_py()
-        )
-        return merge(acc, (mn, mc))
-
-    min_count = AggregateFn(
-        init=lambda k: None,
-        merge=merge,
-        name="mc",
-        accumulate_block=acc_block,
-        finalize=lambda a: int(a[1]),
-    )
-    partials = labels_ds.map_batches(
-        _decision_partials, batch_format="pyarrow", zero_copy_batch=True
-    )
-    from ray.data.aggregate import Sum
+    def partials_bucketed(b: pa.Table) -> pa.Table:
+        p = _decision_partials(b)
+        return p.append_column("__bucket", _sha_bucket(p["sha256"], nb))
 
     return (
-        partials.groupby("sha256")
-        .aggregate(Min("winner", alias_name="winner"), Sum("c", alias_name="c"), min_count)
-        .map_batches(
-            lambda b: b.filter(pc.greater(b["c"], 1)),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+        labels_ds.map_batches(
+            partials_bucketed, batch_format="pyarrow", zero_copy_batch=True
         )
+        .groupby("__bucket")
+        .map_groups(_decision_reduce_bucket, batch_format="pyarrow")
         .materialize()
+    )
+
+
+def _sha_bucket(sha: pa.Array | pa.ChunkedArray, nb: int) -> pa.Array:
+    from validatelite_ray.stages.dedup import _token_hashes
+
+    if isinstance(sha, pa.ChunkedArray):
+        sha = sha.combine_chunks()
+    return pa.array(
+        (_token_hashes(sha) % np.uint64(nb)).astype(np.int32), pa.int32()
+    )
+
+
+def _decision_reduce_bucket(g: pa.Table) -> pa.Table:
+    """Vectorized per-bucket decision reduce: sort the bucket's PARTIAL
+    rows by (sha, winner), detect sha runs, and fold every run in one
+    numpy pass — global min winner = first row of the run, c = Σ c,
+    mc = Σ mc over partials whose winner equals that min. Emits only
+    duplicated hashes (c > 1), identical to the old aggregate."""
+    n = g.num_rows
+    empty = pa.table(
+        {
+            "sha256": pa.array([], pa.string()),
+            "winner": pa.array([], pa.string()),
+            "c": pa.array([], pa.int64()),
+            "mc": pa.array([], pa.int64()),
+        }
+    )
+    if n == 0:
+        return empty
+    g = g.take(
+        pc.sort_indices(
+            g, sort_keys=[("sha256", "ascending"), ("winner", "ascending")]
+        )
+    )
+    sha = g["sha256"].combine_chunks()
+    win = g["winner"].combine_chunks()
+    sha_neq = np.asarray(pc.not_equal(sha.slice(1), sha.slice(0, n - 1)))
+    starts = np.r_[0, np.flatnonzero(sha_neq) + 1]
+    bounds = np.append(starts, n)
+    c = np.asarray(g["c"], dtype=np.int64)
+    mc = np.asarray(g["mc"], dtype=np.int64)
+    c_sum = np.add.reduceat(c, starts)
+    run_of = np.repeat(np.arange(starts.size), np.diff(bounds))
+    run_min = win.take(pa.array(starts[run_of], pa.int64()))
+    eq_min = np.asarray(pc.equal(win, run_min))
+    mc_sum = np.add.reduceat(np.where(eq_min, mc, 0), starts)
+    keep = c_sum > 1
+    keep_starts = pa.array(starts[keep], pa.int64())
+    return pa.table(
+        {
+            "sha256": sha.take(keep_starts),
+            "winner": win.take(keep_starts),
+            "c": pa.array(c_sum[keep]),
+            "mc": pa.array(mc_sum[keep]),
+        }
     )
 
 
