@@ -300,15 +300,38 @@ def collect_unique_samples(
 def _unique_counts(
     ds: "ray.data.Dataset", column: str, batch_size: int | None  # noqa: F821
 ) -> tuple[int, int]:
-    """(duplicated_group_count, Σ(count-1)) for one column, NULLs excluded."""
-    from ray.data.aggregate import Sum
+    """(duplicated_group_count, Σ(count-1)) for one column, NULLs excluded.
+
+    Reduce is the coarse-bucket idiom (round 4): ``groupby(value)``
+    with a built-in ``Sum`` walks the distinct values in PYTHON inside
+    Ray's sort-aggregate — the same per-distinct-key cost class that
+    made the flagship decision shuffle half its wall time. Here the
+    exchange keys on ``hash(value) % NB`` (one int32, #buckets groups)
+    and each bucket reduces all its values with ONE Arrow C++
+    ``group_by`` — zero per-key Python."""
+    from validatelite_ray.stages.dedup import _token_hashes, coarse_bucket_count
 
     proj = ds.select_columns([column])
+    nb = coarse_bucket_count(proj)
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         kept = batch.filter(pc.is_valid(batch[column]))
         vc = kept.group_by(column).aggregate([([], "count_all")])
-        return vc.rename_columns([column, "c"])
+        vc = vc.rename_columns([column, "c"])
+        keys = vc[column]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        bucket = pa.array(
+            (_token_hashes(pc.cast(keys, pa.string())) % np.uint64(nb)).astype(
+                np.int32
+            ),
+            pa.int32(),
+        )
+        return vc.append_column("__bucket", bucket)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        out = g.group_by(column).aggregate([("c", "sum")])
+        return out.rename_columns([column, "cnt"])
 
     kwargs: dict[str, Any] = {}
     if batch_size is not None:
@@ -317,8 +340,8 @@ def _unique_counts(
         proj.map_batches(
             partial_counts, batch_format="pyarrow", zero_copy_batch=True, **kwargs
         )
-        .groupby(column)
-        .aggregate(Sum("c", alias_name="cnt"))
+        .groupby("__bucket")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
     )
 
     def dup_stats(batch: pa.Table) -> pa.Table:
