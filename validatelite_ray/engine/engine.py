@@ -268,24 +268,33 @@ def collect_unique_samples(
     (reference analogue: the duplicate-sample SQL ``ORDER BY col LIMIT``
     rewrite, uniqueness_executor.py:202-260). Deterministic: the k
     smallest duplicated values."""
-    from ray.data.aggregate import Sum
-
     proj = ds.select_columns([column])
+
+    from validatelite_ray.stages.dedup import (
+        add_key_bucket,
+        bucketed_group_agg,
+        coarse_bucket_count,
+    )
+
+    nb = coarse_bucket_count(proj)
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         kept = batch.filter(pc.is_valid(batch[column]))
         vc = kept.group_by(column).aggregate([([], "count_all")])
-        return vc.rename_columns([column, "c"])
+        return add_key_bucket(vc.rename_columns([column, "c"]), column, nb)
 
     kwargs: dict[str, Any] = {}
     if batch_size is not None:
         kwargs["batch_size"] = batch_size
     dups = (
-        proj.map_batches(
-            partial_counts, batch_format="pyarrow", zero_copy_batch=True, **kwargs
+        bucketed_group_agg(
+            proj.map_batches(
+                partial_counts, batch_format="pyarrow", zero_copy_batch=True, **kwargs
+            ),
+            column,
+            [("c", "sum")],
+            rename={"c_sum": "cnt"},
         )
-        .groupby(column)
-        .aggregate(Sum("c", alias_name="cnt"))
         .map_batches(
             lambda b: b.filter(pc.greater(b["cnt"], 1)),
             batch_format="pyarrow",

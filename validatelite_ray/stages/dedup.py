@@ -174,12 +174,28 @@ def _dedup_exact_broadcast(ds, key: str, order_col: str):
     order values alone kept extra rows whenever order values collided
     across groups or tied within one)."""
     import ray
-    from ray.data.aggregate import Count
+
+    nb = coarse_bucket_count(ds)
+
+    def dup_partials(b: pa.Table) -> pa.Table:
+        # per-batch combiner (a key duplicated k× in a block ships once)
+        vc = (
+            b.select([key])
+            .group_by(key)
+            .aggregate([([], "count_all")])
+            .rename_columns([key, "__c"])
+        )
+        return add_key_bucket(vc, key, nb)
 
     dup_rows = (
-        ds.select_columns([key])
-        .groupby(key)
-        .aggregate(Count(alias_name="__c"))
+        bucketed_group_agg(
+            ds.map_batches(
+                dup_partials, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            key,
+            [("__c", "sum")],
+            rename={"__c_sum": "__c"},
+        )
         .map_batches(
             lambda b: b.filter(pc.greater(b["__c"], 1)).select([key]),
             batch_format="pyarrow",
@@ -1017,8 +1033,6 @@ def ngram_jaccard_pairs(
         doc_shingles, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    from ray.data.aggregate import Count
-
     # posting-list co-occurrence: grouping directly on ``sh`` would be
     # one Python call per distinct shingle (millions of tiny groups);
     # shingles re-key to ``sh % NB`` coarse buckets and the expansion
@@ -1048,12 +1062,21 @@ def ngram_jaccard_pairs(
             }
         )
 
-    pairs = (
+    def count_partial(b: pa.Table) -> pa.Table:
+        # per-batch (u,v) pair counts, then the coarse-bucket reduce —
+        # a keyed groupby here walked every distinct pair in Python
+        g = b.group_by(["u", "v", "nu", "nv"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["u", "v", "nu", "nv", "inter"])
+        return add_key_bucket(g, ["u", "v"], nb)
+
+    pairs = bucketed_group_agg(
         shingles.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(cooccur, batch_format="pyarrow")
-        .groupby(["u", "v", "nu", "nv"])  # nu/nv are functions of u/v
-        .aggregate(Count(alias_name="inter"))
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["u", "v", "nu", "nv"],
+        [("inter", "sum")],
+        rename={"inter_sum": "inter"},
     )
 
     def jaccard_filter(b: pa.Table) -> pa.Table:
@@ -1329,6 +1352,56 @@ def _dup_fp_table(pre, min_count: int, bucket_col: str = "__bucket"):
         .map_groups(reduce_bucket, batch_format="pyarrow")
         .materialize()
     )
+
+
+def add_key_bucket(
+    t: pa.Table, key_cols, nb: int, col: str = "__bucket"
+) -> pa.Table:
+    """Append ``hash(keys) % nb`` (int32) for the coarse-bucket reduce
+    idiom. Multi-column keys are joined with a 0x1f separator before
+    hashing (same value → same bucket regardless of block layout)."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    joined = None
+    for k in key_cols:
+        part = pc.cast(t[k], pa.string())
+        if isinstance(part, pa.ChunkedArray):
+            part = part.combine_chunks()
+        part = pc.fill_null(part, "\x00NULL\x00")
+        joined = part if joined is None else pc.binary_join_element_wise(
+            joined, part, "\x1f"
+        )
+    return t.append_column(
+        col,
+        pa.array((_token_hashes(joined) % np.uint64(nb)).astype(np.int32), pa.int32()),
+    )
+
+
+def bucketed_group_agg(pre, key_cols, aggs, rename: dict | None = None):
+    """The repo's coarse-bucket reduce as a reusable step: ``pre`` is a
+    Dataset of per-batch PARTIAL rows carrying a ``__bucket`` column
+    (from :func:`add_key_bucket`); the exchange keys on that ONE int32
+    (#buckets groups) and each bucket reduces ALL its keys with one
+    Arrow C++ ``group_by`` — zero per-key Python.
+
+    Why not ``Dataset.groupby(key).aggregate(...)``: Ray's built-in
+    sort-aggregate walks the distinct keys in Python — measured 23.9 s
+    of a 46.7 s flagship run (384k keys) and 24.4 s vs 2.1 s on a 2M-key
+    UNIQUE reduce. ``aggs`` is the pyarrow aggregate spec, e.g.
+    ``[("c", "sum")]``; ``rename`` maps pyarrow's output names (e.g.
+    ``c_sum``) to the desired ones."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        out = g.group_by(key_cols).aggregate(aggs)
+        if rename:
+            out = out.rename_columns(
+                [rename.get(n, n) for n in out.column_names]
+            )
+        return out
+
+    return pre.groupby("__bucket").map_groups(reduce_bucket, batch_format="pyarrow")
 
 
 def _fp_pairs_sorted(dup) -> np.ndarray:

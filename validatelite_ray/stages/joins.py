@@ -604,22 +604,33 @@ def semi_join(
     if pa.types.is_null(rtype):  # all-NULL right side: nothing matches
         rtype = dict(zip(left.schema().names, left.schema().types))[on]
 
+    from validatelite_ray.stages.dedup import (
+        add_key_bucket,
+        bucketed_group_agg,
+        coarse_bucket_count,
+    )
+
+    nb = coarse_bucket_count(right)
+
     def batch_distinct(b: pa.Table) -> pa.Table:
         vals = b[right_on]
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
         if pa.types.is_null(vals.type):  # an all-NULL block types as null
-            return pa.table({"k": pa.array([], rtype)})
+            return pa.table(
+                {"k": pa.array([], rtype), "__bucket": pa.array([], pa.int32())}
+            )
         u = pc.unique(vals.drop_null())
-        return pa.table({"k": u})
+        return add_key_bucket(pa.table({"k": u}), "k", nb)
 
-    rkeys = (
-        right.map_batches(batch_distinct, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("k")
-        .count()
-        .select_columns(["k"])
-        .materialize()
-    )
+    # empty aggregate spec = per-bucket DISTINCT via Arrow C++ group_by
+    rkeys = bucketed_group_agg(
+        right.map_batches(
+            batch_distinct, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "k",
+        [],
+    ).materialize()
     n_keys = rkeys.count()
 
     def _filter(b: pa.Table, value_set) -> pa.Table:

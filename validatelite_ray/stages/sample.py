@@ -135,7 +135,6 @@ def profile_columns(
     """
     if distinct not in ("exact", "approx"):
         raise ValueError("distinct must be 'exact' or 'approx'")
-    from ray.data.aggregate import Count, Sum
 
     def stat_partials(b: pa.Table) -> pa.Table:
         names, ns, nulls, mins, maxs = [], [], [], [], []
@@ -211,22 +210,39 @@ def profile_columns(
             )
         return pa.concat_tables(parts)
 
-    distinct_pairs = (
-        ds.map_batches(batch_distinct, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["column", "val"])
-        .aggregate(Count(alias_name="c"))
+    from validatelite_ray.stages.dedup import (
+        add_key_bucket,
+        bucketed_group_agg,
+        coarse_bucket_count,
     )
+
+    nb = coarse_bucket_count(ds)
+    # ONE bucket-keyed exchange; each bucket computes its distinct
+    # (column, val) pairs with Arrow C++ group_by (empty agg spec =
+    # DISTINCT) and immediately collapses them to per-column counts —
+    # only (#buckets x #cols) rows ever reach the driver fold
     per_col = (
-        distinct_pairs.map_batches(
+        bucketed_group_agg(
+            ds.map_batches(
+                batch_distinct, batch_format="pyarrow", zero_copy_batch=True
+            ).map_batches(
+                lambda b: add_key_bucket(b, ["column", "val"], nb),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            ["column", "val"],
+            [],
+        )
+        .map_batches(
             lambda b: b.group_by("column").aggregate([("val", "count")]),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        .groupby("column")
-        .aggregate(Sum("val_count", alias_name="n_distinct"))
         .take_all()
     )
-    n_distinct = {r["column"]: int(r["n_distinct"]) for r in per_col}
+    n_distinct: dict[str, int] = {}
+    for r in per_col:
+        n_distinct[r["column"]] = n_distinct.get(r["column"], 0) + int(r["val_count"])
     return _profile_table(cols, agg, n_distinct)
 
 

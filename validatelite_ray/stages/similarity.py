@@ -483,15 +483,24 @@ def dedup_embedding_cosine_lsh(
             }
         )
 
-    from ray.data.aggregate import Max
+    from validatelite_ray.stages.dedup import (
+        add_key_bucket,
+        bucketed_group_agg,
+        coarse_bucket_count,
+    )
 
+    nb2 = coarse_bucket_count(ds)
     hashed = ds.map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
-    flags = (
+    flags = bucketed_group_agg(
         hashed.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__cb")
-        .map_groups(coarse_dominance, batch_format="pyarrow")
-        .groupby(id_col)
-        .aggregate(Max("dominated", alias_name="dominated"))
+        .map_groups(
+            lambda g: add_key_bucket(coarse_dominance(g), id_col, nb2),
+            batch_format="pyarrow",
+        ),
+        id_col,
+        [("dominated", "max")],
+        rename={"dominated_max": "dominated"},
     )
     kept = flags.map_batches(
         lambda b: b.filter(pc.equal(b["dominated"], 0)).select([id_col]),

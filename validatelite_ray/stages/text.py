@@ -375,7 +375,6 @@ def token_frequencies(
     ``regexp_split_to_array`` (RE2 ``\\w`` is ASCII), so the operator is
     oracle-verified end to end.
     """
-    from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
         col = b[text_col]
@@ -387,12 +386,21 @@ def token_frequencies(
         tokens, _, _ = _tokenize_ascii(col)
         t = pa.table({"token": pc.cast(tokens, pa.string())})
         g = t.group_by("token").aggregate([("token", "count")])
-        return pa.table({"token": g["token"], "cnt": pc.cast(g["token_count"], pa.int64())})
+        out = pa.table({"token": g["token"], "cnt": pc.cast(g["token_count"], pa.int64())})
+        return add_key_bucket(out, "token", nb)
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("token")
-        .aggregate(Sum("cnt", alias_name="n"))
+    from validatelite_ray.stages.dedup import (
+        add_key_bucket,
+        bucketed_group_agg,
+        coarse_bucket_count,
+    )
+
+    nb = coarse_bucket_count(ds)
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "token",
+        [("cnt", "sum")],
+        rename={"cnt_sum": "n"},
     )
     if top_k is not None:
         return agg.sort(key=["n", "token"], descending=[True, False]).limit(top_k)
@@ -608,8 +616,6 @@ def approx_top_tokens(
     block) are the only driver state. Returns a Dataset of
     (token, n_lower, n_upper), sorted by (n_lower desc, token), top k.
     """
-    from ray.data.aggregate import Sum
-
     if k < 1:
         raise ValueError("k must be >= 1")
     m = per_block_m if per_block_m is not None else max(8 * k, 1024)
@@ -676,19 +682,25 @@ def approx_top_tokens(
             }
         )
 
-    agg = (
+    from validatelite_ray.stages.dedup import (
+        add_key_bucket,
+        bucketed_group_agg,
+        coarse_bucket_count,
+    )
+
+    nb = coarse_bucket_count(pre)
+    agg = bucketed_group_agg(
         pre.map_batches(
-            lambda b: b.filter(pc.is_valid(b["token"])),
+            lambda b: add_key_bucket(
+                b.filter(pc.is_valid(b["token"])), "token", nb
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
-        )
-        .groupby("token")
-        .aggregate(
-            Sum("cnt", alias_name="n_lower"),
-            Sum("cutoff", alias_name="s_reporting"),
-        )
-        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
-    )
+        ),
+        "token",
+        [("cnt", "sum"), ("cutoff", "sum")],
+        rename={"cnt_sum": "n_lower", "cutoff_sum": "s_reporting"},
+    ).map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
     return agg.sort(key=["n_lower", "token"], descending=[True, False]).limit(k)
 
 

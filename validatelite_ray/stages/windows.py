@@ -192,14 +192,18 @@ def sliding_window_agg(
                     }
                 )
             )
-        return pa.concat_tables(parts)
+        return add_key_bucket(pa.concat_tables(parts), [key_col, "window"], nb)
 
-    from ray.data.aggregate import Sum
+    from validatelite_ray.stages.dedup import (
+        add_key_bucket,
+        bucketed_group_agg,
+        coarse_bucket_count,
+    )
 
-    return (
-        ds.map_batches(step_partials, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([key_col, "window"])
-        .aggregate(
-            Sum("n_part", alias_name="n"), Sum("cents_part", alias_name="sum_cents")
-        )
+    nb = coarse_bucket_count(ds)
+    return bucketed_group_agg(
+        ds.map_batches(step_partials, batch_format="pyarrow", zero_copy_batch=True),
+        [key_col, "window"],
+        [("n_part", "sum"), ("cents_part", "sum")],
+        rename={"n_part_sum": "n", "cents_part_sum": "sum_cents"},
     )
