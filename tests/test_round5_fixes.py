@@ -1,0 +1,119 @@
+"""Round-5 ADVICE regression tests.
+
+1. semi/anti broadcast path with an empty / all-NULL right side (the
+   collected key list used to infer a null-typed Arrow array and
+   ``pc.is_in`` raised ArrowTypeError against a string left column).
+2. 8-bit BMP honoring biClrUsed (palette smaller than 256 entries).
+3. Y4M 4:2:0 / 4:2:2 chroma plane sizing for odd dimensions
+   (ceil-halved planes, not a flat bytes-per-luma factor).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+import ray
+
+from validatelite_ray.stages.joins import anti_join, semi_join
+from validatelite_ray.stages.multimodal import Y4MCodec, BmpCodec, encode_y4m
+
+
+def _left():
+    return ray.data.from_items(
+        [
+            {"id": 1, "k": "a"},
+            {"id": 2, "k": "b"},
+            {"id": 3, "k": None},
+        ]
+    )
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "cogroup"])
+def test_semi_anti_empty_right(ray_session, strategy):
+    right = ray.data.from_items([{"k": "x"}]).filter(lambda r: False)
+    semi = semi_join(_left(), right, on="k", strategy=strategy).take_all()
+    anti = sorted(
+        r["id"] for r in anti_join(_left(), right, on="k", strategy=strategy).take_all()
+    )
+    assert semi == []
+    assert anti == [1, 2, 3]  # anti vs empty right keeps ALL left rows
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "cogroup"])
+def test_semi_anti_all_null_right(ray_session, strategy):
+    right = ray.data.from_items([{"k": None}, {"k": None}])
+    semi = semi_join(_left(), right, on="k", strategy=strategy).take_all()
+    anti = sorted(
+        r["id"] for r in anti_join(_left(), right, on="k", strategy=strategy).take_all()
+    )
+    assert semi == []  # NULL right keys match nothing
+    assert anti == [1, 2, 3]
+
+
+class TestBmpSmallPalette:
+    def _payload(self, clr_used: int, n_entries: int) -> bytes:
+        # 2x1 paletted image, palette index 5 = white, 9 = black
+        w, h = 2, 1
+        stride = ((8 * w + 31) // 32) * 4
+        pal = bytearray(n_entries * 4)
+        pal[5 * 4 : 5 * 4 + 3] = b"\xff\xff\xff"
+        body = bytes([5, 9]) + b"\x00" * (stride - 2)
+        off = 14 + 40 + n_entries * 4
+        return (
+            b"BM"
+            + struct.pack("<IHHI", off + len(body), 0, 0, off)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 0, 0, clr_used, 0
+            )
+            + bytes(pal)
+            + body
+        )
+
+    def test_biclrused_16(self):
+        # total payload < 14+40+1024 bytes: the old fixed 256*4 read raised
+        out = BmpCodec().decode(self._payload(clr_used=16, n_entries=16))
+        assert out["pixels"].tolist() == [[255, 0]]
+
+    def test_biclrused_zero_means_256(self):
+        out = BmpCodec().decode(self._payload(clr_used=0, n_entries=256))
+        assert out["pixels"].tolist() == [[255, 0]]
+
+    def test_truncated_palette_clamped(self):
+        # biClrUsed=0 but only 16 entries actually present: clamp, don't crash
+        out = BmpCodec().decode(self._payload(clr_used=0, n_entries=16))
+        assert out["pixels"].tolist() == [[255, 0]]
+
+
+class TestY4MOddDims:
+    def test_chroma_size_formula(self):
+        assert Y4MCodec.chroma_size("420jpeg", 5, 3) == 2 * 3 * 2
+        assert Y4MCodec.chroma_size("420", 4, 4) == 2 * 2 * 2
+        assert Y4MCodec.chroma_size("422", 5, 3) == 2 * 3 * 3
+        assert Y4MCodec.chroma_size("444", 5, 3) == 2 * 5 * 3
+        assert Y4MCodec.chroma_size("mono", 5, 3) == 0
+
+    @pytest.mark.parametrize("mode", ["420jpeg", "420", "422", "444", "mono"])
+    @pytest.mark.parametrize("dims", [(5, 3), (3, 5), (7, 7)])
+    def test_roundtrip_odd_dims(self, mode, dims):
+        w, h = dims
+        rng = np.random.default_rng(42)
+        frames = rng.integers(0, 256, size=(3, h, w), dtype=np.uint8)
+        out = Y4MCodec().decode(encode_y4m(frames, fps=25, chroma=mode))
+        assert out["width"] == w and out["height"] == h
+        assert np.array_equal(out["frames"], frames)
+
+    def test_handbuilt_odd_420(self):
+        # independent of encode_y4m: 3x3 luma + ceil-halved 2x2 chroma planes
+        w = h = 3
+        luma0 = np.arange(9, dtype=np.uint8).reshape(3, 3)
+        luma1 = luma0 + 100
+        chroma = b"\x80" * (2 * 2 * 2)
+        payload = (
+            b"YUV4MPEG2 W3 H3 F25:1 C420jpeg\n"
+            + b"FRAME\n" + luma0.tobytes() + chroma
+            + b"FRAME\n" + luma1.tobytes() + chroma
+        )
+        out = Y4MCodec().decode(payload)
+        assert out["frames"].shape == (2, 3, 3)
+        assert np.array_equal(out["frames"][0], luma0)
+        assert np.array_equal(out["frames"][1], luma1)

@@ -600,8 +600,13 @@ def semi_join(
     if strategy not in ("auto", "broadcast", "cogroup"):
         raise ValueError("strategy must be auto|broadcast|cogroup")
 
-    rtype = dict(zip(right.schema().names, right.schema().types))[right_on]
-    if pa.types.is_null(rtype):  # all-NULL right side: nothing matches
+    rsch = right.schema()
+    rtype = (
+        None
+        if rsch is None  # fully-empty right side (e.g. filtered to nothing)
+        else dict(zip(rsch.names, rsch.types))[right_on]
+    )
+    if rtype is None or pa.types.is_null(rtype):  # nothing can match
         rtype = dict(zip(left.schema().names, left.schema().types))[on]
 
     from validatelite_ray.stages.dedup import (
@@ -645,7 +650,10 @@ def semi_join(
 
     if strategy == "broadcast" or (strategy == "auto" and n_keys <= broadcast_max_keys):
         rows = rkeys.take_all()
-        keys_arr = pa.array([r["k"] for r in rows])
+        # Explicit type: an empty / all-NULL right side otherwise infers a
+        # null-typed array and pc.is_in raises ArrowTypeError against a
+        # string left column (anti must keep ALL left rows in that case).
+        keys_arr = pa.array([r["k"] for r in rows], type=rtype)
         keys_ref = ray.put(keys_arr)
 
         def kept(b: pa.Table) -> pa.Table:

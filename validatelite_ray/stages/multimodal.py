@@ -315,11 +315,19 @@ class BmpCodec:
             bgra = data[:, : width * 4].reshape(abs_h, width, 4)
             gray = (bgra[:, :, :3] @ _LUMA_BGR).round()
         elif bpp == 8:
-            # palette: dib-size bytes after offset 14, BGRX entries
+            # palette follows the DIB header: biClrUsed entries (offset 46;
+            # 0 means the full 256), BGRX layout, clamped to the bytes that
+            # actually precede the pixel data / end of buffer.
+            clr_used = struct.unpack_from("<I", payload, 46)[0]
+            n_pal = clr_used if 0 < clr_used <= 256 else 256
+            n_pal = min(n_pal, max(0, (min(len(payload), pix_off) - (14 + dib)) // 4))
+            if n_pal <= 0:
+                raise ValueError("8-bit BMP with no palette")
             pal = np.frombuffer(
-                payload, np.uint8, count=256 * 4, offset=14 + dib
-            ).reshape(256, 4)
-            pal_gray = (pal[:, :3].astype(np.float64) @ _LUMA_BGR).round()
+                payload, np.uint8, count=n_pal * 4, offset=14 + dib
+            ).reshape(n_pal, 4)
+            pal_gray = np.zeros(256, np.float64)
+            pal_gray[:n_pal] = (pal[:, :3].astype(np.float64) @ _LUMA_BGR).round()
             gray = pal_gray[data[:, :width]]
         else:
             raise ValueError(f"{bpp}-bit BMP not supported")
@@ -438,10 +446,23 @@ class Y4MCodec:
     skipped (frame features are grayscale). Supports C420*, C422,
     C444 and Cmono subsampling."""
 
-    _CHROMA_FACTOR = {  # chroma bytes per luma byte
-        "420": 0.5, "420jpeg": 0.5, "420mpeg2": 0.5, "420paldv": 0.5,
-        "422": 1.0, "444": 2.0, "mono": 0.0,
-    }
+    _CHROMA_MODES = frozenset(
+        {"420", "420jpeg", "420mpeg2", "420paldv", "422", "444", "mono"}
+    )
+
+    @staticmethod
+    def chroma_size(chroma: str, width: int, height: int) -> int:
+        """Chroma bytes per frame. Subsampled planes use CEIL-halved
+        dimensions (a 5-px-wide 4:2:0 stream carries 3-px-wide chroma
+        rows), so a flat bytes-per-luma factor misaligns frame offsets
+        for odd dimensions."""
+        if chroma.startswith("420"):
+            return 2 * ((width + 1) // 2) * ((height + 1) // 2)
+        if chroma == "422":
+            return 2 * ((width + 1) // 2) * height
+        if chroma == "444":
+            return 2 * width * height
+        return 0  # mono
 
     def decode(self, payload: bytes) -> dict:
         if payload is None or not payload.startswith(b"YUV4MPEG2"):
@@ -464,10 +485,10 @@ class Y4MCodec:
                 chroma = val
         if not width or not height:
             raise ValueError("missing W/H in YUV4MPEG2 header")
-        if chroma not in self._CHROMA_FACTOR:
+        if chroma not in self._CHROMA_MODES:
             raise ValueError(f"unsupported chroma mode C{chroma}")
         y_size = width * height
-        frame_size = y_size + int(y_size * self._CHROMA_FACTOR[chroma])
+        frame_size = y_size + self.chroma_size(chroma, width, height)
         frames = []
         pos = nl + 1
         while pos < len(payload):
@@ -493,8 +514,7 @@ def encode_y4m(frames: np.ndarray, fps: int = 25, chroma: str = "420jpeg") -> by
     (chroma planes neutral-gray; standard players render the result)."""
     f = np.asarray(frames, np.uint8)
     n, h, w = f.shape
-    cf = Y4MCodec._CHROMA_FACTOR[chroma]
-    chroma_bytes = b"\x80" * int(w * h * cf)
+    chroma_bytes = b"\x80" * Y4MCodec.chroma_size(chroma, w, h)
     head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C{chroma}\n".encode()
     out = [head]
     for i in range(n):
