@@ -24,9 +24,9 @@ import pyarrow.compute as pc
 # ---------------------------------------------------------------------------
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
-    import ray.data as rd
+    from validatelite_ray.sources.io import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _counts_table(report, names: list[str]) -> pa.Table:
@@ -695,8 +695,8 @@ def _q_sample_mixture(sf_dir: str):
     """Domain-mixing subsample over documents: per-source keep
     fractions via deterministic id+group hashing
     (stages/pack.py:sample_mixture — zero shuffle, layout-independent;
-    custom 64-bit hash ⇒ rows-only check, determinism + rate tests in
-    tests/test_pack_split.py)."""
+    md5-derived u64 decision hash ⇒ bit-exact DuckDB md5_number_lower
+    oracle; determinism + rate tests in tests/test_pack_split.py)."""
     from validatelite_ray.stages.pack import sample_mixture
 
     ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
@@ -744,8 +744,9 @@ def _q_token_frequencies(sf_dir: str):
 
 def _q_hash_split(sf_dir: str):
     """Deterministic hash-based train/val/test assignment (stateless,
-    order-free, stable across cluster sizes; rows-only — pytest checks
-    determinism under repartitioning and split proportions)."""
+    order-free, stable across cluster sizes; md5-derived u64 decision
+    hash ⇒ bit-exact DuckDB CASE oracle; pytest checks determinism
+    under repartitioning and split proportions)."""
     from validatelite_ray.stages.pack import hash_split
 
     return hash_split(
@@ -1008,6 +1009,36 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, threshold=0.5)
 
 
+def _q_lsh_verify_pairs(sf_dir: str):
+    """The LSH verify kernel under the driver's hard gate: exact
+    shingle-set Jaccard verification of an explicit candidate-pair
+    Dataset (stages/dedup.py:verify_candidate_pairs — the same
+    bucket-cogroup + vectorized per-bucket set-union kernel minhash and
+    simhash clustering rely on), fed a SQL-reproducible candidate set
+    (all pairs among doc_id < 200) so DuckDB can re-derive the verified
+    edges from raw shingle overlap. The all-pairs cap is the contract
+    fixture's blocking scheme only — production callers feed banded /
+    bucketed candidates."""
+    from validatelite_ray.stages.dedup import _segment_arange, verify_candidate_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cap = 200
+
+    def gen_pairs(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], np.int64)
+        ids = np.sort(ids[ids < cap])
+        reps = (cap - 1) - ids  # partners v in (u, cap)
+        u = np.repeat(ids, reps)
+        v = np.repeat(ids + 1, reps) + _segment_arange(reps)
+        return pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+    pairs = ds.map_batches(gen_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    return verify_candidate_pairs(
+        ds, pairs, id_col="doc_id", text_col="text",
+        shingle_k=3, jaccard_threshold=0.5,
+    )
+
+
 def _q_dedup_embedding_blocked(sf_dir: str):
     """Distributed EXACT keep-first dominance (block cascade over
     sorted id ranges; bit-identical to the broadcast exact path, no
@@ -1209,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_outliers_events": _q_normalize_outliers,
         "dedup_minhash_documents": _q_dedup_minhash,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "lsh_verify_pairs": _q_lsh_verify_pairs,
         "dedup_simhash_documents": _q_dedup_simhash,
         "dedup_simhash_clusters": _q_dedup_simhash_clusters,
         "decontaminate_documents": _q_decontaminate,
@@ -1591,6 +1623,27 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes su ON su.doc_id = u JOIN sizes sv ON sv.doc_id = v "
             "WHERE i >= 0.5 * (su.n + sv.n - i)"
         ),
+        "lsh_verify_pairs": (
+            # the candidate set is all pairs among doc_id < 200; a pair is
+            # verified when its exact 3-token-shingle Jaccard >= 0.5 —
+            # identical set-overlap semantics to ngram_jaccard_pairs,
+            # but driven through the LSH verify kernel
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[0-9a-z_]+') AS t "
+            "FROM documents WHERE doc_id < 200), "
+            "tok AS (SELECT doc_id, unnest(t) AS w, "
+            "generate_subscripts(t, 1) AS i FROM toks), "
+            "sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s "
+            "FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1 "
+            "JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS i "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT u, v FROM inter "
+            "JOIN sizes su ON su.doc_id = u JOIN sizes sv ON sv.doc_id = v "
+            "WHERE i >= 0.5 * (su.n + sv.n - i)"
+        ),
         "dedup_embedding_cosine_blocked": (
             # same exact semantics as dedup_embedding_cosine — the
             # distributed block-cascade must hash-match the identical SQL
@@ -1604,6 +1657,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM embeddings o WHERE o.vec_id < e.vec_id "
             "AND list_cosine_similarity(o.embedding, e.embedding) >= 0.45) "
             "ORDER BY e.vec_id"
+        ),
+        "hash_split_documents": (
+            # bit-exact split parity: the operator assigns split i when
+            # md5_number_lower(id||chr(31)||seed) < int(cum_weight_i*2^64);
+            # constants inlined for {train:.98, val:.01, test:.01}, seed 0
+            "SELECT doc_id, CASE "
+            "WHEN h < 18077809192235360256 THEN 'train' "
+            "WHEN h < 18262276632972455936 THEN 'val' "
+            "ELSE 'test' END AS split FROM (SELECT doc_id, "
+            "md5_number_lower(CAST(doc_id AS VARCHAR) || chr(31) || '0') AS h "
+            "FROM documents)"
+        ),
+        "sample_mixture_documents": (
+            # kept ⇔ md5_number_lower(id||chr(31)||group||chr(31)||'mix4')
+            # <= floor(frac*(2^64-1)); thresholds for 1.0/0.5/0.25/0.1
+            "SELECT doc_id, source, n_chars FROM (SELECT doc_id, source, n_chars, "
+            "md5_number_lower(CAST(doc_id AS VARCHAR) || chr(31) || "
+            "coalesce(CAST(source AS VARCHAR), chr(0) || 'null') || chr(31) || 'mix4') AS h, "
+            "CASE source WHEN 'src0' THEN 18446744073709551615 "
+            "WHEN 'src1' THEN 9223372036854775808 "
+            "WHEN 'src2' THEN 4611686018427387904 "
+            "ELSE 1844674407370955264 END AS thr FROM documents) "
+            "WHERE h <= thr"
         ),
         # dedup_minhash_documents / dedup_simhash_documents / langid_documents /
         # perplexity_documents: deliberately no oracle — model/sketch stages

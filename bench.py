@@ -60,7 +60,9 @@ def _ensure_corpus() -> list[str]:
 
 def bench_once() -> dict:
     import ray
-    import ray.data as rd
+    import ray.data as rd  # noqa: F401  (kept for ad-hoc additions)
+
+    from validatelite_ray.sources.io import read_parquet_clean
 
     corpus_paths = _ensure_corpus()  # build cache BEFORE timing
     # warm OS page cache so we measure compute + shuffle, not cold disk
@@ -178,7 +180,7 @@ def bench_once() -> dict:
         S.regex("l_returnflag", "^[A-Z]$", name="rx"),
     ]
     timings["rules_lineitem"] = _best_of(lambda: RuleEngine(rules).execute(
-        rd.read_parquet(
+        read_parquet_clean(
             f"{SF_DIR}/lineitem.parquet",
             columns=["l_orderkey", "l_quantity", "l_extendedprice",
                      "l_returnflag", "l_linestatus"],
@@ -188,7 +190,7 @@ def bench_once() -> dict:
     # --- UNIQUE shuffle over events ------------------------------------
     timings["unique_events"] = _best_of(
         lambda: RuleEngine([S.unique("user_id", name="u")]).execute(
-            rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id"])
+            read_parquet_clean(f"{SF_DIR}/events.parquet", columns=["user_id"])
         )
     )
 
@@ -227,7 +229,26 @@ def scaling() -> dict:
     per-job overheads as a real cluster run would.
     """
 
-    def run_once_at(ncpu: int) -> dict:
+    # CPU pinning (round-4 advice): each leg gets its OWN core group via
+    # taskset — the lo leg the low cores, the hi leg a disjoint block in
+    # the upper half — with +2 cores of headroom for the raylet/driver.
+    # This keeps core locality identical across rounds and stops the OS
+    # from migrating one leg onto cores the previous leg's workers
+    # heated/contended. VLRAY_SCALING_PIN=0 opts out (and it is off
+    # automatically when taskset is missing or the host is too small).
+    total_cores = os.cpu_count() or 8
+    use_pin = os.environ.get("VLRAY_SCALING_PIN", "1") != "0" and bool(
+        shutil.which("taskset")
+    )
+
+    def _cpuset(ncpu: int, upper_half: bool) -> str | None:
+        width = ncpu + 2
+        if not use_pin or 2 * width > total_cores:
+            return None
+        start = total_cores // 2 if upper_half else 0
+        return f"{start}-{start + width - 1}"
+
+    def run_once_at(ncpu: int, cpuset: str | None) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -240,9 +261,11 @@ def scaling() -> dict:
             VLRAY_SKIP_CKPT_BENCH="1",
             VLRAY_BENCH_QF_REPEATS="1",
         )
+        cmd = [sys.executable, __file__]
+        if cpuset:
+            cmd = ["taskset", "-c", cpuset, *cmd]
         out = subprocess.run(
-            [sys.executable, __file__], env=env, capture_output=True, text=True,
-            check=True,
+            cmd, env=env, capture_output=True, text=True, check=True
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
@@ -261,10 +284,11 @@ def scaling() -> dict:
         int(x) for x in os.environ.get("VLRAY_SCALING_LEVELS", "2,8").split(",")
     )
     rounds = int(os.environ.get("VLRAY_SCALING_ROUNDS", "3"))
+    lo_set, hi_set = _cpuset(lo_n, False), _cpuset(hi_n, True)
     pairs = []
     for _ in range(rounds):
-        lo = run_once_at(lo_n)
-        hi = run_once_at(hi_n)
+        lo = run_once_at(lo_n, lo_set)
+        hi = run_once_at(hi_n, hi_set)
         eff = (hi["corpus_files_per_sec"] / lo["corpus_files_per_sec"]) / (
             hi_n / lo_n
         )
@@ -288,11 +312,85 @@ def scaling() -> dict:
         "per_round_efficiency": [round(p[0], 3) for p in pairs],
         "total_sec_lo": lo["value"],
         "total_sec_hi": hi["value"],
+        "pinned_cpusets": {"lo": lo_set, "hi": hi_set},
+    }
+
+
+def controls() -> dict:
+    """files/s cost of each opt-in flagship control at scaling-corpus
+    size (round-4 verdict #8: only 48k numbers existed for the new
+    operators). Variants run INTERLEAVED per round — baseline, line
+    dedup, substring cut-mode, both — so each round's timings share one
+    host window; per-variant best-of-rounds is the same de-noising
+    estimator the headline bench uses."""
+    import ray
+
+    from validatelite_ray.pipelines.quality_filter import (
+        QualityFilterConfig,
+        run_streaming,
+    )
+
+    n_files = int(os.environ.get("VLRAY_CONTROLS_CORPUS_FILES",
+                                 os.environ.get("VLRAY_SCALING_CORPUS_FILES", "384000")))
+    os.environ["VLRAY_BENCH_CORPUS_FILES"] = str(n_files)
+    global CORPUS_FILES
+    CORPUS_FILES = n_files
+    corpus_paths = _ensure_corpus()
+    for p in corpus_paths:
+        Path(p).read_bytes()
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    base = dict(
+        batch_size=1024,
+        scorer_concurrency=max(2, (NUM_CPUS * 3) // 4),
+        scorer_num_cpus=1,
+    )
+    variants = {
+        "baseline": QualityFilterConfig(**base),
+        "line_dedup": QualityFilterConfig(**base, line_dedup_min_docs=3),
+        "substring_cut": QualityFilterConfig(**base, substring_dedup_k=8),
+        "both": QualityFilterConfig(
+            **base, line_dedup_min_docs=3, substring_dedup_k=8
+        ),
+    }
+    rounds = int(os.environ.get("VLRAY_CONTROLS_ROUNDS", "2"))
+    best: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    out_dir = Path("/tmp/vlray_bench_controls")
+    for _ in range(rounds):
+        for name, cfg in variants.items():
+            if out_dir.exists():
+                shutil.rmtree(out_dir)
+            t0 = time.time()
+            summary = run_streaming(corpus_paths, str(out_dir), cfg)
+            dt = time.time() - t0
+            best[name] = min(best.get(name, 1e18), dt)
+            rows[name] = summary["total_rows"]
+    ray.shutdown()
+    return {
+        "metric": f"flagship opt-in control cost at {n_files} files (best of {rounds} interleaved rounds)",
+        "num_cpus": NUM_CPUS,
+        "corpus_files": n_files,
+        "seconds": {k: round(v, 3) for k, v in best.items()},
+        "files_per_sec": {
+            k: round(rows[k] / v, 1) for k, v in best.items()
+        },
+        "overhead_vs_baseline": {
+            k: round(v / best["baseline"], 3) for k, v in best.items()
+        },
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(scaling()))
+    elif "--controls" in sys.argv:
+        print(json.dumps(controls()))
     else:
         print(json.dumps(bench_once()))

@@ -1,0 +1,180 @@
+"""TOML config layer: loader semantics (reference
+shared/config/loader.py + core/config.py + cli/core/config.py parity)
+and CLI e2e honoring of the knobs."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from validatelite_ray.config import (
+    CliConfig,
+    ConfigError,
+    CoreConfig,
+    get_cli_config,
+    get_core_config,
+    load_config,
+)
+
+CSV = """id,name,age
+1,alice,30
+2,,25
+3,bob,-5
+4,carol,31
+"""
+
+
+def run_cli(args, env_extra=None):
+    env = dict(os.environ)
+    env.pop("CORE_CONFIG_PATH", None)
+    env.pop("CLI_CONFIG_PATH", None)
+    if env_extra:
+        env.update(env_extra)
+    return subprocess.run(
+        [sys.executable, "-m", "validatelite_ray.cli", *args],
+        capture_output=True, text=True, cwd="/root/repo", timeout=180, env=env,
+    )
+
+
+class TestLoader:
+    def test_defaults_when_no_file(self, monkeypatch, tmp_path):
+        monkeypatch.delenv("CORE_CONFIG_PATH", raising=False)
+        monkeypatch.delenv("CLI_CONFIG_PATH", raising=False)
+        monkeypatch.chdir(tmp_path)  # no ./config dir
+        core, cli = get_core_config(), get_cli_config()
+        assert core.loaded_from is None and cli.loaded_from is None
+        assert core.sample_data_max_records == 5
+        assert core.should_enable_merge(10_000, 2)
+        assert not core.should_enable_merge(9_999, 2)
+        assert cli.max_file_size_mb is None and cli.database.url is None
+
+    def test_env_path_override_and_values(self, monkeypatch, tmp_path):
+        p = tmp_path / "core.toml"
+        p.write_text(
+            "sample_data_max_records = 3\nmerge_execution_enabled = false\n"
+            'independent_rule_types = ["UNIQUE"]\n'
+        )
+        monkeypatch.setenv("CORE_CONFIG_PATH", str(p))
+        core = get_core_config()
+        assert core.loaded_from == str(p)
+        assert core.sample_data_max_records == 3
+        assert not core.should_enable_merge(1_000_000, 10)
+        assert core.independent_rule_types == ["UNIQUE"]
+
+    def test_default_path_is_cwd_config_dir(self, monkeypatch, tmp_path):
+        (tmp_path / "config").mkdir()
+        (tmp_path / "config" / "cli.toml").write_text("debug_mode = true\n")
+        monkeypatch.delenv("CLI_CONFIG_PATH", raising=False)
+        monkeypatch.chdir(tmp_path)
+        assert get_cli_config().debug_mode is True
+
+    def test_explicit_missing_file_is_error(self, monkeypatch):
+        monkeypatch.setenv("CORE_CONFIG_PATH", "/nonexistent/core.toml")
+        with pytest.raises(ConfigError, match="not found"):
+            get_core_config()
+
+    def test_nested_database_section(self, tmp_path):
+        p = tmp_path / "cli.toml"
+        p.write_text(
+            'query_timeout = 60\n[database]\nurl = "sqlite:///t.db"\n'
+            "connect_timeout = 5\necho_queries = true\n"
+        )
+        cfg = load_config(str(p), CliConfig)
+        assert cfg.query_timeout == 60
+        assert cfg.database.url == "sqlite:///t.db"
+        assert cfg.database.connect_timeout == 5
+        assert cfg.database.echo_queries is True
+
+    @pytest.mark.parametrize(
+        "content,frag,cls",
+        [
+            ("nope = 1", "unknown key", CliConfig),
+            ("debug_mode = 3", "expects bool", CliConfig),
+            ("max_file_size_mb = true", "expects int", CliConfig),
+            ('max_file_size_mb = "big"', "expects int", CliConfig),
+            ("[database]\nbad = 1", "unknown key", CliConfig),
+            ("independent_rule_types = [1, 2]", "expects list", CoreConfig),
+            ("debug_mode = [", "decoding TOML", CliConfig),
+        ],
+    )
+    def test_validation_errors(self, tmp_path, content, frag, cls):
+        p = tmp_path / "bad.toml"
+        p.write_text(content)
+        with pytest.raises(ConfigError, match=frag):
+            load_config(str(p), cls)
+
+    def test_empty_file_yields_defaults(self, tmp_path):
+        p = tmp_path / "empty.toml"
+        p.write_text("")
+        cfg = load_config(str(p), CoreConfig)
+        assert cfg.sample_data_max_records == 5
+        assert cfg.loaded_from == str(p)
+
+
+@pytest.mark.slow
+class TestCliE2E:
+    @pytest.fixture(scope="class")
+    def csv_file(self, tmp_path_factory):
+        p = tmp_path_factory.mktemp("cfg") / "users.csv"
+        p.write_text(CSV)
+        return str(p)
+
+    def test_samples_default_from_core_toml(self, csv_file, tmp_path_factory):
+        cfg = tmp_path_factory.mktemp("cfg") / "core.toml"
+        cfg.write_text("sample_data_max_records = 1\n")
+        args = ["check", csv_file, "--num-cpus", "4",
+                "--rule", "not_null(name)", "--rule", "range(age,0,120)"]
+        with_cfg = run_cli(args, {"CORE_CONFIG_PATH": str(cfg)})
+        assert with_cfg.returncode == 1, with_cfg.stderr
+        assert with_cfg.stdout.count("sample:") == 2  # 1 per failed rule
+        # defaults unchanged when no config file: no samples collected
+        without = run_cli(args)
+        assert without.returncode == 1, without.stderr
+        assert "sample:" not in without.stdout
+
+    def test_sample_data_disabled(self, csv_file, tmp_path_factory):
+        cfg = tmp_path_factory.mktemp("cfg") / "core.toml"
+        cfg.write_text("sample_data_enabled = false\nsample_data_max_records = 4\n")
+        proc = run_cli(
+            ["check", csv_file, "--num-cpus", "4", "--rule", "not_null(name)"],
+            {"CORE_CONFIG_PATH": str(cfg)},
+        )
+        assert proc.returncode == 1, proc.stderr
+        assert "sample:" not in proc.stdout
+
+    def test_independent_execution_same_results(self, csv_file, tmp_path_factory):
+        cfg = tmp_path_factory.mktemp("cfg") / "core.toml"
+        cfg.write_text("merge_execution_enabled = false\n")
+        args = ["check", csv_file, "--num-cpus", "4", "--json",
+                "--rule", "not_null(name)", "--rule", "range(age,0,120)",
+                "--rule", "unique(id)"]
+        merged = run_cli(args)
+        indep = run_cli(args, {"CORE_CONFIG_PATH": str(cfg)})
+        assert merged.returncode == indep.returncode == 1
+        km = {r["rule_name"]: (r["status"], r["failed_records"])
+              for r in json.loads(merged.stdout)["results"]}
+        ki = {r["rule_name"]: (r["status"], r["failed_records"])
+              for r in json.loads(indep.stdout)["results"]}
+        assert km == ki
+
+    def test_max_file_size_cap(self, csv_file, tmp_path_factory):
+        cfg = tmp_path_factory.mktemp("cfg") / "cli.toml"
+        cfg.write_text("max_file_size_mb = 0\n")
+        proc = run_cli(
+            ["check", csv_file, "--rule", "not_null(name)"],
+            {"CLI_CONFIG_PATH": str(cfg)},
+        )
+        assert proc.returncode == 3
+        assert "max_file_size_mb" in proc.stderr
+
+    def test_broken_config_is_usage_error(self, csv_file, tmp_path_factory):
+        cfg = tmp_path_factory.mktemp("cfg") / "core.toml"
+        cfg.write_text("not_a_real_key = 1\n")
+        proc = run_cli(
+            ["check", csv_file, "--rule", "not_null(name)"],
+            {"CORE_CONFIG_PATH": str(cfg)},
+        )
+        assert proc.returncode == 2
+        assert "unknown key" in proc.stderr

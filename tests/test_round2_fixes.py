@@ -218,7 +218,7 @@ def test_resume_unchanged_shards_skip(tmp_path):
 # ---------------------------------------------------------------------------
 
 def test_pairs_for_bucket_all_pairs_small():
-    from validatelite_ray.stages.dedup import pairs_for_bucket
+    from validatelite_ray.testing.reference_ops import pairs_for_bucket
 
     out = pairs_for_bucket([1, 5, 9], all_pairs_max=16)
     got = set(zip(out["u"], out["v"]))
@@ -226,7 +226,7 @@ def test_pairs_for_bucket_all_pairs_small():
 
 
 def test_pairs_for_bucket_star_above_cap():
-    from validatelite_ray.stages.dedup import pairs_for_bucket
+    from validatelite_ray.testing.reference_ops import pairs_for_bucket
 
     docs = list(range(10))
     out = pairs_for_bucket(docs, all_pairs_max=4)
@@ -235,7 +235,7 @@ def test_pairs_for_bucket_star_above_cap():
 
 
 def test_pairs_for_bucket_trivial():
-    from validatelite_ray.stages.dedup import pairs_for_bucket
+    from validatelite_ray.testing.reference_ops import pairs_for_bucket
 
     assert len(pairs_for_bucket([7], all_pairs_max=16)) == 0
 

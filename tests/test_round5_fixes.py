@@ -50,6 +50,78 @@ def test_semi_anti_all_null_right(ray_session, strategy):
     assert anti == [1, 2, 3]
 
 
+def test_samples_full_rows_hydrate(ray_session, tmp_path):
+    """samples_full_rows=True persists reference-shaped samples: every
+    sampled uid hydrated to its FULL labels row (all columns, the
+    reference's base_executor sample_data contract)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from validatelite_ray.pipelines.quality_filter import (
+        QualityFilterConfig,
+        run_streaming,
+    )
+    from validatelite_ray.testing.codegen import write_corpus_shards
+
+    corpus = write_corpus_shards(str(tmp_path / "c"), n_files=150, n_shards=2, seed=9)
+    out = tmp_path / "out"
+    summary = run_streaming(
+        corpus, str(out), QualityFilterConfig(samples_full_rows=True)
+    )
+    samples = pq.read_table(out / "samples.parquet")
+    labels_names = set(rd.read_parquet(str(out / "labels_stream")).schema().names)
+    # full labels width (plus the rule_name tag), not the pruned set
+    assert labels_names <= set(samples.column_names)
+    assert "content_scrubbed" in samples.column_names  # the bulky column too
+    # each sample row is the real labels row and really fails its rule
+    labels = {r["uid"]: r for r in rd.read_parquet(str(out / "labels_stream")).take_all()}
+    assert samples.num_rows > 0
+    for row in samples.to_pylist():
+        wide = labels[row["uid"]]
+        assert row[f"fail_{row['rule_name']}"] is True
+        assert row["content_scrubbed"] == wide["content_scrubbed"]
+    # still capped at k per rule
+    per_rule: dict[str, int] = {}
+    for n in samples["rule_name"].to_pylist():
+        per_rule[n] = per_rule.get(n, 0) + 1
+    assert all(v <= 5 for v in per_rule.values())
+    assert summary["rules"]  # pipeline summary intact
+
+
+def test_verify_candidate_pairs_explicit(ray_session):
+    """The extracted LSH verify kernel on explicit candidates: confirms
+    true near-dups, drops sub-threshold pairs, pairs with an absent doc,
+    and pairs whose doc yields no shingles."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.dedup import verify_candidate_pairs
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog today"},
+            {"doc_id": 2, "text": "The quick brown fox jumps over the lazy dog today!"},
+            {"doc_id": 3, "text": "completely different words about distributed data processing"},
+            {"doc_id": 4, "text": "xy"},  # < 3 tokens: no shingles
+        ]
+    )
+    pairs = rd.from_items(
+        [
+            {"u": 1, "v": 2},  # near-dup (case/punct only)
+            {"u": 1, "v": 3},  # unrelated
+            {"u": 2, "v": 3},  # unrelated
+            {"u": 1, "v": 4},  # unverifiable: v has no shingles
+            {"u": 1, "v": 5},  # unverifiable: v absent
+        ]
+    )
+    out = sorted(
+        (r["u"], r["v"])
+        for r in verify_candidate_pairs(
+            ds, pairs, jaccard_threshold=0.5
+        ).take_all()
+    )
+    assert out == [(1, 2)]
+
+
 class TestBmpSmallPalette:
     def _payload(self, clr_used: int, n_entries: int) -> bytes:
         # 2x1 paletted image, palette index 5 = white, 9 = black

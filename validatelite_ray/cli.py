@@ -32,6 +32,26 @@ EXIT_SOURCE_ERROR = 3
 EXIT_ENGINE_ERROR = 4
 
 
+def _file_size_guard(source: str, max_mb: int | None) -> str | None:
+    """Reference ``max_file_size_mb`` cap (cli/core/config.py:41-43):
+    when the loaded config sets a cap, refuse local files above it.
+    Returns an error message, or None when within bounds / not a file /
+    no cap configured (the default — this engine streams, so the cap
+    only exists for reference parity)."""
+    if max_mb is None:
+        return None
+    try:
+        p = Path(source)
+        if p.is_file() and p.stat().st_size > max_mb * 1024 * 1024:
+            return (
+                f"{source}: file is {p.stat().st_size / 1048576:.1f} MB, "
+                f"over the configured max_file_size_mb={max_mb}"
+            )
+    except OSError:
+        return None
+    return None
+
+
 def _render_table(report, samples) -> str:
     lines = []
     header = f"{'rule':<24} {'status':<8} {'failed':>10} {'total':>10}  message"
@@ -123,7 +143,14 @@ def _schema_command(args) -> int:
         print(f"error: cannot read schema payload: {exc}", file=_sys.stderr)
         return EXIT_USAGE
 
+    from validatelite_ray.config import ConfigError, get_cli_config
     from validatelite_ray.sources.io import SourceError, open_source
+
+    try:
+        cli_cfg = get_cli_config()
+    except ConfigError as exc:
+        print(f"error: {exc}", file=_sys.stderr)
+        return EXIT_USAGE
 
     bindings: dict[str, str] = {}
     for item in args.table:
@@ -131,6 +158,10 @@ def _schema_command(args) -> int:
         if not sep:
             print(f"error: --table expects NAME=SOURCE, got {item!r}", file=_sys.stderr)
             return EXIT_USAGE
+        size_err = _file_size_guard(src, cli_cfg.max_file_size_mb)
+        if size_err:
+            print(f"error: table {name!r}: {size_err}", file=_sys.stderr)
+            return EXIT_SOURCE_ERROR
         bindings[name] = src
 
     import ray
@@ -230,7 +261,18 @@ def _profile_command(args) -> int:
             print(f"error: {exc}", file=sys.stderr)
             return EXIT_SOURCE_ERROR
 
+        from validatelite_ray.config import ConfigError, get_cli_config
         from validatelite_ray.stages.sample import profile_columns
+
+        try:
+            cli_cfg = get_cli_config()
+        except ConfigError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return EXIT_USAGE
+        if cli_cfg.default_sample_size is not None:
+            # reference default_sample_size (cli/core/config.py:38-40):
+            # profile a bounded sample instead of the full source
+            ds = ds.limit(cli_cfg.default_sample_size)
 
         all_cols = ds.schema().names
         cols = (
@@ -298,14 +340,41 @@ def _filter_command(args) -> int:
         import ray.data
 
         ray.data.DataContext.get_current().enable_progress_bars = False
-        from validatelite_ray.pipelines.quality_filter import run, run_streaming
+        from validatelite_ray.config import ConfigError, get_core_config
+        from validatelite_ray.pipelines.quality_filter import (
+            QualityFilterConfig,
+            run,
+            run_streaming,
+        )
+
+        cfg = None
+        try:
+            core_cfg = get_core_config()
+        except ConfigError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return EXIT_USAGE
+        if core_cfg.loaded_from or args.samples_full_rows:
+            # core.toml sample_data_* maps onto the flagship's per-rule
+            # failure-sample capture (reference sample_data parity);
+            # without a config file the k default (5) stands
+            k = QualityFilterConfig.failure_samples_k
+            if core_cfg.loaded_from:
+                k = (
+                    core_cfg.sample_data_max_records
+                    if core_cfg.sample_data_enabled
+                    else 0
+                )
+            cfg = QualityFilterConfig(
+                failure_samples_k=k,
+                samples_full_rows=args.samples_full_rows,
+            )
 
         try:
             if args.streaming:
-                summary = run_streaming(files, args.out)
+                summary = run_streaming(files, args.out, cfg=cfg)
             else:
                 summary = run(
-                    files, args.out,
+                    files, args.out, cfg=cfg,
                     files_per_shard=args.files_per_shard, resume=args.resume,
                     shard_concurrency=args.shard_concurrency,
                 )
@@ -341,8 +410,10 @@ def main(argv: list[str] | None = None) -> int:
     check.add_argument("--verbose", action="store_true",
                        help="per-rule detail: failure rates, samples, "
                             "physical plan, timings (reference 'verbose' mode)")
-    check.add_argument("--samples", type=int, default=0,
-                       help="collect up to N failing sample rows per rule")
+    check.add_argument("--samples", type=int, default=None,
+                       help="collect up to N failing sample rows per rule "
+                            "(default: core.toml sample_data_max_records "
+                            "when a config file is loaded, else 0)")
     check.add_argument("--num-cpus", type=int, default=None)
     check.add_argument("--list-rule-types", action="store_true",
                        help="print the rule-type registry and exit")
@@ -358,6 +429,9 @@ def main(argv: list[str] | None = None) -> int:
     filt.add_argument("--no-resume", dest="resume", action="store_false")
     filt.add_argument("--streaming", action="store_true",
                       help="single streaming pipeline (no shard checkpoints)")
+    filt.add_argument("--samples-full-rows", action="store_true",
+                      help="persist reference-shaped failure samples "
+                           "(full labels row per sampled uid)")
     filt.add_argument("--num-cpus", type=int, default=None)
 
     prof = sub.add_parser(
@@ -416,12 +490,36 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"    e.g. {ex}")
         return EXIT_OK
 
+    from validatelite_ray.config import ConfigError, get_cli_config, get_core_config
     from validatelite_ray.rules.parser import RuleParseError, parse_rules
     from validatelite_ray.sources.io import SourceError, open_source
 
+    try:
+        core_cfg = get_core_config()
+        cli_cfg = get_cli_config()
+    except ConfigError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return EXIT_USAGE
+
+    if args.source is None:
+        # reference fallback: cli.toml's [database].url is the default
+        # source when none is given (cli/core/config.py:19-21)
+        args.source = cli_cfg.database.url
     if args.source is None:
         print("error: a source is required", file=sys.stderr)
         return EXIT_USAGE
+    size_err = _file_size_guard(args.source, cli_cfg.max_file_size_mb)
+    if size_err:
+        print(f"error: {size_err}", file=sys.stderr)
+        return EXIT_SOURCE_ERROR
+    if args.samples is None:
+        # default only honored when a config FILE was loaded — pure
+        # defaults keep the historical "no samples unless asked" CLI
+        args.samples = (
+            core_cfg.sample_data_max_records
+            if core_cfg.loaded_from and core_cfg.sample_data_enabled
+            else 0
+        )
     try:
         rules = parse_rules(args.rule or None, args.rules_file)
     except (RuleParseError, FileNotFoundError) as exc:
@@ -458,13 +556,31 @@ def main(argv: list[str] | None = None) -> int:
 
         engine = RuleEngine(rules)
         try:
-            report = engine.execute(ds)
+            if core_cfg.merge_execution_enabled:
+                report = engine.execute(ds)
+            else:
+                # reference independent-execution mode
+                # (core/config.py:70-86 via should_enable_merge=False):
+                # each rule runs as its own pass; results identical to
+                # the fused plan, just N scans instead of one
+                from validatelite_ray.engine.results import ExecutionReport
+
+                parts = [RuleEngine([r]).execute(ds) for r in rules]
+                report = ExecutionReport(
+                    [res for p in parts for res in p.results],
+                    started_at=min((p.started_at for p in parts), default=0.0),
+                    ended_at=max((p.ended_at for p in parts), default=0.0),
+                )
             samples = (
                 engine.collect_failure_samples(ds, k=args.samples)
                 if args.samples
                 else {}
             )
         except Exception as exc:
+            if cli_cfg.debug_mode:
+                import traceback
+
+                traceback.print_exc()
             print(f"engine error: {exc}", file=sys.stderr)
             return EXIT_ENGINE_ERROR
 

@@ -1,0 +1,178 @@
+"""TOML configuration layer — reference parity for ``config/core.toml``
+and ``config/cli.toml`` with ``*_CONFIG_PATH`` env-var overrides.
+
+Reference semantics (``shared/config/loader.py:57-110``,
+``core/config.py:14-55``, ``cli/core/config.py:16-49``):
+
+* ``get_core_config()`` loads ``$CORE_CONFIG_PATH`` or ``./config/core.toml``;
+  ``get_cli_config()`` loads ``$CLI_CONFIG_PATH`` or ``./config/cli.toml``.
+* A file the user explicitly pointed at (env var / argument) that is
+  missing or malformed is an ERROR; a missing *default* path silently
+  yields defaults (the reference warns and continues).
+* Unknown keys and wrong value types are validation errors (the
+  reference delegates this to Pydantic; here a ~30-line dataclass
+  validator does the same job on stdlib ``tomllib``).
+
+Documented deviations: ``default_sample_size`` and ``max_file_size_mb``
+default to ``None`` (= unlimited) instead of the reference's
+10000 / 100 — those caps protect the reference's in-driver
+pandas→SQLite staging (``cli/core/config.py:36-43``), which this engine
+does not have (everything streams through Ray Data). Setting them in a
+config file restores the reference's capping behavior, enforced at the
+CLI seams.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import tomllib
+from pathlib import Path
+from typing import Any
+
+
+class ConfigError(Exception):
+    """Missing explicit config file, TOML decode error, unknown key, or
+    wrong value type (the reference's OperationError analogues)."""
+
+
+@dataclasses.dataclass
+class DatabaseConfig:
+    """``[database]`` section of cli.toml (cli/core/config.py:16-27)."""
+
+    url: str | None = None
+    connect_timeout: int = 30
+    echo_queries: bool = False
+
+
+@dataclasses.dataclass
+class CliConfig:
+    """cli.toml (cli/core/config.py:30-49)."""
+
+    debug_mode: bool = False
+    #: reference default 10000 — None here means "no sampling cap"
+    default_sample_size: int | None = None
+    #: reference default 100 (MB) — None here means "no file-size cap"
+    max_file_size_mb: int | None = None
+    query_timeout: int = 300
+    database: DatabaseConfig = dataclasses.field(default_factory=DatabaseConfig)
+    #: where this config came from: None = pure defaults (no file found)
+    loaded_from: str | None = None
+
+
+@dataclasses.dataclass
+class CoreConfig:
+    """core.toml (core/config.py:14-55)."""
+
+    execution_timeout: int = 300
+    table_size_threshold: int = 10_000
+    rule_count_threshold: int = 2
+    max_rules_per_merge: int = 10
+    merge_execution_enabled: bool = True
+    monitoring_enabled: bool = False
+    sample_data_enabled: bool = True
+    sample_data_max_records: int = 5
+    independent_rule_types: list[str] = dataclasses.field(
+        default_factory=lambda: ["UNIQUE", "CUSTOM_SQL", "FOREIGN_KEY"]
+    )
+    loaded_from: str | None = None
+
+    def should_enable_merge(self, table_size: int, rule_count: int) -> bool:
+        """Reference merge heuristic (core/config.py:70-86). The Ray
+        engine's fused single-scan plan makes merging free, so this is
+        surfaced for parity/introspection; ``merge_execution_enabled =
+        false`` IS honored (the CLI runs rules as independent passes)."""
+        if not self.merge_execution_enabled:
+            return False
+        return (
+            table_size >= self.table_size_threshold
+            and rule_count >= self.rule_count_threshold
+        )
+
+
+def _coerce(cls, data: dict[str, Any], path: str):
+    """dict → dataclass with unknown-key and type validation."""
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs: dict[str, Any] = {}
+    for key, val in data.items():
+        f = fields.get(key)
+        if f is None or key == "loaded_from":
+            raise ConfigError(
+                f"{path}: unknown key {key!r} for {cls.__name__}"
+            )
+        nested = (
+            f.default_factory is not dataclasses.MISSING
+            and dataclasses.is_dataclass(f.default_factory())
+        )
+        if nested:  # e.g. the [database] section
+            if not isinstance(val, dict):
+                raise ConfigError(f"{path}: section [{key}] must be a table")
+            kwargs[key] = _coerce(type(f.default_factory()), val, path)
+            continue
+        expected = _expected_type(f)
+        if expected is bool:
+            ok = isinstance(val, bool)
+        elif expected is int:
+            ok = isinstance(val, int) and not isinstance(val, bool)
+        elif expected is float:
+            ok = isinstance(val, (int, float)) and not isinstance(val, bool)
+        elif expected is str:
+            ok = isinstance(val, str)
+        elif expected is list:
+            ok = isinstance(val, list) and all(isinstance(x, str) for x in val)
+        else:
+            ok = True
+        if not ok:
+            raise ConfigError(
+                f"{path}: key {key!r} expects {expected.__name__}, "
+                f"got {type(val).__name__} ({val!r})"
+            )
+        kwargs[key] = val
+    return cls(**kwargs)
+
+
+def _expected_type(f: dataclasses.Field):
+    t = f.type
+    if isinstance(t, str):  # from __future__ annotations: stringified
+        t = t.split("|")[0].strip()
+        return {"str": str, "int": int, "float": float, "bool": bool,
+                "list[str]": list}.get(t, object)
+    return t
+
+
+def load_config(path: str, cls):
+    """Parse one TOML file into ``cls`` — explicit-path analogue of the
+    reference's ``shared/config/loader.py:load_config`` (missing file,
+    decode error and validation error all raise ``ConfigError``)."""
+    try:
+        raw = Path(path).read_bytes()
+    except FileNotFoundError:
+        raise ConfigError(f"Configuration file not found at: {path}") from None
+    except OSError as exc:
+        raise ConfigError(f"Error opening configuration file {path}: {exc}")
+    try:
+        data = tomllib.loads(raw.decode("utf-8")) if raw.strip() else {}
+    except tomllib.TOMLDecodeError as exc:
+        raise ConfigError(f"Error decoding TOML file {path}: {exc}")
+    cfg = _coerce(cls, data, path)
+    cfg.loaded_from = str(path)
+    return cfg
+
+
+def _get(env_var: str, default_path: str, cls):
+    env = os.getenv(env_var)
+    if env:
+        return load_config(env, cls)  # explicit path: missing = error
+    if Path(default_path).is_file():
+        return load_config(default_path, cls)
+    return cls()  # no file anywhere: pure defaults, loaded_from=None
+
+
+def get_core_config() -> CoreConfig:
+    """``$CORE_CONFIG_PATH`` or ``./config/core.toml`` or defaults."""
+    return _get("CORE_CONFIG_PATH", "config/core.toml", CoreConfig)
+
+
+def get_cli_config() -> CliConfig:
+    """``$CLI_CONFIG_PATH`` or ``./config/cli.toml`` or defaults."""
+    return _get("CLI_CONFIG_PATH", "config/cli.toml", CliConfig)

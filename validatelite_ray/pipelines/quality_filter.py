@@ -24,7 +24,8 @@ Input: Parquet table (repo, path, commit, lang, content). Stages:
    (O(1) driver state at web-scale duplication rates). Rows of tied
    (value-identical) pairs detour through a group-wise keep-first.
    Both run paths share this machinery; ``compute_drop_list`` /
-   ``finalize_keep`` remain as standalone surfaces. ``stages/dedup.py``
+   ``finalize_keep`` remain only as deprecated driver-side
+   conveniences for small corpora and tests. ``stages/dedup.py``
    keeps the generic operator (full shuffle, salted two-phase,
    dup-only broadcast) for standalone use.
 5. ``metrics`` — per-rule (total, failed) aggregated from the labels
@@ -109,6 +110,14 @@ class QualityFilterConfig:
     #: ``metrics.parquet`` (reference ``sample_data`` parity,
     #: core/executors/base_executor.py:292-347). 0 disables.
     failure_samples_k: int = 5
+    #: opt-in reference-SHAPED samples: the reference attaches whole
+    #: failing rows (every column) to each rule result
+    #: (base_executor.py:292-347), while the fused sampler persists only
+    #: the pruned explain columns. When True, the sampled uids are
+    #: hydrated back to their full-width labels rows via a broadcast
+    #: uid membership filter (≤ k×#rules uids — O(1) driver state, one
+    #: extra bounded pass over the labels output).
+    samples_full_rows: bool = False
     #: opt-in MinHash-LSH near-duplicate stage after exact dedup: kept
     #: rows whose scrubbed text is ≥ this Jaccard-similar to an earlier
     #: (lexically-smaller-uid) kept row are dropped, accounted in
@@ -518,10 +527,11 @@ def decisions_from_rows(rows) -> WinnerDecisions:
 
 
 def dedup_winner_decisions(labels_ds) -> WinnerDecisions:
-    """Driver-side decision arrays (stable surface for small corpora and
-    for ``compute_drop_list``); the run paths go through
-    ``dedup_decision_table`` + ``select_kept`` and only collect the
-    rows when they are under the broadcast budget."""
+    """DEPRECATED small-corpus convenience — collects the full decision
+    table onto the driver, so it does NOT scale; the run paths go
+    through ``dedup_decision_table`` + ``select_kept`` and only collect
+    the rows when they are under the broadcast budget. Kept solely as a
+    stable surface for ``compute_drop_list`` and existing tests."""
     return decisions_from_rows(dedup_decision_table(labels_ds).take_all())
 
 
@@ -669,11 +679,13 @@ def select_kept(wide_ds, dec, broadcast_max_groups: int = 200_000):
 
 
 def compute_drop_list(labels_ds) -> pa.Array:
-    """(sha256, uid) pair keys — ``sha256 + UID_SEP + uid`` strings — of
-    passing rows that LOSE exact dedup (non-winners). One decision
-    shuffle + one slim enumeration scan; kept as a stable surface (the
-    run paths use ``dedup_winner_decisions`` + membership filters and
-    never enumerate losers)."""
+    """DEPRECATED small-corpus convenience: (sha256, uid) pair keys —
+    ``sha256 + UID_SEP + uid`` strings — of passing rows that LOSE
+    exact dedup (non-winners). Collects all winner pairs onto the
+    driver via ``dedup_winner_decisions``, so it does NOT scale; the
+    run paths use ``dedup_decision_table`` + ``select_kept`` membership
+    filters and never enumerate losers. Kept solely as a stable surface
+    for existing tests."""
     import ray
 
     d = dedup_winner_decisions(labels_ds)
@@ -959,6 +971,40 @@ def metrics_and_samples_from_labels(
     return metrics, samples
 
 
+def hydrate_failure_samples(samples: pa.Table, label_files, labels_fs) -> pa.Table:
+    """Reference-shaped failure samples (``samples_full_rows``): join
+    the sampled uids back to their FULL labels rows — the reference
+    returns ≤k whole failing rows per rule
+    (core/executors/base_executor.py:292-347), all columns included.
+
+    Scale shape: the uid set is bounded at k×#rules (already capped by
+    the fused sampler), so membership is ONE broadcast ``is_in`` pass
+    over the labels output — no shuffle, no unbounded driver state; the
+    matched rows (≤ k×#rules) are the only data collected."""
+    import ray
+    import ray.data as rd
+
+    if samples is None or samples.num_rows == 0 or "uid" not in samples.column_names:
+        return samples
+    uid_ref = ray.put(pc.unique(samples["uid"]))
+
+    def member(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.fill_null(pc.is_in(b["uid"], value_set=ray.get(uid_ref)), False)
+        )
+
+    refs = (
+        rd.read_parquet(label_files, filesystem=labels_fs)
+        .map_batches(member, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    )
+    wide = pa.concat_tables(
+        [t for t in ray.get(refs) if t.num_rows], promote_options="default"
+    )
+    out = samples.select(["rule_name", "uid"]).join(wide, keys="uid")
+    return out.sort_by([("rule_name", "ascending"), ("uid", "ascending")])
+
+
 def _write_metrics_sink(out: str, metrics: pa.Table, samples) -> None:
     """Persist the run's result records next to the data outputs:
     ``metrics.parquet`` (per-rule counts, reference result-record shape
@@ -1204,6 +1250,8 @@ def run_streaming(
 
     metrics, samples = metrics_future.result()
     pool.shutdown()
+    if cfg.samples_full_rows:
+        samples = hydrate_failure_samples(samples, label_files, labels_fs)
     _write_metrics_sink(out, metrics, samples)
     rows = dict(
         zip(metrics["rule_name"].to_pylist(), metrics["failed_records"].to_pylist())
@@ -1371,6 +1419,8 @@ def run(
     # metrics (per-rule counts + dedup accounting) — computed overlapped
     metrics, samples = _metrics_future.result()
     _pool.shutdown()
+    if cfg.samples_full_rows:
+        samples = hydrate_failure_samples(samples, label_files, labels_fs)
     _write_metrics_sink(out, metrics, samples)
 
     mrows = dict(

@@ -41,6 +41,40 @@ _SUFFIXES = {
 }
 
 
+def read_parquet_clean(paths, columns=None, **kwargs):
+    """``ray.data.read_parquet`` with the file's schema-level metadata
+    stripped. pandas-written Parquet carries a ``b'pandas'`` metadata
+    blob that makes ``pa.Schema`` unhashable, so every Ray schema-
+    deduplication pass logs "Failed to hash the schemas … unhashable
+    type: 'dict'" — one footer read on the driver (metadata only, no
+    data I/O) hands Ray a cleaned schema instead. Falls back to a plain
+    read if the probe can't resolve a footer (globs, custom
+    filesystems)."""
+    import ray.data as rd
+
+    if "schema" not in kwargs:
+        try:
+            import pyarrow.parquet as pq
+
+            probe = paths[0] if isinstance(paths, (list, tuple)) else paths
+            p = Path(probe)
+            if p.is_dir():
+                probe = str(next(p.rglob("*.parquet")))
+            sch = pq.read_schema(probe, filesystem=kwargs.get("filesystem"))
+            if sch.metadata:
+                sch = sch.remove_metadata()
+                if columns is not None:
+                    # the schema handed to Ray must match the PROJECTED
+                    # block layout, not the file footer
+                    import pyarrow as pa
+
+                    sch = pa.schema([sch.field(c) for c in columns])
+                kwargs["schema"] = sch
+        except Exception:
+            pass  # unprobeable source: keep Ray's own schema resolution
+    return rd.read_parquet(paths, columns=columns, **kwargs)
+
+
 def parse_source(source: str) -> SourceSpec:
     p = Path(source)
     if p.is_dir():
@@ -89,7 +123,7 @@ def open_source(
 
     spec = source if isinstance(source, SourceSpec) else parse_source(source)
     if spec.fmt == "parquet":
-        return rd.read_parquet(spec.path, columns=columns)
+        return read_parquet_clean(spec.path, columns=columns)
     from pyarrow import csv as pacsv
 
     # empty strings read as NULL — matching the reference's pandas

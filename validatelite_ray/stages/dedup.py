@@ -479,23 +479,6 @@ def _segment_arange(lens: np.ndarray) -> np.ndarray:
     )
 
 
-def pairs_for_bucket(docs: list, all_pairs_max: int) -> pd.DataFrame:
-    """Candidate edges for one LSH bucket. Small buckets emit ALL pairs
-    — star edges to the bucket minimum alone lose clusters whose
-    members are near-dups of each other but not of the minimum (every
-    star edge fails verification → no edge survives). Buckets above
-    ``all_pairs_max`` (almost always true-duplicate blobs) fall back to
-    star edges to avoid the quadratic blowup."""
-    n = len(docs)
-    if n < 2:
-        return pd.DataFrame({"u": [], "v": []})
-    if n <= all_pairs_max:
-        iu, iv = np.triu_indices(n, k=1)
-        arr = np.asarray(docs)
-        return pd.DataFrame({"u": arr[iu], "v": arr[iv]})
-    return pd.DataFrame({"u": [docs[0]] * (n - 1), "v": docs[1:]})
-
-
 def _connected_components(edges: Iterable[tuple[int, int]]) -> dict[int, int]:
     """Union-find on the (small, verified) candidate edge set → {doc: root}."""
     parent: dict[int, int] = {}
@@ -661,88 +644,28 @@ def _connected_components_ds(edges_ds, max_rounds: int = 64):
     )
 
 
-def dedup_minhash_lsh(
-    ds: "ray.data.Dataset",  # noqa: F821
+def verify_candidate_pairs(
+    ds,
+    pairs,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_perm: int = 64,
-    bands: int = 16,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
-    concurrency: int = 4,
-    seed: int = 42,
-    all_pairs_max: int = 16,
-    driver_edges_max: int | None = 100_000_000,
-) -> "pd.DataFrame":
-    """Near-duplicate clusters via MinHash-LSH.
-
-    Plan: actor-pool minhash stage → (band, band_hash) groupby (the
-    all-to-all exchange; band hashes are uniform so no skew) → candidate
-    pairs per bucket → exact Jaccard verification on shingle sets of the
-    candidate docs only → connected components (driver union-find below
-    ``driver_edges_max`` verified edges; the distributed alternating-star
-    rounds of ``_connected_components_ds`` above it — a 30%-duplicated
-    web corpus can push the verified edge set past driver memory).
-
-    Returns a pandas DataFrame (doc_id, cluster_id) for docs in clusters
-    of size ≥ 2; keep-policy (e.g. keep min doc_id) is the caller's.
+    nb: int | None = None,
+):
+    """Exact-Jaccard verification of an explicit candidate-pair Dataset
+    (columns ``u``/``v`` of ``id_col``'s type) against the documents in
+    ``ds`` — the LSH verify kernel, exposed as a standalone operator so
+    any blocking scheme (minhash bands, simhash buckets, prefix
+    canopies, an all-pairs cap for contract testing) can feed it, and so
+    its semantics are verifiable by a DuckDB shingle-set-overlap oracle
+    (``lsh_verify_pairs`` in ``__ray_entry__``). Returns the verified
+    edge Dataset of (u, v) pairs whose k-token-shingle Jaccard ≥
+    ``jaccard_threshold``; a pair is unverifiable (dropped) when either
+    side is absent from ``ds`` or yields no shingles.
     """
-    hasher_cls = MinHasher
-
-    bands_ds = ds.map_batches(
-        hasher_cls,
-        fn_constructor_kwargs=dict(
-            id_col=id_col, text_col=text_col, num_perm=num_perm,
-            bands=bands, shingle_k=shingle_k, seed=seed,
-        ),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        batch_size=1024,
-    )
-
-    # Candidate pairs per LSH bucket. Grouping directly on
-    # (band, band_hash) would mean one Python map_groups call per
-    # bucket — millions of tiny groups; instead buckets are re-keyed to
-    # ``hash % NB`` coarse groups and the per-bucket pair expansion
-    # (all pairs ≤ all_pairs_max, star edges above — the semantics of
-    # ``pairs_for_bucket``) runs VECTORIZED inside each coarse group
-    # (_pairs_within_runs).
-    nb_pairs = coarse_bucket_count(ds)
-
-    def to_buckets(b: pa.Table) -> pa.Table:
-        bh = np.asarray(b["band_hash"], np.int64).view(np.uint64)
-        band = np.asarray(b["band"], np.int32).astype(np.uint64)
-        key = _mix64(bh * _GOLDEN + band)
-        return pa.table(
-            {
-                "key": pa.array(key.view(np.int64)),
-                "bucket": pa.array((key % np.uint64(nb_pairs)).astype(np.int32)),
-                "doc_id": b["doc_id"],
-            }
-        )
-
-    def bucket_pairs_vec(g: pa.Table) -> pa.Table:
-        g = g.take(
-            pc.sort_indices(
-                g, sort_keys=[("key", "ascending"), ("doc_id", "ascending")]
-            )
-        )
-        keys = np.asarray(g["key"], np.int64)
-        starts, lens = _runs(keys)
-        iu, iv = _pairs_within_runs(
-            starts, lens, all_pairs_max=all_pairs_max, star_fallback=True
-        )
-        docs = g["doc_id"]
-        if isinstance(docs, pa.ChunkedArray):
-            docs = docs.combine_chunks()
-        return pa.table({"u": docs.take(pa.array(iu)), "v": docs.take(pa.array(iv))})
-
-    pairs = (
-        bands_ds.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(bucket_pairs_vec, batch_format="pyarrow")
-    )
-
+    if nb is None:
+        nb = coarse_bucket_count(ds)
     # exact Jaccard verification, FULLY DATASET-NATIVE (round-2 verdict
     # #2: candidate pairs used to come back via .to_pandas() and fan out
     # through a broadcast doc→pair-ids dict — O(#candidates) driver
@@ -765,9 +688,6 @@ def dedup_minhash_lsh(
     # Jaccard is over 64-bit shingle hashes, not raw shingles, and the
     # local join keys on 64-bit doc hashes — collision probability
     # ~n²/2⁶⁴ per bucket, negligible at any realistic corpus size.
-    # (reuse nb_pairs — coarse_bucket_count probes ds.size_bytes(),
-    # which can trigger a full extra execution of a lazy input)
-    nb = nb_pairs
 
     def _doc_hash(arr) -> np.ndarray:
         if isinstance(arr, pa.ChunkedArray):
@@ -935,12 +855,107 @@ def dedup_minhash_lsh(
             "pbucket", pa.array((pid % np.uint64(nb)).astype(np.int32))
         )
 
-    verified_ds = (
+    return (
         tagged.groupby("bucket")
         .map_groups(cogroup, batch_format="pyarrow")
         .map_batches(pair_buckets, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("pbucket")
         .map_groups(jaccard_bucket, batch_format="pyarrow")
+    )
+
+
+def dedup_minhash_lsh(
+    ds: "ray.data.Dataset",  # noqa: F821
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    concurrency: int = 4,
+    seed: int = 42,
+    all_pairs_max: int = 16,
+    driver_edges_max: int | None = 100_000_000,
+) -> "pd.DataFrame":
+    """Near-duplicate clusters via MinHash-LSH.
+
+    Plan: actor-pool minhash stage → (band, band_hash) groupby (the
+    all-to-all exchange; band hashes are uniform so no skew) → candidate
+    pairs per bucket → exact Jaccard verification on shingle sets of the
+    candidate docs only → connected components (driver union-find below
+    ``driver_edges_max`` verified edges; the distributed alternating-star
+    rounds of ``_connected_components_ds`` above it — a 30%-duplicated
+    web corpus can push the verified edge set past driver memory).
+
+    Returns a pandas DataFrame (doc_id, cluster_id) for docs in clusters
+    of size ≥ 2; keep-policy (e.g. keep min doc_id) is the caller's.
+    """
+    hasher_cls = MinHasher
+
+    bands_ds = ds.map_batches(
+        hasher_cls,
+        fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col, num_perm=num_perm,
+            bands=bands, shingle_k=shingle_k, seed=seed,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=1024,
+    )
+
+    # Candidate pairs per LSH bucket. Grouping directly on
+    # (band, band_hash) would mean one Python map_groups call per
+    # bucket — millions of tiny groups; instead buckets are re-keyed to
+    # ``hash % NB`` coarse groups and the per-bucket pair expansion
+    # (all pairs ≤ all_pairs_max, star edges above — the semantics of
+    # ``pairs_for_bucket``) runs VECTORIZED inside each coarse group
+    # (_pairs_within_runs).
+    nb_pairs = coarse_bucket_count(ds)
+
+    def to_buckets(b: pa.Table) -> pa.Table:
+        bh = np.asarray(b["band_hash"], np.int64).view(np.uint64)
+        band = np.asarray(b["band"], np.int32).astype(np.uint64)
+        key = _mix64(bh * _GOLDEN + band)
+        return pa.table(
+            {
+                "key": pa.array(key.view(np.int64)),
+                "bucket": pa.array((key % np.uint64(nb_pairs)).astype(np.int32)),
+                "doc_id": b["doc_id"],
+            }
+        )
+
+    def bucket_pairs_vec(g: pa.Table) -> pa.Table:
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("key", "ascending"), ("doc_id", "ascending")]
+            )
+        )
+        keys = np.asarray(g["key"], np.int64)
+        starts, lens = _runs(keys)
+        iu, iv = _pairs_within_runs(
+            starts, lens, all_pairs_max=all_pairs_max, star_fallback=True
+        )
+        docs = g["doc_id"]
+        if isinstance(docs, pa.ChunkedArray):
+            docs = docs.combine_chunks()
+        return pa.table({"u": docs.take(pa.array(iu)), "v": docs.take(pa.array(iv))})
+
+    pairs = (
+        bands_ds.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_pairs_vec, batch_format="pyarrow")
+    )
+
+    # (nb reuses nb_pairs — coarse_bucket_count probes ds.size_bytes(),
+    # which can trigger a full extra execution of a lazy input)
+    verified_ds = verify_candidate_pairs(
+        ds,
+        pairs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold,
+        nb=nb_pairs,
     )
     roots = _cluster_roots(verified_ds, driver_edges_max)
     if not roots:

@@ -18,11 +18,33 @@ packing — the last mile between a filtered corpus and a training run.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from validatelite_ray.stages.dedup import _token_hashes
+
+
+def md5_u64(arr) -> np.ndarray:
+    """Low 64 bits of md5 (little-endian of digest bytes 8..16) per
+    string — chosen because it is bit-identical to DuckDB 1.0's
+    ``md5_number_lower()``, so every keep/assign decision derived from
+    this hash is verifiable by a plain SQL oracle (the driver's
+    correctness gate) while staying a pure, layout-independent function
+    of the row id. The md5 calls are C (hashlib) with one Python-level
+    pass per batch; the split/sample decision is a tiny fraction of
+    pipeline cost next to tokenize/score stages."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    data = pc.cast(arr, pa.binary()).to_pylist()
+    md5 = hashlib.md5
+    joined = b"".join(md5(s).digest()[8:] for s in data if s is not None)
+    if len(joined) != 8 * len(data):  # null ids: hash of empty string
+        empty = md5(b"").digest()[8:]
+        joined = b"".join(md5(s).digest()[8:] if s is not None else empty for s in data)
+    return np.frombuffer(joined, dtype="<u8")
 
 
 def hash_split(
@@ -37,6 +59,11 @@ def hash_split(
     ``splits`` maps name → weight (normalized to 1); iteration order
     fixes the threshold layout, so pass an ordered dict. The hash mixes
     ``seed`` so independent splits of the same corpus decorrelate.
+
+    SQL-oracle parity: split i is exactly
+    ``md5_number_lower(id || chr(31) || seed) < int(cum_weight_i * 2^64)``
+    (integer comparison, no float rounding at runtime), so a DuckDB
+    CASE over the same constants reproduces the assignment bit-exactly.
     """
     splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
     names = list(splits)
@@ -44,20 +71,22 @@ def hash_split(
     if (weights <= 0).any():
         raise ValueError("split weights must be positive")
     edges = np.cumsum(weights / weights.sum())
-    # map [0, 2^64) hash space onto cumulative weight edges
-    bounds = (edges * float(2**64)).astype(np.float64)
+    # map [0, 2^64) hash space onto cumulative weight edges; exact
+    # integer thresholds (the last edge is implicit: ELSE branch)
+    bounds = np.array(
+        [min(int(e * 2.0**64), 2**64 - 1) for e in edges[:-1]], np.uint64
+    )
 
     def assign(b: pa.Table) -> pa.Table:
         ids = b[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        h = _token_hashes(
+        h = md5_u64(
             pc.binary_join_element_wise(
                 pc.cast(ids, pa.string()), str(seed), "\x1f"
             )
-        ).astype(np.float64)
+        )
         idx = np.searchsorted(bounds, h, side="right")
-        idx = np.minimum(idx, len(names) - 1)
         lab = pa.array(np.array(names, dtype=object)[idx], pa.string())
         return b.append_column(out_col, lab)
 
@@ -144,7 +173,11 @@ def sample_fraction(
     Unlike ``Dataset.random_sample`` the subset is a pure function of
     (id, seed): stable across reruns, block layouts and cluster sizes,
     and composable (``sample_fraction(0.5)`` of ``sample_fraction(0.5)``
-    with different seeds is an unbiased 25%). Zero shuffle."""
+    with different seeds is an unbiased 25%). Zero shuffle.
+
+    SQL-oracle parity: kept ⇔
+    ``md5_number_lower(id || chr(31) || 'frac<seed>') <= floor(fraction*(2^64-1))``.
+    """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
     # integer-domain threshold with a clamp: int(1.0 * float(2**64-1))
@@ -156,7 +189,7 @@ def sample_fraction(
         ids = b[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        h = _token_hashes(
+        h = md5_u64(
             pc.binary_join_element_wise(
                 pc.cast(ids, pa.string()), f"frac{seed}", "\x1f"
             )
@@ -184,6 +217,10 @@ def sample_mixture(
     resamples independently in different groups). Zero shuffle; the
     mixture spec is closed over (broadcast with the function), never
     per-batch re-shipped.
+
+    SQL-oracle parity: kept ⇔
+    ``md5_number_lower(id || chr(31) || group || chr(31) || 'mix<seed>')
+    <= floor(frac_group*(2^64-1))`` (NULL groups hash as chr(0)||'null').
     """
     for g, f in fractions.items():
         if not 0.0 <= float(f) <= 1.0:
@@ -213,7 +250,7 @@ def sample_mixture(
             [thr_map.get(v, default_thr) for v in dict_vals], np.uint64
         )
         thr = lut[np.asarray(enc.indices)]
-        h = _token_hashes(
+        h = md5_u64(
             pc.binary_join_element_wise(
                 pc.cast(ids, pa.string()), gstr, f"mix{seed}", "\x1f"
             )

@@ -1,0 +1,28 @@
+"""Small, obviously-correct reference implementations used only by
+tests — the pinned semantics the vectorized production kernels are
+checked against. Not imported by any pipeline code.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def pairs_for_bucket(docs: list, all_pairs_max: int) -> pd.DataFrame:
+    """Reference semantics of one LSH bucket's candidate-pair
+    expansion (the production path is the vectorized
+    ``_pairs_within_runs`` in ``stages/dedup.py``). Small buckets emit
+    ALL pairs — star edges to the bucket minimum alone lose clusters
+    whose members are near-dups of each other but not of the minimum
+    (every star edge fails verification → no edge survives). Buckets
+    above ``all_pairs_max`` (almost always true-duplicate blobs) fall
+    back to star edges to avoid the quadratic blowup."""
+    n = len(docs)
+    if n < 2:
+        return pd.DataFrame({"u": [], "v": []})
+    if n <= all_pairs_max:
+        iu, iv = np.triu_indices(n, k=1)
+        arr = np.asarray(docs)
+        return pd.DataFrame({"u": arr[iu], "v": arr[iv]})
+    return pd.DataFrame({"u": [docs[0]] * (n - 1), "v": docs[1:]})
