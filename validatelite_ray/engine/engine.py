@@ -209,9 +209,11 @@ class RuleEngine:
 
         Ray-native analogue of the reference's sample rewrite
         (base_executor.py:292-347: COUNT → SELECT * LIMIT k): each block
-        contributes its first ``k`` failing rows per rule, then a tiny
-        groupby keeps ``k`` per rule overall. Deterministic given
-        deterministic block order of the source.
+        contributes its first ``k`` failing rows per rule, then the
+        coarse-bucket top-n kernel keeps the ``k`` lexically-smallest
+        serialized rows per rule overall — deterministic under any block
+        layout (the same idiom as every other keyed reduce here; the
+        former pandas ``map_groups`` head-k depended on shuffle order).
         """
         schema = _base_schema(ds)
         compiled = [
@@ -245,15 +247,13 @@ class RuleEngine:
                  "row_json": pa.array(payloads, pa.string())}
             )
 
-        import pandas as pd
+        from validatelite_ray.stages.sample import top_n_per_group
 
-        def head_k(group: "pd.DataFrame") -> "pd.DataFrame":
-            return group.head(k)
-
-        sampled = (
-            ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("rule_id")
-            .map_groups(head_k, batch_format="pandas")
+        sampled = top_n_per_group(
+            ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True),
+            "rule_id",
+            "row_json",
+            k,
         )
         out: dict[str, list[dict[str, Any]]] = {}
         for row in sampled.take_all():
