@@ -113,6 +113,75 @@ class TestLoader:
         assert cfg.loaded_from == str(p)
 
 
+class TestDbConfigKnobs:
+    def test_mysql_factory_passes_connect_timeout(self, monkeypatch, tmp_path):
+        import sys
+        import types
+
+        captured = {}
+        fake = types.ModuleType("pymysql")
+        fake.connect = lambda **kw: captured.update(kw) or object()
+        monkeypatch.setitem(sys.modules, "pymysql", fake)
+        cfg = tmp_path / "cli.toml"
+        cfg.write_text("[database]\nconnect_timeout = 7\n")
+        monkeypatch.setenv("CLI_CONFIG_PATH", str(cfg))
+
+        from validatelite_ray.sources.db import DbSpec, _default_mysql_factory
+
+        _default_mysql_factory(
+            DbSpec("mysql", "mysql://u@h/db.t", "t", host="h", database="db")
+        )
+        assert captured["connect_timeout"] == 7
+        assert captured["host"] == "h" and captured["database"] == "db"
+
+    def test_default_connect_timeout_without_config(self, monkeypatch, tmp_path):
+        import sys
+        import types
+
+        captured = {}
+        fake = types.ModuleType("pymysql")
+        fake.connect = lambda **kw: captured.update(kw) or object()
+        monkeypatch.setitem(sys.modules, "pymysql", fake)
+        monkeypatch.delenv("CLI_CONFIG_PATH", raising=False)
+        monkeypatch.chdir(tmp_path)
+
+        from validatelite_ray.sources.db import DbSpec, _default_mysql_factory
+
+        _default_mysql_factory(DbSpec("mysql", "u", "t", host="h", database="db"))
+        assert captured["connect_timeout"] == 30  # reference default
+
+    def test_echo_sql_helper(self, capsys):
+        from validatelite_ray.sources.db import _echo_sql
+
+        _echo_sql(False, "SELECT 1")
+        assert capsys.readouterr().err == ""
+        _echo_sql(True, "SELECT 1")
+        assert "[vlray sql] SELECT 1" in capsys.readouterr().err
+
+    def test_sqlite_read_with_config_still_correct(
+        self, ray_session, monkeypatch, tmp_path
+    ):
+        import sqlite3
+
+        from validatelite_ray.sources.db import read_sqlite
+
+        db = tmp_path / "t.db"
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE users (id INTEGER, name TEXT)")
+        con.executemany(
+            "INSERT INTO users VALUES (?, ?)", [(i, f"u{i}") for i in range(20)]
+        )
+        con.commit()
+        con.close()
+        cfg = tmp_path / "cli.toml"
+        cfg.write_text("query_timeout = 9\n[database]\necho_queries = true\n")
+        monkeypatch.setenv("CLI_CONFIG_PATH", str(cfg))
+        rows = sorted(
+            r["id"] for r in read_sqlite(str(db), "users", parallelism=4).take_all()
+        )
+        assert rows == list(range(20))
+
+
 @pytest.mark.slow
 class TestCliE2E:
     @pytest.fixture(scope="class")

@@ -163,6 +163,12 @@ def read_sqlite(
         {"__lo": pa.array(edges[:-1]), "__hi": pa.array(edges[1:] - 1)}
     )
 
+    # config resolved ONCE at plan time on the driver and closed over —
+    # workers never re-read the config file
+    _cli_cfg = _db_cli_config()
+    echo = _cli_cfg.database.echo_queries
+    busy_ms = _cli_cfg.query_timeout * 1000  # sqlite lock-wait budget
+
     def fetch(b: pa.Table) -> pa.Table:
         import sqlite3 as _sq
 
@@ -170,10 +176,10 @@ def read_sqlite(
         for r_lo, r_hi in zip(b["__lo"].to_pylist(), b["__hi"].to_pylist()):
             c = _sq.connect(path)
             try:
-                rows = c.execute(
-                    f'SELECT {sel} FROM "{table}" WHERE rowid BETWEEN ? AND ?',
-                    (int(r_lo), int(r_hi)),
-                ).fetchall()
+                c.execute(f"PRAGMA busy_timeout={busy_ms}")
+                sql = f'SELECT {sel} FROM "{table}" WHERE rowid BETWEEN ? AND ?'
+                _echo_sql(echo, f"{sql} -- [{int(r_lo)}, {int(r_hi)}]")
+                rows = c.execute(sql, (int(r_lo), int(r_hi))).fetchall()
             finally:
                 c.close()
             parts.append(to_arrow(rows))
@@ -212,6 +218,28 @@ def register_db_driver(scheme: str, factory) -> None:
         _DB_DRIVER_REGISTRY[scheme] = factory
 
 
+def _db_cli_config():
+    """cli.toml's [database] + query_timeout for the source layer
+    (reference connection settings, cli/core/config.py:16-27,47-49).
+    Falls back to defaults when no config resolves (e.g. a Ray worker
+    whose cwd has no ./config; the *_CONFIG_PATH env vars propagate)."""
+    from validatelite_ray.config import CliConfig
+
+    try:
+        from validatelite_ray.config import get_cli_config
+
+        return get_cli_config()
+    except Exception:
+        return CliConfig()
+
+
+def _echo_sql(enabled: bool, sql: str) -> None:
+    if enabled:
+        import sys
+
+        print(f"[vlray sql] {sql}", file=sys.stderr)
+
+
 def _default_mysql_factory(spec: DbSpec):
     import pymysql  # the standard pure-python client
 
@@ -221,6 +249,7 @@ def _default_mysql_factory(spec: DbSpec):
         user=spec.user,
         password=spec.password or "",
         database=spec.database,
+        connect_timeout=_db_cli_config().database.connect_timeout,
     )
 
 
@@ -235,6 +264,7 @@ def _default_postgres_factory(spec: DbSpec):
         user=spec.user,
         password=spec.password,
         dbname=spec.database,
+        connect_timeout=_db_cli_config().database.connect_timeout,
     )
 
 
@@ -247,6 +277,7 @@ def _default_mssql_factory(spec: DbSpec):
         user=spec.user,
         password=spec.password or "",
         database=spec.database,
+        login_timeout=_db_cli_config().database.connect_timeout,
     )
 
 
@@ -257,6 +288,7 @@ def _default_oracle_factory(spec: DbSpec):
         user=spec.user,
         password=spec.password,
         dsn=f"{spec.host or 'localhost'}:{spec.port or 1521}/{spec.database}",
+        tcp_connect_timeout=_db_cli_config().database.connect_timeout,
     )
 
 
@@ -348,6 +380,7 @@ def read_dbapi(
         con.close()
 
     sel = ", ".join(cols)
+    echo = _db_cli_config().database.echo_queries  # plan-time, closed over
 
     def to_arrow(rows) -> pa.Table:
         data = list(zip(*rows)) if rows else [[] for _ in cols]
@@ -357,6 +390,7 @@ def read_dbapi(
         con = factory(spec)
         try:
             cur = con.cursor()
+            _echo_sql(echo, f"SELECT {sel} FROM {table}")
             cur.execute(f"SELECT {sel} FROM {table}")
             rows = cur.fetchall()
         finally:
@@ -373,10 +407,12 @@ def read_dbapi(
             c = factory(spec)
             try:
                 cur = c.cursor()
-                cur.execute(
+                sql = (
                     f"SELECT {sel} FROM {table} "
                     f"WHERE {partition_col} BETWEEN {int(r_lo)} AND {int(r_hi)}"
                 )
+                _echo_sql(echo, sql)
+                cur.execute(sql)
                 rows = cur.fetchall()
             finally:
                 c.close()
