@@ -88,6 +88,72 @@ def test_samples_full_rows_hydrate(ray_session, tmp_path):
     assert summary["rules"]  # pipeline summary intact
 
 
+def test_md5_u64_matches_duckdb_bit_exactly():
+    """The whole oracle story for hash_split / sample_fraction /
+    sample_mixture rests on md5_u64 == DuckDB md5_number_lower; pin it
+    over random strings including edge shapes."""
+    import duckdb
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from validatelite_ray.stages.pack import md5_u64
+
+    con = duckdb.connect()
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(blacklist_categories=("Cs",)),
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(strings):
+        ours = md5_u64(pa.array(strings, pa.string()))
+        for s, h in zip(strings, ours):
+            theirs = con.execute(
+                "select md5_number_lower(?)", [s]
+            ).fetchone()[0]
+            assert int(h) == int(theirs), repr(s)
+
+    check()
+    # fixed edge shapes
+    edge = ["", "\x1f", "a" * 1000, "héllo", "0", "\x00"]
+    ours = md5_u64(pa.array(edge, pa.string()))
+    for s, h in zip(edge, ours):
+        assert int(h) == int(
+            con.execute("select md5_number_lower(?)", [s]).fetchone()[0]
+        ), repr(s)
+
+
+def test_read_parquet_clean_strips_metadata(ray_session, tmp_path):
+    """pandas-written parquet carries a schema metadata blob that makes
+    pa.Schema unhashable; the clean reader must strip it (full read AND
+    column-projected read) without changing values."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from validatelite_ray.sources.io import read_parquet_clean
+
+    p = tmp_path / "t.parquet"
+    pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]}).to_parquet(p)
+    assert pq.read_schema(str(p)).metadata  # precondition: blob present
+
+    ds = read_parquet_clean(str(p))
+    sch = ds.schema().base_schema
+    assert not sch.metadata
+    assert len({sch, sch}) == 1  # hashable again
+    assert sorted(r["a"] for r in ds.take_all()) == [1, 2, 3]
+
+    proj = read_parquet_clean(str(p), columns=["b"])
+    assert proj.schema().names == ["b"]
+    assert sorted(r["b"] for r in proj.take_all()) == ["x", "y", "z"]
+
+
 def test_verify_candidate_pairs_explicit(ray_session):
     """The extracted LSH verify kernel on explicit candidates: confirms
     true near-dups, drops sub-threshold pairs, pairs with an absent doc,

@@ -67,6 +67,10 @@ class CoreConfig:
     execution_timeout: int = 300
     table_size_threshold: int = 10_000
     rule_count_threshold: int = 2
+    #: reference caps each merged SQL statement at 10 rules (SQL-length
+    #: and plan-complexity limits of its generated COUNT(CASE...)
+    #: strings); an Arrow fused scan has no analogous limit, so this is
+    #: loaded/validated for parity but never splits the fused pass
     max_rules_per_merge: int = 10
     merge_execution_enabled: bool = True
     monitoring_enabled: bool = False
