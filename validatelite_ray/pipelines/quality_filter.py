@@ -1165,9 +1165,13 @@ def run_streaming(
     for stale in (labels_dir, kept_dir):
         fs, p, _ = ckpt._fs_for(stale)
         ckpt._rmtree(fs, p)
+    import time as _time
+
+    _t0 = _time.time()
     # job 1 (heavy): read → featurize+score+label → labels parquet
     labeled = fused_label(rd.read_parquet(list(input_files)), cfg)
     labeled.write_parquet(labels_dir)
+    _t_label = _time.time()
 
     label_files, labels_fs = ckpt.resolve_for_read(ckpt.list_files(labels_dir))
     rule_names = [r.name for r in cfg.rules()]
@@ -1247,6 +1251,7 @@ def run_streaming(
         kept = _substring_dedup_stage(kept, cfg)
     kept.write_parquet(kept_dir)
     n_dedup_dropped = _dedup_extra_rows(dec)
+    _t_kept = _time.time()
 
     metrics, samples = metrics_future.result()
     pool.shutdown()
@@ -1281,6 +1286,16 @@ def run_streaming(
         "boilerplate_lines_dropped": n_lines_dropped,
         "substring_dup_tokens_cut": n_sub_tokens,
         "rules": rows,
+        # driver-side wall per phase — where a long corpus run's time
+        # goes (label = featurize+score+label+labels write; dedup_kept =
+        # decision shuffle through kept write incl. opt-in stages;
+        # finalize = metrics/samples sink + summary counts, mostly
+        # overlapped on the metrics thread)
+        "phase_seconds": {
+            "label": round(_t_label - _t0, 3),
+            "dedup_kept": round(_t_kept - _t_label, 3),
+            "finalize": round(_time.time() - _t_kept, 3),
+        },
     }
 
 
