@@ -1221,9 +1221,15 @@ def run_streaming(
     # — a Dataset of winners / ties / loser counts, O(#duplicated
     # hashes) in the OBJECT STORE (driver state only under the
     # broadcast budget)
+    # both dedup consumers immediately drop rule-failing rows, so the
+    # keep_rules predicate is pushed INTO the parquet scan — on a
+    # corpus dropping ~1/3 of rows by rules, that third (including the
+    # bulky content_scrubbed) never leaves the labels files
+    _passing = pc.field("keep_rules") == True  # noqa: E712 — Arrow expression
     slim = rd.read_parquet(
         label_files,
         columns=["sha256", "uid", "keep_rules"],
+        filter=_passing,
         filesystem=labels_fs,
         override_num_blocks=slim_blocks,
     )
@@ -1233,7 +1239,8 @@ def run_streaming(
     # membership on mostly-unique corpora, distributed left-outer join
     # above the duplicated-group budget. No loser enumeration anywhere.
     wide = rd.read_parquet(
-        label_files, columns=kept_cols + ["keep_rules"], filesystem=labels_fs
+        label_files, columns=kept_cols + ["keep_rules"], filter=_passing,
+        filesystem=labels_fs
     )
     kept = select_kept(wide, dec, cfg.dedup_broadcast_max_groups)
     n_near_dropped = 0
@@ -1390,9 +1397,11 @@ def run(
 
     # global dedup (phase B) — column-pruned read of the labels output;
     # the decision table is a Dataset (broadcast only under the budget)
+    _passing = pc.field("keep_rules") == True  # noqa: E712 — pushed into the scan
     slim = rd.read_parquet(
         label_files,
         columns=["sha256", "uid", "keep_rules"],
+        filter=_passing,
         filesystem=labels_fs,
         override_num_blocks=slim_blocks,
     )
@@ -1408,6 +1417,7 @@ def run(
     wide = rd.read_parquet(
         label_files,
         columns=list(dict.fromkeys([*kept_cols, "uid", "keep_rules"])),
+        filter=_passing,
         filesystem=labels_fs,
     )
     kept = select_kept(wide, dec, cfg.dedup_broadcast_max_groups)
