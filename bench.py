@@ -285,6 +285,11 @@ def scaling() -> dict:
     )
     rounds = int(os.environ.get("VLRAY_SCALING_ROUNDS", "3"))
     lo_set, hi_set = _cpuset(lo_n, False), _cpuset(hi_n, True)
+    if lo_set is None or hi_set is None:
+        # all-or-nothing: pinning only one leg would run the two legs of
+        # every ratio under different scheduling regimes (e.g. a 16-core
+        # host fits the lo set but not the hi set)
+        lo_set = hi_set = None
     pairs = []
     for _ in range(rounds):
         lo = run_once_at(lo_n, lo_set)

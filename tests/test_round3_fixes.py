@@ -136,7 +136,11 @@ def test_run_streaming_high_dup_both_paths(ray_session, tmp_path):
         str(out_j),
         QualityFilterConfig(batch_size=64, dedup_broadcast_max_groups=0),
     )
-    assert s_b == s_j
+    # phase_seconds is wall-clock telemetry — exclude it from the
+    # semantic-equality comparison between the two strategies.
+    assert {k: v for k, v in s_b.items() if k != "phase_seconds"} == {
+        k: v for k, v in s_j.items() if k != "phase_seconds"
+    }
     assert s_b["dropped_duplicates"] > 0
     kept_b = sorted(
         (r["sha256"], r["uid"]) for r in rd.read_parquet(str(out_b / "kept")).take_all()

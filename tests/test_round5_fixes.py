@@ -11,6 +11,7 @@
 import struct
 
 import numpy as np
+import pyarrow as pa
 import pytest
 import ray
 
@@ -255,3 +256,117 @@ class TestY4MOddDims:
         assert out["frames"].shape == (2, 3, 3)
         assert np.array_equal(out["frames"][0], luma0)
         assert np.array_equal(out["frames"][1], luma1)
+
+
+# ---------------------------------------------------------------------------
+# round-5 self-review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_failure_samples_block_layout_invariant(ray_session):
+    """collect_failure_samples must return the SAME k samples regardless
+    of how rows are split into blocks (per-batch candidates are the k
+    lexically-smallest payloads, not the first k by position)."""
+    import ray.data as rd
+
+    from validatelite_ray.engine.engine import RuleEngine
+    from validatelite_ray.rules.spec import RuleSpec
+    from validatelite_ray.rules.types import RuleType
+
+    n = 400
+    tbl = pa.table(
+        {
+            # every row fails not_null→range; payload order is scrambled
+            # relative to row order so positional head-k != smallest-k
+            "v": pa.array([None] * n, pa.int64()),
+            "tag": pa.array([f"z{(37 * i) % n:04d}" for i in range(n)]),
+        }
+    )
+    rules = [RuleSpec(rule_type=RuleType.NOT_NULL, column="v", rule_id="r1")]
+    eng = RuleEngine(rules)
+    outs = []
+    for nblocks in (1, 7, 40):
+        ds = rd.from_arrow(tbl).repartition(nblocks)
+        outs.append(eng.collect_failure_samples(ds, k=5))
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]["r1"]) == 5
+    # and they are the lexically-smallest serialized rows: tag z0000..z0004
+    tags = sorted(row["tag"] for row in outs[0]["r1"])
+    assert tags == [f"z{i:04d}" for i in range(5)]
+
+
+def test_read_parquet_clean_heterogeneous_dir(ray_session, tmp_path):
+    """Multi-file dirs keep Ray's schema unification (no forced probe
+    schema): files with int32/int64 evolution must still read."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import ray.data as rd  # noqa: F401
+
+    from validatelite_ray.sources.io import read_parquet_clean
+
+    d = tmp_path / "evolved"
+    d.mkdir()
+    # pandas-written (metadata-carrying) files with an evolved dtype
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"x": np.array([1, 2], np.int32)})),
+        d / "a.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"x": np.array([3, 4], np.int64)})),
+        d / "b.parquet",
+    )
+    ds = read_parquet_clean(str(d))
+    assert sorted(r["x"] for r in ds.take_all()) == [1, 2, 3, 4]
+
+
+def test_encode_y4m_rejects_unknown_chroma():
+    frames = np.zeros((1, 4, 4), np.uint8)
+    with pytest.raises(ValueError, match="chroma"):
+        encode_y4m(frames, chroma="420p")  # typo'd mode must not emit
+
+
+def test_config_non_utf8_is_config_error(tmp_path, monkeypatch):
+    from validatelite_ray.config import CliConfig, ConfigError, load_config
+
+    p = tmp_path / "cli.toml"
+    p.write_bytes('default_sample_size = 5  # café'.encode("utf-16"))
+    with pytest.raises(ConfigError, match="decoding"):
+        load_config(str(p), CliConfig)
+
+
+def test_db_connect_timeout_stamped_at_plan_time(tmp_path, monkeypatch):
+    """read_dbapi resolves cli.toml ONCE on the driver and stamps the
+    spec, so factories running in workers (no ./config cwd) still see
+    the configured value."""
+    import sqlite3
+
+    from validatelite_ray.sources.db import DbSpec, read_dbapi
+
+    db = tmp_path / "t.db"
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (id INTEGER, v TEXT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, f"v{i}") for i in range(6)])
+    con.commit()
+    con.close()
+
+    cfg_dir = tmp_path / "config"
+    cfg_dir.mkdir()
+    (cfg_dir / "cli.toml").write_text("[database]\nconnect_timeout = 7\n")
+    monkeypatch.setenv("CLI_CONFIG_PATH", str(cfg_dir / "cli.toml"))
+    import validatelite_ray.config as _cfgmod
+
+    _cfgmod.get_cli_config.cache_clear() if hasattr(
+        _cfgmod.get_cli_config, "cache_clear"
+    ) else None
+
+    seen = []
+
+    def factory(spec: DbSpec):
+        seen.append(spec.connect_timeout)
+        return sqlite3.connect(db)
+
+    spec = DbSpec("mysql", "mysql://u@h/db.t", "t")
+    ds = read_dbapi(spec, parallelism=2, factory=factory, partition_col="id")
+    assert ds.count() == 6
+    assert seen and all(t == 7 for t in seen)

@@ -32,6 +32,20 @@ EXIT_SOURCE_ERROR = 3
 EXIT_ENGINE_ERROR = 4
 
 
+def _resolve_configs(*getters):
+    """Run config getters, mapping ``ConfigError`` onto the CLI's
+    uniform ``error: …`` + ``EXIT_USAGE`` contract (one place instead of
+    a copy per subcommand). Returns ``(values_tuple, None)`` on success
+    or ``(None, EXIT_USAGE)`` after printing the error."""
+    from validatelite_ray.config import ConfigError
+
+    try:
+        return tuple(g() for g in getters), None
+    except ConfigError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return None, EXIT_USAGE
+
+
 def _file_size_guard(source: str, max_mb: int | None) -> str | None:
     """Reference ``max_file_size_mb`` cap (cli/core/config.py:41-43):
     when the loaded config sets a cap, refuse local files above it.
@@ -143,14 +157,13 @@ def _schema_command(args) -> int:
         print(f"error: cannot read schema payload: {exc}", file=_sys.stderr)
         return EXIT_USAGE
 
-    from validatelite_ray.config import ConfigError, get_cli_config
+    from validatelite_ray.config import get_cli_config
     from validatelite_ray.sources.io import SourceError, open_source
 
-    try:
-        cli_cfg = get_cli_config()
-    except ConfigError as exc:
-        print(f"error: {exc}", file=_sys.stderr)
-        return EXIT_USAGE
+    cfgs, err = _resolve_configs(get_cli_config)
+    if err is not None:
+        return err
+    (cli_cfg,) = cfgs
 
     bindings: dict[str, str] = {}
     for item in args.table:
@@ -261,14 +274,13 @@ def _profile_command(args) -> int:
             print(f"error: {exc}", file=sys.stderr)
             return EXIT_SOURCE_ERROR
 
-        from validatelite_ray.config import ConfigError, get_cli_config
+        from validatelite_ray.config import get_cli_config
         from validatelite_ray.stages.sample import profile_columns
 
-        try:
-            cli_cfg = get_cli_config()
-        except ConfigError as exc:
-            print(f"error: {exc}", file=sys.stderr)
-            return EXIT_USAGE
+        cfgs, err = _resolve_configs(get_cli_config)
+        if err is not None:
+            return err
+        (cli_cfg,) = cfgs
         if cli_cfg.default_sample_size is not None:
             # reference default_sample_size (cli/core/config.py:38-40):
             # profile a bounded sample instead of the full source
@@ -340,7 +352,7 @@ def _filter_command(args) -> int:
         import ray.data
 
         ray.data.DataContext.get_current().enable_progress_bars = False
-        from validatelite_ray.config import ConfigError, get_core_config
+        from validatelite_ray.config import get_core_config
         from validatelite_ray.pipelines.quality_filter import (
             QualityFilterConfig,
             run,
@@ -348,11 +360,10 @@ def _filter_command(args) -> int:
         )
 
         cfg = None
-        try:
-            core_cfg = get_core_config()
-        except ConfigError as exc:
-            print(f"error: {exc}", file=sys.stderr)
-            return EXIT_USAGE
+        cfgs, err = _resolve_configs(get_core_config)
+        if err is not None:
+            return err
+        (core_cfg,) = cfgs
         if core_cfg.loaded_from or args.samples_full_rows:
             # core.toml sample_data_* maps onto the flagship's per-rule
             # failure-sample capture (reference sample_data parity);
@@ -490,16 +501,14 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"    e.g. {ex}")
         return EXIT_OK
 
-    from validatelite_ray.config import ConfigError, get_cli_config, get_core_config
+    from validatelite_ray.config import get_cli_config, get_core_config
     from validatelite_ray.rules.parser import RuleParseError, parse_rules
     from validatelite_ray.sources.io import SourceError, open_source
 
-    try:
-        core_cfg = get_core_config()
-        cli_cfg = get_cli_config()
-    except ConfigError as exc:
-        print(f"error: {exc}", file=sys.stderr)
-        return EXIT_USAGE
+    cfgs, err = _resolve_configs(get_core_config, get_cli_config)
+    if err is not None:
+        return err
+    core_cfg, cli_cfg = cfgs
 
     if args.source is None:
         # reference fallback: cli.toml's [database].url is the default

@@ -156,7 +156,7 @@ def load_config(path: str, cls):
         raise ConfigError(f"Error opening configuration file {path}: {exc}")
     try:
         data = tomllib.loads(raw.decode("utf-8")) if raw.strip() else {}
-    except tomllib.TOMLDecodeError as exc:
+    except (tomllib.TOMLDecodeError, UnicodeDecodeError) as exc:
         raise ConfigError(f"Error decoding TOML file {path}: {exc}")
     cfg = _coerce(cls, data, path)
     cfg.loaded_from = str(path)

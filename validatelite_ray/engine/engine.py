@@ -209,11 +209,13 @@ class RuleEngine:
 
         Ray-native analogue of the reference's sample rewrite
         (base_executor.py:292-347: COUNT → SELECT * LIMIT k): each block
-        contributes its first ``k`` failing rows per rule, then the
-        coarse-bucket top-n kernel keeps the ``k`` lexically-smallest
-        serialized rows per rule overall — deterministic under any block
-        layout (the same idiom as every other keyed reduce here; the
-        former pandas ``map_groups`` head-k depended on shuffle order).
+        contributes its ``k`` lexically-smallest serialized failing rows
+        per rule (the global k-smallest in a block are always among that
+        block's k-smallest, so the reduce sees every global winner), then
+        the coarse-bucket top-n kernel keeps the ``k`` smallest per rule
+        overall — deterministic under any block layout (the same idiom as
+        every other keyed reduce here; the former pandas ``map_groups``
+        head-k depended on shuffle order).
         """
         schema = _base_schema(ds)
         compiled = [
@@ -233,15 +235,19 @@ class RuleEngine:
                     elig = cr.eligible(batch)
                     if elig is not None:
                         fail = pc.and_(fail, elig)
-                    idx = np.flatnonzero(np.asarray(fail))[:k]
+                    idx = np.flatnonzero(np.asarray(fail))
                 except RuleKernelError:
                     continue
                 if len(idx) == 0:
                     continue
                 sub = batch.take(pa.array(idx)).to_pylist()
-                for row in sub:
+                # k smallest BY PAYLOAD, not first-k by row position —
+                # positional head-k would make the candidate pool (and so
+                # the final samples) depend on block boundaries.
+                dumped = sorted(json.dumps(row, default=str) for row in sub)[:k]
+                for payload in dumped:
                     rule_ids.append(cr.spec.rule_id)
-                    payloads.append(json.dumps(row, default=str))
+                    payloads.append(payload)
             return pa.table(
                 {"rule_id": pa.array(rule_ids, pa.string()),
                  "row_json": pa.array(payloads, pa.string())}

@@ -978,26 +978,21 @@ def hydrate_failure_samples(samples: pa.Table, label_files, labels_fs) -> pa.Tab
     (core/executors/base_executor.py:292-347), all columns included.
 
     Scale shape: the uid set is bounded at k×#rules (already capped by
-    the fused sampler), so membership is ONE broadcast ``is_in`` pass
-    over the labels output — no shuffle, no unbounded driver state; the
-    matched rows (≤ k×#rules) are the only data collected."""
+    the fused sampler), so membership is pushed INTO the parquet scan
+    as an ``isin`` filter — row groups with no sampled uid are skipped
+    and the wide columns are never decoded for non-matching rows; the
+    matched rows (≤ k×#rules) are the only data collected. No shuffle,
+    no unbounded driver state."""
     import ray
     import ray.data as rd
 
     if samples is None or samples.num_rows == 0 or "uid" not in samples.column_names:
         return samples
-    uid_ref = ray.put(pc.unique(samples["uid"]))
+    uids = pc.unique(samples["uid"])
 
-    def member(b: pa.Table) -> pa.Table:
-        return b.filter(
-            pc.fill_null(pc.is_in(b["uid"], value_set=ray.get(uid_ref)), False)
-        )
-
-    refs = (
-        rd.read_parquet(label_files, filesystem=labels_fs)
-        .map_batches(member, batch_format="pyarrow", zero_copy_batch=True)
-        .to_arrow_refs()
-    )
+    refs = rd.read_parquet(
+        label_files, filesystem=labels_fs, filter=pc.field("uid").isin(uids)
+    ).to_arrow_refs()
     wide = pa.concat_tables(
         [t for t in ray.get(refs) if t.num_rows], promote_options="default"
     )

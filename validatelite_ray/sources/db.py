@@ -59,6 +59,9 @@ class DbSpec:
     user: str | None = None
     password: str | None = None
     database: str | None = None
+    # resolved ON THE DRIVER at plan time (read_dbapi) so workers —
+    # whose cwd has no ./config/cli.toml — honor the configured value
+    connect_timeout: int | None = None
 
 
 def is_db_url(source: str) -> bool:
@@ -240,6 +243,15 @@ def _echo_sql(enabled: bool, sql: str) -> None:
         print(f"[vlray sql] {sql}", file=sys.stderr)
 
 
+def _spec_timeout(spec: DbSpec) -> int:
+    """Connect timeout for a factory call: the plan-time value stamped
+    on the spec by ``read_dbapi`` wins; a bare spec (factory called
+    directly on the driver) still resolves cli.toml locally."""
+    if spec.connect_timeout is not None:
+        return spec.connect_timeout
+    return _db_cli_config().database.connect_timeout
+
+
 def _default_mysql_factory(spec: DbSpec):
     import pymysql  # the standard pure-python client
 
@@ -249,7 +261,7 @@ def _default_mysql_factory(spec: DbSpec):
         user=spec.user,
         password=spec.password or "",
         database=spec.database,
-        connect_timeout=_db_cli_config().database.connect_timeout,
+        connect_timeout=_spec_timeout(spec),
     )
 
 
@@ -264,7 +276,7 @@ def _default_postgres_factory(spec: DbSpec):
         user=spec.user,
         password=spec.password,
         dbname=spec.database,
-        connect_timeout=_db_cli_config().database.connect_timeout,
+        connect_timeout=_spec_timeout(spec),
     )
 
 
@@ -277,7 +289,7 @@ def _default_mssql_factory(spec: DbSpec):
         user=spec.user,
         password=spec.password or "",
         database=spec.database,
-        login_timeout=_db_cli_config().database.connect_timeout,
+        login_timeout=_spec_timeout(spec),
     )
 
 
@@ -288,7 +300,7 @@ def _default_oracle_factory(spec: DbSpec):
         user=spec.user,
         password=spec.password,
         dsn=f"{spec.host or 'localhost'}:{spec.port or 1521}/{spec.database}",
-        tcp_connect_timeout=_db_cli_config().database.connect_timeout,
+        tcp_connect_timeout=_spec_timeout(spec),
     )
 
 
@@ -346,6 +358,13 @@ def read_dbapi(
     """
     import ray.data as rd
 
+    if spec.connect_timeout is None:
+        # resolve cli.toml ONCE here on the driver; the stamped spec is
+        # what the per-partition fetch closures (and their factory
+        # calls inside Ray workers) see
+        spec = dataclasses.replace(
+            spec, connect_timeout=_db_cli_config().database.connect_timeout
+        )
     factory = factory or _driver_for(spec.scheme)
     if factory is None:
         raise SourceError(

@@ -47,9 +47,11 @@ def read_parquet_clean(paths, columns=None, **kwargs):
     blob that makes ``pa.Schema`` unhashable, so every Ray schema-
     deduplication pass logs "Failed to hash the schemas … unhashable
     type: 'dict'" — one footer read on the driver (metadata only, no
-    data I/O) hands Ray a cleaned schema instead. Falls back to a plain
-    read if the probe can't resolve a footer (globs, custom
-    filesystems)."""
+    data I/O) hands Ray a cleaned schema instead. Only applied to
+    SINGLE-file reads: forcing one footer's schema onto a multi-file
+    read (dir or list) would defeat Ray's schema unification on evolved
+    /heterogeneous directories, so those fall back to a plain read (as
+    does any probe failure: globs, custom filesystems)."""
     import ray.data as rd
 
     if "schema" not in kwargs:
@@ -57,9 +59,10 @@ def read_parquet_clean(paths, columns=None, **kwargs):
             import pyarrow.parquet as pq
 
             probe = paths[0] if isinstance(paths, (list, tuple)) else paths
-            p = Path(probe)
-            if p.is_dir():
-                probe = str(next(p.rglob("*.parquet")))
+            if (isinstance(paths, (list, tuple)) and len(paths) > 1) or Path(
+                probe
+            ).is_dir():
+                raise LookupError("multi-file read: keep Ray's unification")
             sch = pq.read_schema(probe, filesystem=kwargs.get("filesystem"))
             if sch.metadata:
                 sch = sch.remove_metadata()

@@ -456,6 +456,10 @@ class Y4MCodec:
         dimensions (a 5-px-wide 4:2:0 stream carries 3-px-wide chroma
         rows), so a flat bytes-per-luma factor misaligns frame offsets
         for odd dimensions."""
+        if chroma not in Y4MCodec._CHROMA_MODES:
+            # guard encode_y4m too: a typo'd mode must not silently emit
+            # a stream whose header advertises chroma planes it lacks
+            raise ValueError(f"unsupported chroma mode C{chroma}")
         if chroma.startswith("420"):
             return 2 * ((width + 1) // 2) * ((height + 1) // 2)
         if chroma == "422":
