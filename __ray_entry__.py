@@ -420,6 +420,18 @@ def _q_winnow(sf_dir: str):
     return winnow_fingerprints(ds, k=5, window=4)
 
 
+def _q_winnow_md5(sf_dir: str):
+    """Winnow selection on the md5-u64 hash seam — the SAME windowing /
+    short-doc / distinct logic as ``text_winnow_fingerprints``, with the
+    shingle hash swapped to DuckDB's ``md5_number_lower`` so the entire
+    selection is verified by the SQL oracle (hash-seam pattern of
+    ``hash_split_documents``; stages/fingerprint.py)."""
+    from validatelite_ray.stages.fingerprint import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return winnow_fingerprints(ds, k=5, window=4, hash_fn="md5")
+
+
 def _q_scrub_email(sf_dir: str):
     from validatelite_ray.stages.scrub import scrub_email_only
 
@@ -1270,6 +1282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,
         "text_winnow_fingerprints": _q_winnow,
+        "text_winnow_md5": _q_winnow_md5,
         "scrub_email": _q_scrub_email,
         "normalize_text_documents": _q_normalize_text,
         "substring_dedup_documents": _q_dedup_substrings,
@@ -1622,6 +1635,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT u, v FROM inter "
             "JOIN sizes su ON su.doc_id = u JOIN sizes sv ON sv.doc_id = v "
             "WHERE i >= 0.5 * (su.n + sv.n - i)"
+        ),
+        "text_winnow_md5": (
+            # winnow (MOSS) fingerprint selection on the md5-u64 hash
+            # seam: 5-token shingles (space-joined, same token class as
+            # the Ray tokenizer), window-4 minima per doc + global min
+            # for docs with fewer shingles than the window, distinct per
+            # doc. The selected SET of minima is tie-placement
+            # independent, so window MIN fully determines the output.
+            # Final CAST = two's-complement reinterpret (Ray emits the
+            # u64 hash viewed as int64).
+            "WITH toks AS (SELECT doc_id, regexp_extract_all("
+            "lower(coalesce(text,'')), '[0-9a-z_]+') AS t FROM documents), "
+            "tok AS (SELECT doc_id, unnest(t) AS w, "
+            "generate_subscripts(t, 1) AS i FROM toks), "
+            "sh AS (SELECT a.doc_id, a.i, md5_number_lower("
+            "a.w || ' ' || b.w || ' ' || c.w || ' ' || dd.w || ' ' || e.w) AS h "
+            "FROM tok a JOIN tok b ON b.doc_id=a.doc_id AND b.i=a.i+1 "
+            "JOIN tok c ON c.doc_id=a.doc_id AND c.i=a.i+2 "
+            "JOIN tok dd ON dd.doc_id=a.doc_id AND dd.i=a.i+3 "
+            "JOIN tok e ON e.doc_id=a.doc_id AND e.i=a.i+4), "
+            "wins AS (SELECT doc_id, i, MIN(h) OVER (PARTITION BY doc_id "
+            "ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wm "
+            "FROM sh QUALIFY i >= 4), "
+            "short AS (SELECT doc_id, MIN(h) AS wm FROM sh "
+            "GROUP BY doc_id HAVING MAX(i) < 4), "
+            "sel AS (SELECT DISTINCT doc_id, wm FROM wins "
+            "UNION SELECT doc_id, wm FROM short) "
+            "SELECT doc_id, CAST(CASE WHEN wm >= 9223372036854775808 "
+            "THEN CAST(wm AS HUGEINT) - 18446744073709551616 "
+            "ELSE CAST(wm AS HUGEINT) END AS BIGINT) AS fingerprint FROM sel"
         ),
         "lsh_verify_pairs": (
             # the candidate set is all pairs among doc_id < 200; a pair is

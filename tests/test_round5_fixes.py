@@ -370,3 +370,68 @@ def test_db_connect_timeout_stamped_at_plan_time(tmp_path, monkeypatch):
     ds = read_dbapi(spec, parallelism=2, factory=factory, partition_col="id")
     assert ds.count() == 6
     assert seen and all(t == 7 for t in seen)
+
+
+def test_winnow_md5_matches_duckdb():
+    """The md5 hash seam makes the full winnow selection (shingling,
+    window minima, short-doc fallback, distinct) SQL-verifiable — pin
+    the bit-exact DuckDB parity on a fixture with every edge: normal
+    docs, <k-token docs, exactly-k docs, NULL, shared runs."""
+    import duckdb
+
+    from validatelite_ray.stages.fingerprint import winnow_fingerprints_batch
+
+    docs = [
+        "The quick brown fox jumps over the lazy dog near the river bank",
+        "a shared run of tokens appears here in this document verbatim",
+        "prefix words a shared run of tokens appears here in this document too",
+        "tiny",
+        "one two three four five",
+        None,
+        "",
+    ]
+    arr = pa.array(docs, pa.string())
+    h, d = winnow_fingerprints_batch(arr, k=5, window=4, hash_fn="md5")
+    ray_rows = sorted(zip(d.tolist(), h.tolist()))
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pa.table(
+            {"doc_id": pa.array(range(len(docs)), pa.int64()), "text": arr}
+        ),
+    )
+    sql_rows = sorted(
+        (int(r[0]), int(r[1]))
+        for r in con.execute(
+            """
+            WITH toks AS (SELECT doc_id, regexp_extract_all(
+              lower(coalesce(text,'')), '[0-9a-z_]+') AS t FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS w,
+              generate_subscripts(t, 1) AS i FROM toks),
+            sh AS (SELECT a.doc_id, a.i, md5_number_lower(
+              a.w || ' ' || b.w || ' ' || c.w || ' ' || dd.w || ' ' || e.w) AS h
+              FROM tok a JOIN tok b ON b.doc_id=a.doc_id AND b.i=a.i+1
+              JOIN tok c ON c.doc_id=a.doc_id AND c.i=a.i+2
+              JOIN tok dd ON dd.doc_id=a.doc_id AND dd.i=a.i+3
+              JOIN tok e ON e.doc_id=a.doc_id AND e.i=a.i+4),
+            wins AS (SELECT doc_id, i, MIN(h) OVER (PARTITION BY doc_id
+              ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wm
+              FROM sh QUALIFY i >= 4),
+            short AS (SELECT doc_id, MIN(h) AS wm FROM sh
+              GROUP BY doc_id HAVING MAX(i) < 4)
+            SELECT DISTINCT doc_id, wm FROM wins
+            UNION SELECT doc_id, wm FROM short
+            """
+        ).fetchall()
+    )
+    assert ray_rows == sql_rows
+    # winnow guarantee still holds on the md5 seam: docs 1 and 2 share a
+    # >= k+window-1 = 8-token run, so they must share a fingerprint
+    h1 = {fp for dd_, fp in ray_rows if dd_ == 1}
+    h2 = {fp for dd_, fp in ray_rows if dd_ == 2}
+    assert h1 & h2
+    # and the poly/md5 variants select the same COUNT of positions only
+    # when tie-free — don't assert that; assert both are non-empty
+    hp, dp = winnow_fingerprints_batch(arr, k=5, window=4, hash_fn="poly")
+    assert len(hp) > 0 and set(dp.tolist()) == set(d.tolist())

@@ -296,6 +296,36 @@ def _shingle_hashes(
     return _mix64(acc[same_doc]), doc_of_token[:n][same_doc]
 
 
+def _doc_shingle_strings(text_col, k: int) -> tuple[pa.Array, np.ndarray]:
+    """(shingle STRING, local doc index) per k-token shingle: lowercase
+    → ASCII ``\\w+`` tokenize → space-joined k-grams — the exact string
+    a SQL oracle reconstructs with ``regexp_extract_all(lower(text),
+    '[0-9a-z_]+')`` + ``a.w || ' ' || b.w || …``. The string (not
+    pre-hashed) form exists so oracle-computable hash seams
+    (``md5_number_lower``) can be applied on top; the production path
+    uses :func:`_doc_shingle_hashes` (never materializes shingle text).
+    """
+    import pyarrow.compute as _pc
+
+    from validatelite_ray.stages.text import _tokenize_ascii
+
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    lowered = _pc.utf8_lower(_pc.fill_null(text_col, ""))
+    tokens, doc_of_token, _ = _tokenize_ascii(lowered)
+    n = len(tokens) - k + 1
+    if n <= 0:
+        return pa.array([], pa.large_string()), np.empty(0, np.int64)
+    # last argument is the separator: join the k shifted token columns
+    # (tokens are large_string — the separator scalar must match)
+    joined = _pc.binary_join_element_wise(
+        *(tokens.slice(off, n) for off in range(k)),
+        pa.scalar(" ", pa.large_string()),
+    )
+    same_doc = doc_of_token[:n] == doc_of_token[k - 1 :]
+    return joined.filter(pa.array(same_doc)), doc_of_token[:n][same_doc]
+
+
 def _doc_shingle_hashes(
     text_col, k: int
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -103,7 +103,10 @@ def add_poly_fingerprint(
 
 
 def winnow_fingerprints_batch(
-    text_col: pa.Array | pa.ChunkedArray, k: int = 5, window: int = 4
+    text_col: pa.Array | pa.ChunkedArray,
+    k: int = 5,
+    window: int = 4,
+    hash_fn: str = "poly",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every k-token shingle, slide
@@ -114,10 +117,34 @@ def winnow_fingerprints_batch(
     → (selected hash uint64, local doc index), distinct per doc.
     Fully vectorized: sliding_window_view over the flat doc-ordered
     shingle array; windows crossing a doc boundary are masked out.
-    """
-    from validatelite_ray.stages.dedup import _doc_shingle_hashes
 
-    sh, sh_doc = _doc_shingle_hashes(text_col, k)
+    ``hash_fn``: ``"poly"`` (default) — the production rolling hash, no
+    shingle text materialized; ``"md5"`` — md5-derived u64 of the
+    space-joined shingle string, bit-identical to DuckDB's
+    ``md5_number_lower``, making the whole winnow selection verifiable
+    by a plain SQL oracle (hash-seam pattern shared with
+    ``stages/pack.py``; the selected SET of window minima per doc is
+    hash-independent of tie placement, so both variants exercise the
+    same selection logic).
+    """
+    from validatelite_ray.stages.dedup import (
+        _doc_shingle_hashes,
+        _doc_shingle_strings,
+    )
+
+    if hash_fn == "md5":
+        from validatelite_ray.stages.pack import md5_u64
+
+        sh_str, sh_doc = _doc_shingle_strings(text_col, k)
+        sh = (
+            md5_u64(sh_str)
+            if len(sh_str)
+            else np.empty(0, np.uint64)
+        )
+    elif hash_fn == "poly":
+        sh, sh_doc = _doc_shingle_hashes(text_col, k)
+    else:
+        raise ValueError("hash_fn must be poly|md5")
     if sh.size == 0:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
     if sh.size < window:
@@ -158,6 +185,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 5,
     window: int = 4,
+    hash_fn: str = "poly",
 ):
     """Dataset → (id, fingerprint) rows, one per distinct winnowed
     fingerprint per document. Downstream: groupby(fingerprint) finds
@@ -165,7 +193,9 @@ def winnow_fingerprints(
     moving document text."""
 
     def per_batch(b: pa.Table) -> pa.Table:
-        h, d = winnow_fingerprints_batch(b[text_col], k=k, window=window)
+        h, d = winnow_fingerprints_batch(
+            b[text_col], k=k, window=window, hash_fn=hash_fn
+        )
         ids_col = b[id_col]
         if isinstance(ids_col, pa.ChunkedArray):
             ids_col = ids_col.combine_chunks()
