@@ -432,6 +432,36 @@ def _q_winnow_md5(sf_dir: str):
     return winnow_fingerprints(ds, k=5, window=4, hash_fn="md5")
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Incremental dedup of a 'new crawl' against a prior corpus
+    snapshot (stages/incremental.py). Derived split: old = first half of
+    documents PLUS every 7th doc of the second half (re-crawled pages);
+    new = second half. Kept = new docs whose text the old corpus has
+    never seen. Broadcast sorted-hash-index strategy (the cogroup
+    anti-join strategy is asserted equal in tests)."""
+    from validatelite_ray.stages.incremental import dedup_incremental
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    half = ds.count() // 2
+    new_ds = ds.map_batches(
+        lambda b: b.filter(pa.array(np.asarray(b["doc_id"]) >= half)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    old_ds = ds.map_batches(
+        lambda b: b.filter(
+            pa.array(
+                (np.asarray(b["doc_id"]) < half)
+                | (np.asarray(b["doc_id"]) % 7 == 0)
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = dedup_incremental(new_ds, old_ds, strategy="broadcast")
+    return out.select_columns(["doc_id"])
+
+
 def _q_scrub_email(sf_dir: str):
     from validatelite_ray.stages.scrub import scrub_email_only
 
@@ -1283,6 +1313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": _q_fingerprint,
         "text_winnow_fingerprints": _q_winnow,
         "text_winnow_md5": _q_winnow_md5,
+        "incremental_dedup_documents": _q_incremental_dedup,
         "scrub_email": _q_scrub_email,
         "normalize_text_documents": _q_normalize_text,
         "substring_dedup_documents": _q_dedup_substrings,
@@ -1635,6 +1666,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT u, v FROM inter "
             "JOIN sizes su ON su.doc_id = u JOIN sizes sv ON sv.doc_id = v "
             "WHERE i >= 0.5 * (su.n + sv.n - i)"
+        ),
+        "incremental_dedup_documents": (
+            # new = second half of documents; old = first half plus every
+            # 7th doc of the second half (planted re-crawl overlap). Kept
+            # = new docs whose TEXT the old corpus has never seen (the
+            # Ray side keys on a content hash; equality of hashes ==
+            # equality of text absent collisions).
+            "WITH half AS (SELECT CAST(count(*)/2 AS BIGINT) AS h FROM documents) "
+            "SELECT n.doc_id FROM documents n, half WHERE n.doc_id >= half.h "
+            "AND NOT EXISTS (SELECT 1 FROM documents o, half hh WHERE "
+            "(o.doc_id < hh.h OR o.doc_id % 7 = 0) AND o.text = n.text)"
         ),
         "text_winnow_md5": (
             # winnow (MOSS) fingerprint selection on the md5-u64 hash

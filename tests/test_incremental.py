@@ -1,0 +1,156 @@
+"""Incremental dedup against a prior corpus snapshot
+(stages/incremental.py): broadcast sorted-hash index vs exact cogroup
+anti-join, 64- vs 128-bit hashes, NULL-content semantics, and the
+index-persistence contract."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from validatelite_ray.stages.incremental import (
+    build_content_index,
+    content_hash_u64,
+    dedup_against_index,
+    dedup_incremental,
+)
+
+
+def _corpora():
+    old = rd.from_items(
+        [
+            {"doc_id": 1, "text": "seen before alpha"},
+            {"doc_id": 2, "text": "seen before beta"},
+            {"doc_id": 3, "text": None},  # NULL in the snapshot
+            {"doc_id": 4, "text": ""},  # empty string is real content
+        ]
+    )
+    new = rd.from_items(
+        [
+            {"doc_id": 10, "text": "seen before alpha"},  # re-crawl: drop
+            {"doc_id": 11, "text": "genuinely new gamma"},  # keep
+            {"doc_id": 12, "text": None},  # NULL never matches: keep
+            {"doc_id": 13, "text": ""},  # matches old empty: drop
+            {"doc_id": 14, "text": "seen before beta"},  # drop
+        ]
+    )
+    return old, new
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "cogroup"])
+@pytest.mark.parametrize("bits", [64, 128])
+def test_dedup_incremental_strategies_agree(ray_session, strategy, bits):
+    old, new = _corpora()
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_incremental(
+            new, old, strategy=strategy, bits=bits
+        ).take_all()
+    )
+    assert kept == [11, 12]
+
+
+def test_auto_budget_switch(ray_session):
+    old, new = _corpora()
+    # budget 0 forces the cogroup path; result identical
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_incremental(
+            new, old, strategy="auto", broadcast_max_rows=0
+        ).take_all()
+    )
+    assert kept == [11, 12]
+
+
+def test_index_is_persistable_and_reusable(ray_session, tmp_path):
+    """The index survives np.save/np.load — the cross-run artifact an
+    incremental pipeline persists instead of re-reading yesterday's
+    corpus."""
+    old, new = _corpora()
+    idx = build_content_index(old)
+    p = tmp_path / "index.npy"
+    np.save(p, idx)
+    reloaded = np.load(p)
+    kept = sorted(
+        r["doc_id"] for r in dedup_against_index(new, reloaded).take_all()
+    )
+    assert kept == [11, 12]
+    # index is sorted, unique, and excludes the NULL row
+    assert len(idx) == 3  # alpha, beta, ""
+    assert np.array_equal(idx, np.sort(idx)) and len(np.unique(idx)) == len(idx)
+
+
+def test_128bit_index_roundtrip(ray_session):
+    old, new = _corpora()
+    idx = build_content_index(old, bits=128)
+    assert idx.dtype.names == ("a", "b")
+    assert len(idx) == 3
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_against_index(new, idx, bits=128).take_all()
+    )
+    assert kept == [11, 12]
+    # the two 64-bit halves are genuinely independent md5 regions
+    h64 = content_hash_u64(pa.array(["x y z"]), 64)
+    h128 = content_hash_u64(pa.array(["x y z"]), 128)
+    assert int(h128["b"][0]) == int(h64[0])
+    assert int(h128["a"][0]) != int(h64[0])
+
+
+def test_empty_old_corpus_keeps_everything(ray_session):
+    _, new = _corpora()
+    empty_old = rd.from_items([{"doc_id": 0, "text": "x"}]).filter(
+        lambda r: False
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_incremental(new, empty_old, strategy="broadcast").take_all()
+    )
+    assert kept == [10, 11, 12, 13, 14]
+
+
+def test_matches_duckdb_not_exists(ray_session):
+    """Cross-check the broadcast path against SQL NOT EXISTS text
+    equality on a 200-doc corpus with planted re-crawls."""
+    import duckdb
+
+    rng = np.random.default_rng(5)
+    texts = [
+        " ".join(
+            f"w{v}" for v in rng.integers(0, 50, size=rng.integers(3, 12))
+        )
+        for _ in range(200)
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(200), pa.int64()), "text": pa.array(texts)}
+    )
+    ds = rd.from_arrow(tbl)
+    old = ds.map_batches(
+        lambda b: b.filter(
+            pa.array(
+                (np.asarray(b["doc_id"]) < 100)
+                | (np.asarray(b["doc_id"]) % 7 == 0)
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    new = ds.map_batches(
+        lambda b: b.filter(pa.array(np.asarray(b["doc_id"]) >= 100)),
+        batch_format="pyarrow",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_incremental(new, old, strategy="broadcast").take_all()
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    expect = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT n.doc_id FROM documents n WHERE n.doc_id >= 100 AND "
+            "NOT EXISTS (SELECT 1 FROM documents o WHERE "
+            "(o.doc_id < 100 OR o.doc_id % 7 = 0) AND o.text = n.text)"
+        ).fetchall()
+    )
+    assert kept == expect
+    assert len(kept) < 100  # the planted overlap really dropped rows

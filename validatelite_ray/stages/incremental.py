@@ -1,0 +1,178 @@
+"""Incremental dedup: drop new rows whose content already exists in a
+previously-ingested corpus ("dedup today's crawl against yesterday's").
+
+A continuously-fed training-data pipeline re-crawls the same pages
+forever; re-shuffling the full historical corpus to dedup each delta is
+the scale bug this stage avoids. Two shapes, budget-switched:
+
+* **broadcast index** (old side under ``broadcast_max_rows``): the old
+  corpus is reduced to a SORTED u64 (or packed 2x64-bit) content-hash
+  array — 8/16 bytes per historical document, built with per-block
+  partial uniques so the driver only merges deduplicated partials —
+  ``ray.put`` once, probed with ``np.searchsorted`` inside every new
+  batch. The index is also the natural PERSISTED artifact between runs
+  (save the array, reload tomorrow): membership probing never touches
+  the old corpus again.
+* **cogroup anti-join** (old side above the budget): content sha256 on
+  both sides + the hash-partitioned ``anti_join`` — exact at any scale,
+  ships 64-byte hex keys, never text.
+
+Hash-width honesty: a 64-bit content hash meets its birthday bound near
+~5·10^9 documents; pass ``bits=128`` (two independent md5-derived
+halves, packed) for the 10^12-document regime. The cogroup path is
+exact regardless.
+
+Reference anchor: the reference's UNIQUE semantics
+(core/executors/uniqueness_executor.py:53-200) dedup one table against
+itself; this is the cross-corpus generalization a 100 TB pipeline needs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _md5_u64_hi(arr) -> np.ndarray:
+    """High 64 bits of md5 (digest bytes 0..8, little-endian) —
+    independent of :func:`validatelite_ray.stages.pack.md5_u64` (bytes
+    8..16), so the pair forms a 128-bit content fingerprint."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    data = pc.cast(arr, pa.binary()).to_pylist()
+    md5 = hashlib.md5
+    empty = md5(b"").digest()[:8]
+    joined = b"".join(
+        md5(s).digest()[:8] if s is not None else empty for s in data
+    )
+    return np.frombuffer(joined, dtype="<u8")
+
+
+def content_hash_u64(arr, bits: int = 64):
+    """Content hash per element: u64 array (``bits=64``) or packed
+    2x64-bit structured array (``bits=128`` — the substring-dedup
+    fingerprint dtype, lexicographically sortable/searchable)."""
+    from validatelite_ray.stages.dedup import _pack2
+    from validatelite_ray.stages.pack import md5_u64
+
+    lo = md5_u64(arr)
+    if bits == 64:
+        return lo
+    if bits == 128:
+        return _pack2(_md5_u64_hi(arr), lo)
+    raise ValueError("bits must be 64 or 128")
+
+
+def build_content_index(old_ds, text_col: str = "text", bits: int = 64) -> np.ndarray:
+    """Old corpus → SORTED unique content-hash array (u64 or packed).
+
+    Per-block partials are already unique, so the driver receives at
+    most one hash per distinct block-local content — O(distinct)
+    transfer, no text movement. Persist the result (``np.save``) to
+    carry the index across pipeline runs."""
+
+    def per_block(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()  # NULL content never matches (SQL equality)
+        h = content_hash_u64(col, bits)
+        u = np.unique(h)  # structured pairs sort/unique lexicographically
+        # ship as flat u64 (packed entries flatten to hi,lo pairs —
+        # viewed back below)
+        return pa.table({"h": pa.array(u.view(np.uint64))})
+
+    import ray
+
+    from validatelite_ray.stages.dedup import _DT2
+
+    dt = np.uint64 if bits == 64 else _DT2
+    parts = [
+        t["h"].to_numpy(zero_copy_only=False).view(dt)
+        for t in ray.get(
+            old_ds.map_batches(
+                per_block, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return np.empty(0, dt)
+    return np.unique(np.concatenate(parts))
+
+
+def dedup_against_index(new_ds, index: np.ndarray, text_col: str = "text",
+                        bits: int = 64):
+    """Filter ``new_ds`` down to rows whose content hash is NOT in the
+    (sorted) broadcast index. One object-store put, ``searchsorted``
+    probes per batch — the old corpus is never read."""
+    import ray
+
+    idx_ref = ray.put(np.ascontiguousarray(index))
+
+    def keep(b: pa.Table) -> pa.Table:
+        idx = ray.get(idx_ref)
+        h = content_hash_u64(b[text_col], bits)
+        if len(idx) == 0 or len(h) == 0:
+            return b
+        # same searchsorted probe for u64 and the packed 128-bit
+        # structured dtype (lexicographic by (hi, lo) — consistent with
+        # the sort in build_content_index; proven layout in _member2)
+        pos = np.minimum(np.searchsorted(idx, h), len(idx) - 1)
+        seen = idx[pos] == h
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            # NULL content never matches anything (SQL equality / the
+            # reference's UNIQUE NULL-exclusion) — always kept
+            seen &= np.asarray(pc.is_valid(col))
+        return b.filter(pa.array(~seen))
+
+    return new_ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_incremental(
+    new_ds,
+    old_ds,
+    text_col: str = "text",
+    strategy: str = "auto",
+    broadcast_max_rows: int = 2_000_000,
+    bits: int = 64,
+):
+    """Keep the rows of ``new_ds`` whose content does not appear in
+    ``old_ds`` (text equality). ``strategy``: ``broadcast`` — compact
+    sorted-hash index (see module docstring); ``cogroup`` — exact
+    sha256 hash-partitioned anti-join; ``auto`` — broadcast iff the old
+    side's row count (parquet-metadata-cheap for reads; executes the
+    old-side pipeline if derived) fits ``broadcast_max_rows``."""
+    if strategy not in ("auto", "broadcast", "cogroup"):
+        raise ValueError("strategy must be auto|broadcast|cogroup")
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if old_ds.count() <= broadcast_max_rows else "cogroup"
+        )
+    if strategy == "broadcast":
+        index = build_content_index(old_ds, text_col, bits)
+        return dedup_against_index(new_ds, index, text_col, bits)
+
+    from validatelite_ray.stages.joins import anti_join
+
+    sha = "__content_sha"
+
+    def tag(b: pa.Table) -> pa.Table:
+        from validatelite_ray.stages.fingerprint import sha256_hex_array
+
+        return b.append_column(sha, sha256_hex_array(b[text_col]))
+
+    new_t = new_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    old_t = old_ds.map_batches(
+        lambda b: pa.table({sha: tag(b)[sha]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = anti_join(new_t, old_t, on=sha, strategy="cogroup")
+    return out.drop_columns([sha])
