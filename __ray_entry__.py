@@ -1673,7 +1673,10 @@ def oracle_sql() -> dict[str, str]:
             # = new docs whose TEXT the old corpus has never seen (the
             # Ray side keys on a content hash; equality of hashes ==
             # equality of text absent collisions).
-            "WITH half AS (SELECT CAST(count(*)/2 AS BIGINT) AS h FROM documents) "
+            # // = DuckDB integer floor division, matching Python's
+            # ds.count() // 2 on odd row counts (CAST(x/2 AS BIGINT)
+            # would round-half-even instead of floor)
+            "WITH half AS (SELECT count(*) // 2 AS h FROM documents) "
             "SELECT n.doc_id FROM documents n, half WHERE n.doc_id >= half.h "
             "AND NOT EXISTS (SELECT 1 FROM documents o, half hh WHERE "
             "(o.doc_id < hh.h OR o.doc_id % 7 = 0) AND o.text = n.text)"

@@ -36,19 +36,23 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _md5_u64_hi(arr) -> np.ndarray:
-    """High 64 bits of md5 (digest bytes 0..8, little-endian) —
-    independent of :func:`validatelite_ray.stages.pack.md5_u64` (bytes
-    8..16), so the pair forms a 128-bit content fingerprint."""
+def _md5_halves(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(high u64, low u64) of md5 per string in ONE hashing pass —
+    digest bytes 0..8 and 8..16, little-endian. The low half is
+    bit-identical to :func:`validatelite_ray.stages.pack.md5_u64` /
+    DuckDB ``md5_number_lower``; the high half is an independent 64-bit
+    region, so the pair forms a 128-bit content fingerprint without
+    hashing (or materializing the column) twice."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     data = pc.cast(arr, pa.binary()).to_pylist()
     md5 = hashlib.md5
-    empty = md5(b"").digest()[:8]
+    empty = md5(b"").digest()
     joined = b"".join(
-        md5(s).digest()[:8] if s is not None else empty for s in data
+        md5(s).digest() if s is not None else empty for s in data
     )
-    return np.frombuffer(joined, dtype="<u8")
+    both = np.frombuffer(joined, dtype="<u8").reshape(-1, 2)
+    return both[:, 0].copy(), both[:, 1].copy()
 
 
 def content_hash_u64(arr, bits: int = 64):
@@ -58,11 +62,11 @@ def content_hash_u64(arr, bits: int = 64):
     from validatelite_ray.stages.dedup import _pack2
     from validatelite_ray.stages.pack import md5_u64
 
-    lo = md5_u64(arr)
     if bits == 64:
-        return lo
+        return md5_u64(arr)
     if bits == 128:
-        return _pack2(_md5_u64_hi(arr), lo)
+        hi, lo = _md5_halves(arr)
+        return _pack2(hi, lo)
     raise ValueError("bits must be 64 or 128")
 
 
@@ -111,18 +115,22 @@ def dedup_against_index(new_ds, index: np.ndarray, text_col: str = "text",
     probes per batch — the old corpus is never read."""
     import ray
 
+    from validatelite_ray.stages.dedup import _member2
+
+    if len(index) == 0:
+        # empty snapshot (first-ever run): nothing can match — skip the
+        # hashing stage entirely
+        return new_ds
     idx_ref = ray.put(np.ascontiguousarray(index))
 
     def keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
         idx = ray.get(idx_ref)
         h = content_hash_u64(b[text_col], bits)
-        if len(idx) == 0 or len(h) == 0:
-            return b
-        # same searchsorted probe for u64 and the packed 128-bit
-        # structured dtype (lexicographic by (hi, lo) — consistent with
-        # the sort in build_content_index; proven layout in _member2)
-        pos = np.minimum(np.searchsorted(idx, h), len(idx) - 1)
-        seen = idx[pos] == h
+        # shared sorted-membership kernel (searchsorted + equality) for
+        # u64 and the packed 128-bit structured dtype alike
+        seen = _member2(h, idx)
         col = b[text_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
