@@ -432,6 +432,29 @@ def _q_winnow_md5(sf_dir: str):
     return winnow_fingerprints(ds, k=5, window=4, hash_fn="md5")
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Top-5 tf·idf terms per document (stages/text.py:tf_idf_top_terms;
+    corpus DF via the coarse-bucket reduce, broadcast vocab, coarse-
+    bucket top-k). idf="linear" (tf·N/df) is the oracle seam — double
+    divide+multiply is IEEE-exact on both sides, unlike ln; the ranking
+    machinery is identical to the production log-idf default."""
+    from validatelite_ray.stages.text import tf_idf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tf_idf_top_terms(ds, k=5, idf="linear")
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic 5-per-language sample of documents — the
+    per-domain/per-repo cap of a training-mix assembly, reproducible
+    under any partitioning (stages/sample.py:stratified_sample; md5-u64
+    selection hash ⇒ bit-exact DuckDB row_number oracle)."""
+    from validatelite_ray.stages.sample import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(ds, "lang", "doc_id", 5, seed=0)
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Incremental dedup of a 'new crawl' against a prior corpus
     snapshot (stages/incremental.py). Derived split: old = first half of
@@ -1314,6 +1337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_winnow_fingerprints": _q_winnow,
         "text_winnow_md5": _q_winnow_md5,
         "incremental_dedup_documents": _q_incremental_dedup,
+        "stratified_sample_documents": _q_stratified_sample,
+        "tfidf_top_terms_documents": _q_tfidf_top_terms,
         "scrub_email": _q_scrub_email,
         "normalize_text_documents": _q_normalize_text,
         "substring_dedup_documents": _q_dedup_substrings,
@@ -1666,6 +1691,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT u, v FROM inter "
             "JOIN sizes su ON su.doc_id = u JOIN sizes sv ON sv.doc_id = v "
             "WHERE i >= 0.5 * (su.n + sv.n - i)"
+        ),
+        "tfidf_top_terms_documents": (
+            # top-5 tf*(N/df) terms per doc, score-desc with token
+            # tiebreak; token class and arithmetic identical to the Ray
+            # side (double divide then multiply — IEEE-exact)
+            "WITH toks AS (SELECT doc_id, regexp_extract_all("
+            "lower(coalesce(text,'')),'[0-9a-z_]+') AS t FROM documents), "
+            "tok AS (SELECT doc_id, unnest(t) AS w FROM toks), "
+            "tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf "
+            "FROM tok GROUP BY 1,2), "
+            "df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1), "
+            "nn AS (SELECT count(*) AS n FROM documents), "
+            "scored AS (SELECT tf.doc_id, tf.w AS token, "
+            "tf.tf * (CAST(nn.n AS DOUBLE)/df.df) AS score "
+            "FROM tf JOIN df ON tf.w = df.w, nn) "
+            "SELECT doc_id, token, score FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY score DESC, token) AS rn "
+            "FROM scored) WHERE rn <= 5"
+        ),
+        "stratified_sample_documents": (
+            # deterministic 5-per-lang sample: smallest
+            # md5_number_lower(doc_id || chr(31) || seed), doc_id
+            # tiebreak — the same salted-hash grammar as hash_split
+            "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
+            "row_number() OVER (PARTITION BY lang ORDER BY "
+            "md5_number_lower(CAST(doc_id AS VARCHAR) || chr(31) || '0'), "
+            "doc_id) AS rn FROM documents) WHERE rn <= 5"
         ),
         "incremental_dedup_documents": (
             # new = second half of documents; old = first half plus every

@@ -1,0 +1,130 @@
+"""TF-IDF top terms (stages/text.py) and deterministic stratified
+per-group sampling (stages/sample.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from validatelite_ray.stages.sample import stratified_sample
+from validatelite_ray.stages.text import (
+    doc_token_tf,
+    tf_idf_top_terms,
+    token_doc_frequencies,
+)
+
+
+def _docs():
+    texts = [
+        "apple banana apple cherry",          # tf(apple)=2
+        "banana cherry durian",
+        "apple unique_token banana",          # rare token dominates idf
+        "cherry cherry cherry banana",
+        None,
+        "",
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def test_doc_token_tf_and_df(ray_session):
+    ds = rd.from_arrow(_docs()).repartition(3)
+    pairs = doc_token_tf(ds)
+    rows = {(r["doc_id"], r["token"]): r["tf"] for r in pairs.take_all()}
+    assert rows[(0, "apple")] == 2 and rows[(3, "cherry")] == 3
+    df = {r["token"]: r["df"] for r in token_doc_frequencies(pairs).take_all()}
+    assert df == {
+        "apple": 2, "banana": 4, "cherry": 3, "durian": 1, "unique_token": 1
+    }
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "cogroup"])
+def test_tfidf_log_ranking_vs_bruteforce(ray_session, strategy):
+    """Production log-idf path against a driver-side brute force."""
+    import collections
+    import math
+
+    tbl = _docs()
+    ds = rd.from_arrow(tbl).repartition(3)
+    out = tf_idf_top_terms(ds, k=2, idf="log", strategy=strategy).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append((r["token"], r["score"]))
+
+    texts = tbl["text"].to_pylist()
+    n = len(texts)
+    docs_tokens = [
+        (t or "").lower().split() if t else [] for t in texts
+    ]
+    df = collections.Counter()
+    for toks in docs_tokens:
+        df.update(set(toks))
+    for d, toks in enumerate(docs_tokens):
+        if not toks:
+            assert d not in got
+            continue
+        tf = collections.Counter(toks)
+        scored = sorted(
+            ((w, c * math.log(n / df[w])) for w, c in tf.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:2]
+        want = sorted(scored)
+        have = sorted(got[d])
+        assert [w for w, _ in want] == [w for w, _ in have]
+        for (_, a), (_, b) in zip(want, have):
+            assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_tfidf_strategies_identical(ray_session):
+    ds = rd.from_arrow(_docs()).repartition(2)
+    a = sorted(
+        map(tuple, (r.values() for r in
+            tf_idf_top_terms(ds, k=3, idf="linear", strategy="broadcast").take_all()))
+    )
+    b = sorted(
+        map(tuple, (r.values() for r in
+            tf_idf_top_terms(ds, k=3, idf="linear", strategy="cogroup").take_all()))
+    )
+    assert a == b and len(a) > 0
+
+
+def test_stratified_sample_properties(ray_session):
+    rng = np.random.default_rng(3)
+    groups = rng.choice(["a", "b", "c"], size=300).tolist()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(300), pa.int64()),
+            "lang": pa.array(groups),
+        }
+    )
+    picks = {}
+    for nblocks in (1, 4, 17):
+        ds = rd.from_arrow(tbl).repartition(nblocks)
+        out = stratified_sample(ds, "lang", "doc_id", 7)
+        rows = sorted((r["lang"], r["doc_id"]) for r in out.take_all())
+        picks[nblocks] = rows
+    # layout-independent
+    assert picks[1] == picks[4] == picks[17]
+    # exactly 7 per group (every group has >= 7 members here)
+    import collections
+
+    per = collections.Counter(g for g, _ in picks[1])
+    assert per == {"a": 7, "b": 7, "c": 7}
+    # a different seed selects a different (still valid) sample
+    ds = rd.from_arrow(tbl)
+    other = sorted(
+        (r["lang"], r["doc_id"])
+        for r in stratified_sample(ds, "lang", "doc_id", 7, seed=1).take_all()
+    )
+    assert other != picks[1]
+    assert collections.Counter(g for g, _ in other) == per
+    # groups smaller than n keep all their rows
+    small = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "lang": pa.array(["zz", "zz"])})
+    )
+    assert len(stratified_sample(small, "lang", "doc_id", 7).take_all()) == 2

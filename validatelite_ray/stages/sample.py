@@ -107,6 +107,37 @@ def top_n_per_group(
     return pre.groupby("__bucket").map_groups(reduce_bucket, batch_format="pyarrow")
 
 
+def stratified_sample(ds, group_col: str, id_col: str, n: int, seed: int = 0):
+    """Deterministic ``n``-per-group sample: keep the ``n`` rows of each
+    group with the smallest md5-u64 of ``id || chr(31) || seed`` — the
+    per-domain / per-repo cap a web pipeline applies before assembling a
+    training mix ("at most n pages per domain, chosen uniformly but
+    reproducibly").
+
+    Random-but-deterministic: the choice is a pure function of the row
+    id (layout/partitioning independent, stable across reruns), uniform
+    per group because md5 is, and re-seedable. Oracle-verifiable: the
+    hash is bit-identical to DuckDB ``md5_number_lower`` (the
+    ``hash_split`` seam, stages/pack.py), so a plain ``row_number() OVER
+    (PARTITION BY g ORDER BY md5_number_lower(...), id)`` SQL oracle
+    reproduces the exact selection. Physical plan = the coarse-bucket
+    top-n kernel (ONE bucketed exchange, hot groups capped at ``n`` per
+    block by the map-side combiner)."""
+    from validatelite_ray.stages.pack import md5_u64
+
+    seed_scalar = str(int(seed))
+
+    def add_h(b: pa.Table) -> pa.Table:
+        salted = pc.binary_join_element_wise(
+            pc.cast(b[id_col], pa.string()), seed_scalar, "\x1f"
+        )
+        return b.append_column("__h", pa.array(md5_u64(salted)))
+
+    pre = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+    out = top_n_per_group(pre, group_col, ["__h", id_col], n)
+    return out.drop_columns(["__h"])
+
+
 def profile_columns(
     ds, cols: list[str], distinct: str = "exact", kmv_k: int = 1024
 ) -> pa.Table:

@@ -938,3 +938,207 @@ def gopher_quality_signals(
         )
 
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (corpus document frequencies + per-doc top terms)
+# ---------------------------------------------------------------------------
+
+def doc_token_tf(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset → (id, token, tf) rows: one tokenize pass per batch, one
+    Arrow C++ ``group_by`` per batch — the exploded term table every
+    IR-style scorer starts from. Tokens are the corpus-wide ASCII
+    ``\\w+`` class on lowered text (same class every SQL oracle here
+    reconstructs)."""
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        tokens, doc_of_token, _ = _tokenize_ascii(
+            pc.utf8_lower(pc.fill_null(col, ""))
+        )
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        pairs = pa.table(
+            {
+                id_col: ids.take(pa.array(doc_of_token)),
+                "token": pc.cast(tokens, pa.string()),
+            }
+        )
+        out = pairs.group_by([id_col, "token"]).aggregate([("token", "count")])
+        return out.rename_columns([id_col, "token", "tf"])
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_doc_frequencies(pairs, id_col: str = "doc_id"):
+    """(id, token, tf) Dataset → (token, df) Dataset via the shared
+    coarse-bucket Arrow reduce (per-batch pairs are already distinct per
+    (id, token), so each batch contributes a partial per-token doc
+    count; ONE int32-bucket exchange sums them — never a per-distinct-
+    token Python group)."""
+    from validatelite_ray.stages.dedup import (
+        add_key_bucket,
+        bucketed_group_agg,
+        coarse_bucket_count,
+    )
+
+    nb = coarse_bucket_count(pairs)
+
+    def partial(b: pa.Table) -> pa.Table:
+        p = b.group_by("token").aggregate([("token", "count")])
+        p = p.rename_columns(["token", "pdf"])
+        return add_key_bucket(p, "token", nb)
+
+    pre = pairs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_group_agg(pre, "token", [("pdf", "sum")], {"pdf_sum": "df"})
+
+
+def tf_idf_top_terms(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    idf: str = "log",
+    strategy: str = "auto",
+    broadcast_max_tokens: int = 2_000_000,
+):
+    """Top-``k`` terms per document by tf·idf.
+
+    ``idf``: ``"log"`` (default) — the standard ``tf · ln(N/df)``;
+    ``"linear"`` — ``tf · (N/df)``, same ranking machinery with the
+    transcendental removed so a SQL oracle reproduces the score
+    BIT-EXACTLY (double divide + multiply are IEEE-deterministic; ln is
+    library-dependent). The oracle-seam pattern of ``hash_split`` /
+    ``text_winnow_md5``.
+
+    Physical plan: ONE tokenize pass → materialized (id, token, tf)
+    pairs (consumed twice: DF reduce + scoring) → (token, df) via the
+    coarse-bucket reduce → under ``broadcast_max_tokens`` distinct
+    tokens the vocab ships ONCE as two broadcast arrays probed with
+    ``index_in`` per batch; above it, a token-keyed bucket-cogroup
+    (tagged union + ONE coarse exchange — NOT ``Dataset.join``, which
+    has the pinned empty-first-block schema bug,
+    test_known_ray_issues.py) — then the coarse-bucket top-k per doc
+    (score desc, token tiebreak). Rare tokens keep their high idf
+    either way (no vocabulary cutoff).
+    """
+    if idf not in ("log", "linear"):
+        raise ValueError("idf must be log|linear")
+    if strategy not in ("auto", "broadcast", "cogroup"):
+        raise ValueError("strategy must be auto|broadcast|cogroup")
+    import ray
+
+    from validatelite_ray.stages.sample import top_n_per_group
+
+    n_docs = ds.count()
+    pairs = doc_token_tf(ds, id_col, text_col).materialize()
+    df_ds = token_doc_frequencies(pairs, id_col)
+
+    def score_arr(tf: np.ndarray, df: np.ndarray) -> np.ndarray:
+        ratio = np.float64(n_docs) / df.astype(np.float64)
+        if idf == "log":
+            ratio = np.log(ratio)
+        return tf.astype(np.float64) * ratio
+
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if df_ds.count() <= broadcast_max_tokens else "cogroup"
+        )
+
+    if strategy == "broadcast":
+        vocab = pa.concat_tables(
+            [t for t in ray.get(df_ds.to_arrow_refs()) if t.num_rows]
+        )
+        order = pc.sort_indices(vocab, sort_keys=[("token", "ascending")])
+        vocab = vocab.take(order)
+        tok_ref = ray.put(vocab["token"].combine_chunks())
+        df_ref = ray.put(vocab["df"].to_numpy(zero_copy_only=False))
+
+        def scored(b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b["token"], value_set=ray.get(tok_ref))
+            dfv = ray.get(df_ref)[np.asarray(idx)]
+            s = score_arr(b["tf"].to_numpy(zero_copy_only=False), dfv)
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    "token": b["token"],
+                    "score": pa.array(s, pa.float64()),
+                }
+            )
+
+        joined = pairs.map_batches(
+            scored, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        from validatelite_ray.stages.dedup import (
+            _token_hashes,
+            coarse_bucket_count,
+        )
+
+        nb = coarse_bucket_count(pairs)
+        id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+
+        def bucket_of(tok) -> pa.Array:
+            if isinstance(tok, pa.ChunkedArray):
+                tok = tok.combine_chunks()
+            h = _token_hashes(tok) % np.uint64(nb)
+            return pa.array(h.astype(np.int32))
+
+        def tag_pairs(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "__bucket": bucket_of(b["token"]),
+                    "__side": pa.array(np.zeros(b.num_rows, np.int8)),
+                    id_col: b[id_col],
+                    "token": b["token"],
+                    "tf": b["tf"],
+                    "df": pa.nulls(b.num_rows, pa.int64()),
+                }
+            )
+
+        def tag_df(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "__bucket": bucket_of(b["token"]),
+                    "__side": pa.array(np.ones(b.num_rows, np.int8)),
+                    id_col: pa.nulls(b.num_rows, id_type),
+                    "token": b["token"],
+                    "tf": pa.nulls(b.num_rows, pa.int64()),
+                    "df": pc.cast(b["df"], pa.int64()),
+                }
+            )
+
+        lt = pairs.map_batches(
+            tag_pairs, batch_format="pyarrow", zero_copy_batch=True
+        )
+        rt = df_ds.map_batches(
+            tag_df, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def resolve(g: pa.Table) -> pa.Table:
+            side = np.asarray(g["__side"])
+            lb = g.filter(pa.array(side == 0))
+            rb = g.filter(pa.array(side == 1))
+            idx = pc.index_in(lb["token"], value_set=rb["token"].combine_chunks())
+            dfv = rb["df"].to_numpy(zero_copy_only=False)[np.asarray(idx)]
+            s = score_arr(lb["tf"].to_numpy(zero_copy_only=False), dfv)
+            return pa.table(
+                {
+                    id_col: lb[id_col],
+                    "token": lb["token"],
+                    "score": pa.array(s, pa.float64()),
+                }
+            )
+
+        joined = (
+            lt.union(rt).groupby("__bucket").map_groups(
+                resolve, batch_format="pyarrow"
+            )
+        )
+
+    return top_n_per_group(
+        joined, id_col, ["score", "token"], k, ascending=[False, True]
+    )
