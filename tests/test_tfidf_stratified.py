@@ -128,3 +128,14 @@ def test_stratified_sample_properties(ray_session):
                   "lang": pa.array(["zz", "zz"])})
     )
     assert len(stratified_sample(small, "lang", "doc_id", 7).take_all()) == 2
+
+
+def test_tfidf_empty_corpus(ray_session):
+    """A tokenless corpus returns an empty, correctly-typed result
+    instead of crashing the broadcast collect."""
+    tbl = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "text": pa.array([None, ""], pa.string())}
+    )
+    out = tf_idf_top_terms(rd.from_arrow(tbl), k=3)
+    assert out.take_all() == []

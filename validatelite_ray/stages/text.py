@@ -973,12 +973,12 @@ def doc_token_tf(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def token_doc_frequencies(pairs, id_col: str = "doc_id"):
+def token_doc_frequencies(pairs):
     """(id, token, tf) Dataset → (token, df) Dataset via the shared
-    coarse-bucket Arrow reduce (per-batch pairs are already distinct per
-    (id, token), so each batch contributes a partial per-token doc
-    count; ONE int32-bucket exchange sums them — never a per-distinct-
-    token Python group)."""
+    coarse-bucket Arrow reduce. Relies only on the (id, token) ROW
+    UNIQUENESS of ``doc_token_tf`` output (each batch's per-token row
+    count is a partial doc count; ONE int32-bucket exchange sums them —
+    never a per-distinct-token Python group)."""
     from validatelite_ray.stages.dedup import (
         add_key_bucket,
         bucketed_group_agg,
@@ -1024,6 +1024,10 @@ def tf_idf_top_terms(
     test_known_ray_issues.py) — then the coarse-bucket top-k per doc
     (score desc, token tiebreak). Rare tokens keep their high idf
     either way (no vocabulary cutoff).
+
+    ``ds`` is consumed twice (``count()`` for N, then the tokenize
+    pass) — pass a re-readable dataset (a parquet read) rather than an
+    expensive derived pipeline, or materialize it first.
     """
     if idf not in ("log", "linear"):
         raise ValueError("idf must be log|linear")
@@ -1031,11 +1035,16 @@ def tf_idf_top_terms(
         raise ValueError("strategy must be auto|broadcast|cogroup")
     import ray
 
+    import ray.data as rd
+
     from validatelite_ray.stages.sample import top_n_per_group
 
     n_docs = ds.count()
     pairs = doc_token_tf(ds, id_col, text_col).materialize()
-    df_ds = token_doc_frequencies(pairs, id_col)
+    # materialized: consumed once by the auto-budget count and once by
+    # the broadcast collect / cogroup tag — without this the whole DF
+    # reduce would execute twice in auto mode
+    df_ds = token_doc_frequencies(pairs).materialize()
 
     def score_arr(tf: np.ndarray, df: np.ndarray) -> np.ndarray:
         ratio = np.float64(n_docs) / df.astype(np.float64)
@@ -1049,11 +1058,23 @@ def tf_idf_top_terms(
         )
 
     if strategy == "broadcast":
-        vocab = pa.concat_tables(
-            [t for t in ray.get(df_ds.to_arrow_refs()) if t.num_rows]
-        )
-        order = pc.sort_indices(vocab, sort_keys=[("token", "ascending")])
-        vocab = vocab.take(order)
+        parts = [t for t in ray.get(df_ds.to_arrow_refs()) if t.num_rows]
+        if not parts:
+            # tokenless corpus (all empty/NULL texts): empty result with
+            # the output schema
+            id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        id_col: pa.array([], id_type),
+                        "token": pa.array([], pa.string()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            )
+        vocab = pa.concat_tables(parts)
+        # NOTE: no sort needed — index_in probes an unsorted value_set;
+        # tok/df alignment comes from the shared table
         tok_ref = ray.put(vocab["token"].combine_chunks())
         df_ref = ray.put(vocab["df"].to_numpy(zero_copy_only=False))
 
