@@ -432,6 +432,19 @@ def _q_winnow_md5(sf_dir: str):
     return winnow_fingerprints(ds, k=5, window=4, hash_fn="md5")
 
 
+def _q_bm25_term_scores(sf_dir: str):
+    """Per-(doc, query-token) BM25 term scores for a fixed 3-term query
+    (stages/text.py:bm25_term_scores) — the oracle seam of the BM25
+    keyword search: idf="linear" keeps every operation IEEE-exact
+    double arithmetic (SQL literals written in e-notation so DuckDB
+    types them DOUBLE, not DECIMAL). The cross-term sum + top-k
+    (bm25_search) is float-order-sensitive and is pytest-verified."""
+    from validatelite_ray.stages.text import bm25_term_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_term_scores(ds, "hash join dup", idf="linear")
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     """Top-5 tf·idf terms per document (stages/text.py:tf_idf_top_terms;
     corpus DF via the coarse-bucket reduce, broadcast vocab, coarse-
@@ -1339,6 +1352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_documents": _q_incremental_dedup,
         "stratified_sample_documents": _q_stratified_sample,
         "tfidf_top_terms_documents": _q_tfidf_top_terms,
+        "bm25_term_scores_documents": _q_bm25_term_scores,
         "scrub_email": _q_scrub_email,
         "normalize_text_documents": _q_normalize_text,
         "substring_dedup_documents": _q_dedup_substrings,
@@ -1691,6 +1705,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT u, v FROM inter "
             "JOIN sizes su ON su.doc_id = u JOIN sizes sv ON sv.doc_id = v "
             "WHERE i >= 0.5 * (su.n + sv.n - i)"
+        ),
+        "bm25_term_scores_documents": (
+            # BM25 term scores, k1=1.2 b=0.75, linear idf (N/df);
+            # constants in e-notation => DOUBLE arithmetic (bare 1.2 is
+            # DECIMAL in DuckDB and rounds differently); operation
+            # structure mirrors the numpy side exactly
+            "WITH toks AS (SELECT doc_id, regexp_extract_all("
+            "lower(coalesce(text,'')),'[0-9a-z_]+') AS t FROM documents), "
+            "stats AS (SELECT CAST(SUM(len(t)) AS DOUBLE)/count(*) AS avgdl, "
+            "count(*) AS n FROM toks), "
+            "tok AS (SELECT doc_id, unnest(t) AS w FROM toks), "
+            "m AS (SELECT tok.doc_id, tok.w, CAST(count(*) AS BIGINT) AS tf "
+            "FROM tok WHERE tok.w IN ('hash','join','dup') GROUP BY 1,2), "
+            "dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks), "
+            "df AS (SELECT w, count(*) AS df FROM m GROUP BY 1) "
+            "SELECT m.doc_id, m.w AS token, "
+            "(m.tf*(1.2e0+1e0))/(m.tf + 1.2e0*((1e0-0.75e0) + "
+            "0.75e0*(dl.dl/stats.avgdl))) * (CAST(stats.n AS DOUBLE)/df.df) "
+            "AS score "
+            "FROM m JOIN dl ON dl.doc_id=m.doc_id JOIN df ON df.w=m.w, stats"
         ),
         "tfidf_top_terms_documents": (
             # top-5 tf*(N/df) terms per doc, score-desc with token

@@ -139,3 +139,118 @@ def test_tfidf_empty_corpus(ray_session):
     )
     out = tf_idf_top_terms(rd.from_arrow(tbl), k=3)
     assert out.take_all() == []
+
+
+class TestBm25:
+    def _ds(self):
+        texts = [
+            "ray data shuffle shuffle shuffle",        # heavy on 'shuffle'
+            "ray data pipeline with one shuffle pass",
+            "completely unrelated text about ducks",
+            "shuffle",                                  # short doc, high tf norm
+            None,
+            "",
+        ]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        ).repartition(3)
+
+    def test_search_ranking_vs_bruteforce(self, ray_session):
+        import collections
+        import math
+
+        from validatelite_ray.stages.text import bm25_search
+
+        texts = [
+            "ray data shuffle shuffle shuffle",
+            "ray data pipeline with one shuffle pass",
+            "completely unrelated text about ducks",
+            "shuffle",
+            None,
+            "",
+        ]
+        top = bm25_search(self._ds(), "shuffle ray", k=3)
+        got = top["doc_id"].to_pylist()
+
+        # brute force
+        k1, b = 1.2, 0.75
+        docs = [(t or "").lower().split() if t else [] for t in texts]
+        n = len(docs)
+        avgdl = sum(len(d) for d in docs) / n
+        df = collections.Counter()
+        for d in docs:
+            df.update(set(d))
+        scores = {}
+        for i, d in enumerate(docs):
+            tf = collections.Counter(d)
+            s = 0.0
+            for w in sorted(("shuffle", "ray")):
+                if tf[w]:
+                    s += (tf[w] * (k1 + 1)) / (
+                        tf[w] + k1 * (1 - b + b * (len(d) / avgdl))
+                    ) * math.log(n / df[w])
+            if s:
+                scores[i] = s
+        want = sorted(scores, key=lambda i: (-scores[i], i))[:3]
+        assert got == want
+        for doc, sc in zip(top["doc_id"].to_pylist(), top["score"].to_pylist()):
+            assert sc == pytest.approx(scores[doc], rel=1e-12)
+
+    def test_no_match_and_empty_query(self, ray_session):
+        from validatelite_ray.stages.text import bm25_search
+
+        assert bm25_search(self._ds(), "zzz_not_present", k=3).num_rows == 0
+        assert bm25_search(self._ds(), "...", k=3).num_rows == 0  # no tokens
+
+    def test_term_scores_seam_matches_duckdb(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        from validatelite_ray.stages.text import bm25_term_scores
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha beta alpha",
+                        "beta gamma",
+                        "alpha alpha alpha beta",
+                        "delta",
+                    ]
+                ),
+            }
+        )
+        got = (
+            bm25_term_scores(rd.from_arrow(tbl), "alpha beta", idf="linear")
+            .to_pandas()
+            .sort_values(["doc_id", "token"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        want = con.execute(
+            """
+            WITH toks AS (SELECT doc_id, regexp_extract_all(
+              lower(coalesce(text,'')),'[0-9a-z_]+') AS t FROM documents),
+            stats AS (SELECT CAST(SUM(len(t)) AS DOUBLE)/count(*) AS avgdl,
+              count(*) AS n FROM toks),
+            tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+            m AS (SELECT tok.doc_id, tok.w, CAST(count(*) AS BIGINT) AS tf
+              FROM tok WHERE tok.w IN ('alpha','beta') GROUP BY 1,2),
+            dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+            df AS (SELECT w, count(*) AS df FROM m GROUP BY 1)
+            SELECT m.doc_id, m.w AS token,
+              (m.tf*(1.2e0+1e0))/(m.tf + 1.2e0*((1e0-0.75e0) +
+              0.75e0*(dl.dl/stats.avgdl))) * (CAST(stats.n AS DOUBLE)/df.df)
+              AS score
+            FROM m JOIN dl ON dl.doc_id=m.doc_id JOIN df ON df.w=m.w, stats
+            ORDER BY m.doc_id, token
+            """
+        ).fetchdf().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)

@@ -1163,3 +1163,179 @@ def tf_idf_top_terms(
     return top_n_per_group(
         joined, id_col, ["score", "token"], k, ascending=[False, True]
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search (text-side analogue of the ANN top-k)
+# ---------------------------------------------------------------------------
+
+def _bm25_stats(ds, id_col: str, text_col: str, query_tokens: list[str]):
+    """ONE pass over the corpus → ((id, token, tf, dl) rows for query
+    tokens only, total_tokens, n_docs). ``dl`` is the matching doc's
+    total token length; corpus totals come from tiny per-block partials
+    (two ints per block)."""
+    import ray
+
+    q_set = pa.array(sorted(set(query_tokens)), pa.string())
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        tokens, doc_of_token, per_doc = _tokenize_ascii(
+            pc.utf8_lower(pc.fill_null(col, ""))
+        )
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        hit = np.asarray(
+            pc.fill_null(pc.is_in(tokens, value_set=q_set), False)
+        )
+        sub = pa.table(
+            {
+                id_col: ids.take(pa.array(doc_of_token[hit])),
+                "token": pc.cast(tokens, pa.string()).filter(pa.array(hit)),
+                "dl": pa.array(per_doc[doc_of_token[hit]], pa.int64()),
+            }
+        )
+        out = sub.group_by([id_col, "token", "dl"]).aggregate(
+            [("token", "count")]
+        ).rename_columns([id_col, "token", "dl", "tf"])
+        # corpus totals ride along as one marker row per block
+        marker = pa.table(
+            {
+                id_col: pa.nulls(1, out[id_col].type),
+                "token": pa.array([None], pa.string()),
+                "dl": pa.array([int(per_doc.sum())], pa.int64()),
+                "tf": pa.array([int(len(per_doc))], pa.int64()),
+            }
+        )
+        return pa.concat_tables([out, marker])
+
+    rows = [
+        t
+        for t in ray.get(
+            ds.map_batches(
+                per_batch, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not rows:
+        return None, 0, 0
+    all_rows = pa.concat_tables(rows, promote_options="default")
+    is_marker = pc.is_null(all_rows["token"])
+    markers = all_rows.filter(is_marker)
+    matches = all_rows.filter(pc.invert(is_marker))
+    total_tokens = int(pc.sum(markers["dl"]).as_py() or 0)
+    n_docs = int(pc.sum(markers["tf"]).as_py() or 0)
+    return matches, total_tokens, n_docs
+
+
+def bm25_term_scores(
+    ds,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf: str = "log",
+):
+    """Per-(doc, matching query token) BM25 term scores as an Arrow
+    table — the ORACLE SEAM for :func:`bm25_search`: with
+    ``idf="linear"`` every operation is IEEE-exact double arithmetic
+    (divide/multiply/add with literal constants, no transcendental), so
+    a DuckDB oracle reproduces the scores bit-for-bit. The cross-term
+    SUM is deliberately NOT taken here — float addition order is
+    implementation-defined, so end-to-end ranking is pytest-verified
+    instead (``bm25_search``)."""
+    if idf not in ("log", "linear"):
+        raise ValueError("idf must be log|linear")
+    q_tokens = [
+        t
+        for t in pc.cast(
+            _tokenize_ascii(pa.array([query.lower()], pa.string()))[0],
+            pa.string(),
+        ).to_pylist()
+    ]
+    matches, total_tokens, n_docs = _bm25_stats(ds, id_col, text_col, q_tokens)
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col] if sch else pa.int64()
+    empty = pa.table(
+        {
+            id_col: pa.array([], id_type),
+            "token": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+    if matches is None or matches.num_rows == 0 or n_docs == 0:
+        return empty
+    avgdl = np.float64(total_tokens) / np.float64(n_docs)
+    # df per token from the distinct (id, token) rows — vectorized
+    # index_in lookup, no per-row Python
+    df_tbl = matches.group_by("token").aggregate([("token", "count")])
+    tf = matches["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+    dl = matches["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+    dfv = (
+        df_tbl["token_count"]
+        .take(pc.index_in(matches["token"], value_set=df_tbl["token"].combine_chunks()))
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    ratio = np.float64(n_docs) / dfv
+    if idf == "log":
+        ratio = np.log(ratio)
+    # exact structure mirrored in the SQL oracle: (tf*(k1+1)) /
+    # (tf + k1*((1-b) + b*(dl/avgdl))) * idf
+    score = (
+        (tf * np.float64(k1 + 1.0))
+        / (tf + np.float64(k1) * ((1.0 - np.float64(b)) + np.float64(b) * (dl / avgdl)))
+        * ratio
+    )
+    return pa.table(
+        {
+            id_col: matches[id_col],
+            "token": matches["token"],
+            "score": pa.array(score, pa.float64()),
+        }
+    )
+
+
+def bm25_search(
+    ds,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Top-``k`` documents for ``query`` by BM25 (log idf) — keyword
+    search over the corpus, the text-side analogue of the ANN top-k in
+    stages/similarity.py. Returns an Arrow table (id, score) sorted
+    score-desc with an id tiebreak.
+
+    Scale shape: ONE corpus pass emits only (doc, query-token, tf, dl)
+    rows for the handful of query tokens (plus two-int per-block corpus
+    totals); everything after operates on that small match set. For
+    query terms that are corpus stopwords the match set approaches the
+    corpus size — cap or drop such terms upstream if that matters."""
+    terms = bm25_term_scores(ds, query, id_col, text_col, k1, b, idf="log")
+    if terms.num_rows == 0:
+        return pa.table(
+            {id_col: pa.array([], terms[id_col].type),
+             "score": pa.array([], pa.float64())}
+        )
+    # deterministic cross-term order: sum per doc over token-sorted rows
+    terms = terms.take(
+        pc.sort_indices(
+            terms, sort_keys=[(id_col, "ascending"), ("token", "ascending")]
+        )
+    )
+    summed = terms.group_by(id_col).aggregate([("score", "sum")])
+    order = pc.sort_indices(
+        summed,
+        sort_keys=[("score_sum", "descending"), (id_col, "ascending")],
+    )
+    top = summed.take(order.slice(0, k))
+    return top.rename_columns([id_col, "score"])
