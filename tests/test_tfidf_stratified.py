@@ -234,23 +234,40 @@ class TestBm25:
         )
         con = duckdb.connect()
         con.register("documents", tbl)
-        want = con.execute(
-            """
-            WITH toks AS (SELECT doc_id, regexp_extract_all(
-              lower(coalesce(text,'')),'[0-9a-z_]+') AS t FROM documents),
-            stats AS (SELECT CAST(SUM(len(t)) AS DOUBLE)/count(*) AS avgdl,
-              count(*) AS n FROM toks),
-            tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
-            m AS (SELECT tok.doc_id, tok.w, CAST(count(*) AS BIGINT) AS tf
-              FROM tok WHERE tok.w IN ('alpha','beta') GROUP BY 1,2),
-            dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
-            df AS (SELECT w, count(*) AS df FROM m GROUP BY 1)
-            SELECT m.doc_id, m.w AS token,
-              (m.tf*(1.2e0+1e0))/(m.tf + 1.2e0*((1e0-0.75e0) +
-              0.75e0*(dl.dl/stats.avgdl))) * (CAST(stats.n AS DOUBLE)/df.df)
-              AS score
-            FROM m JOIN dl ON dl.doc_id=m.doc_id JOIN df ON df.w=m.w, stats
-            ORDER BY m.doc_id, token
-            """
-        ).fetchdf().reset_index(drop=True)
+        # the REGISTERED oracle string, re-targeted at this fixture's
+        # query tokens — so a drift in the registered SQL (e.g. the
+        # DECIMAL-vs-DOUBLE literal pitfall) fails HERE, not only in
+        # the external gate
+        import __ray_entry__ as entrymod
+
+        sql = entrymod.oracle_sql()["bm25_term_scores_documents"]
+        assert "IN ('hash','join','dup')" in sql
+        sql = sql.replace("IN ('hash','join','dup')", "IN ('alpha','beta')")
+        want = (
+            con.execute(sql)
+            .fetchdf()
+            .sort_values(["doc_id", "token"])
+            .reset_index(drop=True)
+        )
         pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+    def test_zero_idf_term_kept_with_zero_score(self, ray_session):
+        """log idf of a term present in EVERY doc is 0 — such docs stay
+        in the top-k with score 0.0 (ranked by id), they are not
+        dropped."""
+        from validatelite_ray.stages.text import bm25_search
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(
+                        ["common word", "common thing", "common stuff"]
+                    ),
+                }
+            )
+        )
+        top = bm25_search(ds, "common", k=3)
+        assert top["doc_id"].to_pylist() == [0, 1, 2]
+        assert top["score"].to_pylist() == [0.0, 0.0, 0.0]

@@ -1194,7 +1194,11 @@ def _bm25_stats(ds, id_col: str, text_col: str, query_tokens: list[str]):
         sub = pa.table(
             {
                 id_col: ids.take(pa.array(doc_of_token[hit])),
-                "token": pc.cast(tokens, pa.string()).filter(pa.array(hit)),
+                # filter FIRST (query tokens are a tiny fraction of the
+                # block), cast only the survivors
+                "token": pc.cast(
+                    tokens.filter(pa.array(hit)), pa.string()
+                ),
                 "dl": pa.array(per_doc[doc_of_token[hit]], pa.int64()),
             }
         )
@@ -1251,14 +1255,10 @@ def bm25_term_scores(
     instead (``bm25_search``)."""
     if idf not in ("log", "linear"):
         raise ValueError("idf must be log|linear")
-    q_tokens = [
-        t
-        for t in pc.cast(
-            _tokenize_ascii(pa.array([query.lower()], pa.string()))[0],
-            pa.string(),
-        ).to_pylist()
-    ]
-    matches, total_tokens, n_docs = _bm25_stats(ds, id_col, text_col, q_tokens)
+    q_tokens = pc.cast(
+        _tokenize_ascii(pa.array([query.lower()], pa.string()))[0],
+        pa.string(),
+    ).to_pylist()
     sch = ds.schema()
     id_type = dict(zip(sch.names, sch.types))[id_col] if sch else pa.int64()
     empty = pa.table(
@@ -1268,6 +1268,9 @@ def bm25_term_scores(
             "score": pa.array([], pa.float64()),
         }
     )
+    if not q_tokens:
+        return empty  # tokenless query: skip the corpus pass entirely
+    matches, total_tokens, n_docs = _bm25_stats(ds, id_col, text_col, q_tokens)
     if matches is None or matches.num_rows == 0 or n_docs == 0:
         return empty
     avgdl = np.float64(total_tokens) / np.float64(n_docs)
@@ -1332,7 +1335,12 @@ def bm25_search(
             terms, sort_keys=[(id_col, "ascending"), ("token", "ascending")]
         )
     )
-    summed = terms.group_by(id_col).aggregate([("score", "sum")])
+    # use_threads=False: the threaded group_by splits into morsels and
+    # merges partial sums in nondeterministic order — the pre-sort only
+    # pins the addition order on the single-threaded path
+    summed = terms.group_by(id_col, use_threads=False).aggregate(
+        [("score", "sum")]
+    )
     order = pc.sort_indices(
         summed,
         sort_keys=[("score_sum", "descending"), (id_col, "ascending")],
