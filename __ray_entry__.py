@@ -563,6 +563,32 @@ def _q_multimodal_bmp(sf_dir: str):
     ).drop_columns(["thumb_8x8"])
 
 
+def _q_multimodal_png(sf_dir: str):
+    """Actor-pool decode->feature pipeline over REAL compressed PNG
+    payloads (stages/multimodal.py::PngCodec — stdlib zlib DEFLATE +
+    numpy unfiltering, no image libraries; full static spec: 5 filters,
+    color types 0/2/3/4/6, depths 1-16, Adam7, CRC-checked; validated
+    against hand-built byte fixtures in test_png_codec.py). Rows-only:
+    SQL cannot decode PNG."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.multimodal import (
+        ImageFeatureStage,
+        PngCodec,
+        make_png_image_table,
+    )
+
+    n = max(_read(sf_dir, "documents", ["doc_id"]).count() // 4, 16)
+    ds = rd.from_arrow(make_png_image_table(int(n), seed=42))
+    return ds.map_batches(
+        ImageFeatureStage,
+        fn_constructor_kwargs={"codec": PngCodec()},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    ).drop_columns(["thumb_8x8"])
+
+
 def _q_normalize_text(sf_dir: str):
     """Unicode normalization cleaning pass (NFC + CRLF fold + control
     strip + space collapse + trim + lowercase) — pure Arrow-kernel
@@ -1344,6 +1370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rule_schema_orders": _q_schema_check,
         "multimodal_image_features": _q_multimodal_features,
         "multimodal_bmp_features": _q_multimodal_bmp,
+        "multimodal_png_features": _q_multimodal_png,
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,

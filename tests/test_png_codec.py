@@ -1,0 +1,266 @@
+"""PngCodec: real PNG decode with stdlib zlib + numpy.
+
+Fixtures are hand-built byte streams (every chunk assembled in the
+test), so the decoder is validated against the PNG spec itself, not
+against our own encoder alone. Reference behavior: the reference repo
+treats media as opaque payloads (no decode stage); this pins the
+Ray-side decode path on a real compressed format.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from validatelite_ray.stages.multimodal import (
+    _ADAM7,
+    _PNG_SIG,
+    PngCodec,
+    encode_png,
+    make_png_image_table,
+)
+
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _pack_rows(samples: np.ndarray, bit_depth: int) -> bytes:
+    """Filter-0 scanlines from (h, w, channels) integer samples at the
+    given depth (MSB-first bit packing; 16-bit big-endian)."""
+    h, w, channels = samples.shape
+    out = bytearray()
+    for y in range(h):
+        out.append(0)  # filter type None
+        if bit_depth == 16:
+            out += samples[y].astype(">u2").tobytes()
+        elif bit_depth == 8:
+            out += samples[y].astype(np.uint8).tobytes()
+        else:
+            acc, nbits = 0, 0
+            for v in samples[y].ravel():
+                acc = (acc << bit_depth) | int(v)
+                nbits += bit_depth
+                if nbits == 8:
+                    out.append(acc)
+                    acc, nbits = 0, 0
+            if nbits:
+                out.append(acc << (8 - nbits))
+    return bytes(out)
+
+
+def _build_png(
+    samples: np.ndarray,
+    bit_depth: int,
+    color_type: int,
+    plte: np.ndarray | None = None,
+    interlace: int = 0,
+) -> bytes:
+    h, w, _ = samples.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+    if interlace == 0:
+        raw = _pack_rows(samples, bit_depth)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_pack_rows(sub, bit_depth))
+        raw = b"".join(parts)
+    body = _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += _chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    # split the DEFLATE stream across two IDAT chunks to pin multi-IDAT
+    z = zlib.compress(raw, 6)
+    mid = max(1, len(z) // 2)
+    body += _chunk(b"IDAT", z[:mid]) + _chunk(b"IDAT", z[mid:]) + _chunk(b"IEND", b"")
+    return _PNG_SIG + body
+
+
+def _luma(rgb: np.ndarray) -> np.ndarray:
+    return np.round(rgb.astype(np.float64) @ _LUMA).astype(np.uint8)
+
+
+class TestPngRoundTrip:
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4, "mixed"])
+    def test_rgb_all_filters(self, filter_type):
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, size=(23, 17, 3), dtype=np.uint8)
+        out = PngCodec().decode(encode_png(px, filter_type=filter_type))
+        assert (out["width"], out["height"]) == (17, 23)
+        assert np.array_equal(out["pixels"], _luma(px))
+
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4, "mixed"])
+    def test_gray_all_filters(self, filter_type):
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, size=(9, 31), dtype=np.uint8)
+        out = PngCodec().decode(encode_png(px, filter_type=filter_type))
+        assert np.array_equal(out["pixels"], px)
+
+    def test_single_pixel_and_single_row(self):
+        codec = PngCodec()
+        assert codec.decode(encode_png(np.array([[200]], np.uint8)))["pixels"][0, 0] == 200
+        row = np.arange(40, dtype=np.uint8).reshape(1, 40)
+        assert np.array_equal(codec.decode(encode_png(row, 4))["pixels"], row)
+
+
+class TestPngSpecCoverage:
+    """Hand-built streams covering every legal depth x color-type combo."""
+
+    def test_palette_8bit(self):
+        plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]])
+        idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]])[:, :, None]
+        out = PngCodec().decode(_build_png(idx, 8, 3, plte=plte))
+        assert np.array_equal(out["pixels"], _luma(plte)[idx[:, :, 0]])
+
+    @pytest.mark.parametrize("bit_depth", [1, 2, 4])
+    def test_palette_subbyte(self, bit_depth):
+        n = 1 << bit_depth
+        rng = np.random.default_rng(bit_depth)
+        plte = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, size=(5, 11, 1))
+        out = PngCodec().decode(_build_png(idx, bit_depth, 3, plte=plte))
+        assert np.array_equal(out["pixels"], _luma(plte)[idx[:, :, 0]])
+
+    @pytest.mark.parametrize("bit_depth", [1, 2, 4])
+    def test_gray_subbyte_rescales_to_255(self, bit_depth):
+        n = 1 << bit_depth
+        vals = np.arange(n).reshape(1, n, 1)
+        out = PngCodec().decode(_build_png(vals, bit_depth, 0))
+        expected = (vals[0, :, 0] * (255 // (n - 1))).astype(np.uint8)
+        assert np.array_equal(out["pixels"][0], expected)
+        assert out["pixels"][0, -1] == 255  # full-scale white stays white
+
+    def test_gray_16bit_takes_high_byte(self):
+        s = np.array([[0x1234, 0xFF00, 0x00FF]])[:, :, None]
+        out = PngCodec().decode(_build_png(s, 16, 0))
+        assert list(out["pixels"][0]) == [0x12, 0xFF, 0x00]
+
+    def test_rgb_16bit(self):
+        rng = np.random.default_rng(3)
+        s = rng.integers(0, 1 << 16, size=(4, 6, 3))
+        out = PngCodec().decode(_build_png(s, 16, 2))
+        assert np.array_equal(out["pixels"], _luma(s >> 8))
+
+    def test_gray_alpha_ignores_alpha(self):
+        rng = np.random.default_rng(5)
+        s = rng.integers(0, 256, size=(6, 7, 2))
+        out = PngCodec().decode(_build_png(s, 8, 4))
+        assert np.array_equal(out["pixels"], s[:, :, 0].astype(np.uint8))
+
+    def test_rgba_ignores_alpha(self):
+        rng = np.random.default_rng(6)
+        s = rng.integers(0, 256, size=(8, 5, 4))
+        out = PngCodec().decode(_build_png(s, 8, 6))
+        assert np.array_equal(out["pixels"], _luma(s[:, :, :3]))
+
+    @pytest.mark.parametrize("shape", [(8, 8), (13, 5), (1, 9), (9, 1), (16, 17)])
+    def test_adam7_interlace_matches_progressive(self, shape):
+        rng = np.random.default_rng(shape[0] * 100 + shape[1])
+        s = rng.integers(0, 256, size=(*shape, 3))
+        flat = PngCodec().decode(_build_png(s, 8, 2, interlace=0))
+        inter = PngCodec().decode(_build_png(s, 8, 2, interlace=1))
+        assert np.array_equal(flat["pixels"], inter["pixels"])
+
+    def test_adam7_16bit_gray(self):
+        rng = np.random.default_rng(9)
+        s = rng.integers(0, 1 << 16, size=(11, 7, 1))
+        inter = PngCodec().decode(_build_png(s, 16, 0, interlace=1))
+        assert np.array_equal(inter["pixels"], (s[:, :, 0] >> 8).astype(np.uint8))
+
+
+class TestPngRejects:
+    def test_bad_signature(self):
+        with pytest.raises(ValueError, match="not a PNG"):
+            PngCodec().decode(b"GIF89a" + b"\x00" * 64)
+
+    def test_crc_corruption(self):
+        payload = bytearray(encode_png(np.zeros((4, 4), np.uint8)))
+        payload[-24] ^= 0xFF  # flip a byte inside IDAT
+        with pytest.raises(ValueError, match="CRC mismatch"):
+            PngCodec().decode(bytes(payload))
+
+    def test_illegal_depth_for_color_type(self):
+        s = np.zeros((2, 2, 3), int)
+        payload = bytearray(_build_png(s, 8, 2))
+        # rewrite IHDR bit depth to 4 (illegal for RGB) and fix the CRC
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+        payload[16 : 16 + 13] = ihdr
+        payload[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        with pytest.raises(ValueError, match="illegal PNG bit depth"):
+            PngCodec().decode(bytes(payload))
+
+    def test_truncated_pixel_data(self):
+        raw = _pack_rows(np.zeros((4, 4, 1), int), 8)[: -8]  # drop a row
+        body = _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        body += _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="shorter than geometry"):
+            PngCodec().decode(_PNG_SIG + body)
+
+    def test_bad_filter_byte(self):
+        raw = b"\x07" + b"\x00" * 4
+        body = _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 1, 8, 0, 0, 0, 0))
+        body += _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="bad PNG filter type"):
+            PngCodec().decode(_PNG_SIG + body)
+
+    def test_palette_without_plte(self):
+        raw = _pack_rows(np.zeros((1, 4, 1), int), 8)
+        body = _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 1, 8, 3, 0, 0, 0))
+        body += _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="without PLTE"):
+            PngCodec().decode(_PNG_SIG + body)
+
+    def test_palette_index_out_of_range(self):
+        plte = np.array([[1, 2, 3]])
+        idx = np.array([[[0], [1]]])  # index 1 but palette has 1 entry
+        with pytest.raises(ValueError, match="palette index out of range"):
+            PngCodec().decode(_build_png(idx, 8, 3, plte=plte))
+
+    def test_encode_rejects_bad_shapes(self):
+        with pytest.raises(ValueError):
+            encode_png(np.zeros((2, 2, 4), np.uint8))
+        with pytest.raises(ValueError):
+            encode_png(np.zeros((0, 4), np.uint8))
+
+
+class TestPngRayIntegration:
+    def test_feature_stage_over_png_corpus(self, ray_session):
+        import ray.data as rd
+
+        from validatelite_ray.stages.multimodal import ImageFeatureStage
+
+        table = make_png_image_table(24, seed=42)
+        out = (
+            rd.from_arrow(table)
+            .map_batches(
+                ImageFeatureStage,
+                fn_constructor_kwargs={"codec": PngCodec()},
+                batch_format="pyarrow",
+                batch_size=8,
+                concurrency=2,
+            )
+            .sort("item_id")
+            .take_all()
+        )
+        assert len(out) == 24
+        codec = PngCodec()
+        for row, payload, w, h in zip(
+            out,
+            table["payload"].to_pylist(),
+            table["meta_width"].to_pylist(),
+            table["meta_height"].to_pylist(),
+        ):
+            img = codec.decode(payload)
+            assert (row["width"], row["height"]) == (w, h)
+            assert row["mean_intensity"] == pytest.approx(float(img["pixels"].mean()))
