@@ -589,6 +589,31 @@ def _q_multimodal_png(sf_dir: str):
     ).drop_columns(["thumb_8x8"])
 
 
+def _q_multimodal_gif(sf_dir: str):
+    """Actor-pool decode->feature pipeline over REAL LZW-compressed GIF
+    payloads (stages/multimodal.py::GifCodec — pure-Python LZW + numpy,
+    no image libraries; global/local palettes, interlace, frame
+    placement, extension skip; validated against hand-built byte
+    fixtures in test_gif_codec.py). Rows-only: SQL cannot decode GIF."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.multimodal import (
+        GifCodec,
+        ImageFeatureStage,
+        make_gif_image_table,
+    )
+
+    n = max(_read(sf_dir, "documents", ["doc_id"]).count() // 4, 16)
+    ds = rd.from_arrow(make_gif_image_table(int(n), seed=42))
+    return ds.map_batches(
+        ImageFeatureStage,
+        fn_constructor_kwargs={"codec": GifCodec()},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    ).drop_columns(["thumb_8x8"])
+
+
 def _q_normalize_text(sf_dir: str):
     """Unicode normalization cleaning pass (NFC + CRLF fold + control
     strip + space collapse + trim + lowercase) — pure Arrow-kernel
@@ -1371,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_image_features": _q_multimodal_features,
         "multimodal_bmp_features": _q_multimodal_bmp,
         "multimodal_png_features": _q_multimodal_png,
+        "multimodal_gif_features": _q_multimodal_gif,
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,

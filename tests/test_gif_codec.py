@@ -1,0 +1,242 @@
+"""GifCodec: real GIF87a/89a decode with pure-Python LZW + numpy.
+
+Round trips go through our own LZW encoder; the spec paths (local
+palettes, frame placement, extensions, interlace, deferred clear) are
+pinned with hand-assembled byte streams so the decoder is validated
+against the GIF89a spec, not the encoder alone.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from validatelite_ray.stages.multimodal import (
+    GifCodec,
+    _gif_lzw_decode,
+    _gif_lzw_encode,
+    encode_gif,
+)
+
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def _luma(rgb: np.ndarray) -> np.ndarray:
+    return np.round(rgb.astype(np.float64) @ _LUMA).astype(np.uint8)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00"
+    return bytes(out)
+
+
+def _build_gif(
+    screen: tuple[int, int],
+    frames: list[dict],
+    gct: np.ndarray | None = None,
+    bg: int = 0,
+    extensions: bytes = b"",
+) -> bytes:
+    """Hand-assemble a GIF89a stream. Each frame dict: idx (h, w) uint8,
+    left, top, pal (optional local table), interlace flag."""
+    sw, sh = screen
+    out = bytearray(b"GIF89a")
+    packed = 0
+    if gct is not None:
+        size = int(np.log2(len(gct))) - 1
+        packed = 0x80 | size
+    out += struct.pack("<HHBBB", sw, sh, packed, bg, 0)
+    if gct is not None:
+        out += gct.astype(np.uint8).tobytes()
+    out += extensions
+    for f in frames:
+        idx = f["idx"]
+        h, w = idx.shape
+        ipacked = 0x40 if f.get("interlace") else 0
+        pal = f.get("pal")
+        if pal is not None:
+            ipacked |= 0x80 | (int(np.log2(len(pal))) - 1)
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", f.get("left", 0), f.get("top", 0), w, h, ipacked
+        )
+        if pal is not None:
+            out += pal.astype(np.uint8).tobytes()
+        if f.get("interlace"):
+            rows = np.concatenate([idx[o::s] for o, s in ((0, 8), (4, 8), (2, 4), (1, 2))])
+        else:
+            rows = idx
+        mcs = f.get("min_code_size", 8)
+        out.append(mcs)
+        out += _sub_blocks(_gif_lzw_encode(rows.tobytes(), mcs))
+    out += b"\x3b"
+    return bytes(out)
+
+
+class TestGifLzw:
+    @pytest.mark.parametrize("mcs", [2, 4, 8])
+    def test_lzw_round_trip(self, mcs):
+        rng = np.random.default_rng(mcs)
+        data = rng.integers(0, 1 << mcs, size=5000, dtype=np.uint8).tobytes()
+        assert bytes(_gif_lzw_decode(_gif_lzw_encode(data, mcs), mcs)) == data
+
+    def test_lzw_dictionary_reset_on_full_table(self):
+        # low-entropy repetitive data grows the table past 4096 entries
+        data = bytes(np.tile(np.arange(7, dtype=np.uint8), 8000))
+        assert bytes(_gif_lzw_decode(_gif_lzw_encode(data, 8), 8)) == data
+
+    def test_lzw_code_not_yet_in_table(self):
+        # the classic KwKwK case: encoder emits a code equal to the
+        # table's next slot; decoder must synthesize prev + prev[0]
+        data = b"\x01\x01\x01\x01\x01"
+        assert bytes(_gif_lzw_decode(_gif_lzw_encode(data, 2), 2)) == data
+
+
+class TestGifRoundTrip:
+    @pytest.mark.parametrize("interlace", [False, True])
+    @pytest.mark.parametrize("shape", [(1, 1), (5, 7), (33, 65), (64, 48)])
+    def test_gray_round_trip(self, interlace, shape):
+        rng = np.random.default_rng(shape[0] * 100 + shape[1])
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = GifCodec().decode(encode_gif(px, interlace=interlace))
+        assert (out["height"], out["width"]) == shape
+        assert np.array_equal(out["pixels"], px)
+
+    def test_encode_rejects_bad_shapes(self):
+        with pytest.raises(ValueError):
+            encode_gif(np.zeros((2, 2, 3), np.uint8))
+        with pytest.raises(ValueError):
+            encode_gif(np.zeros((0, 4), np.uint8))
+
+
+class TestGifSpecPaths:
+    def test_local_palette_overrides_global(self):
+        gct = np.zeros((4, 3), np.uint8)  # all-black global table
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 255]])
+        idx = np.array([[0, 1], [2, 3]], np.uint8)
+        payload = _build_gif((2, 2), [{"idx": idx, "pal": pal, "min_code_size": 2}], gct=gct)
+        out = GifCodec().decode(payload)
+        assert np.array_equal(out["pixels"], _luma(pal)[idx])
+
+    def test_frame_offset_composes_on_background(self):
+        gct = np.array([[10, 10, 10], [250, 250, 250]] + [[0, 0, 0]] * 2)
+        idx = np.ones((2, 2), np.uint8)
+        payload = _build_gif(
+            (5, 4), [{"idx": idx, "left": 2, "top": 1, "min_code_size": 2}],
+            gct=gct, bg=0,
+        )
+        out = GifCodec().decode(payload)
+        assert (out["width"], out["height"]) == (5, 4)
+        bg_gray = _luma(gct)[0]
+        fg_gray = _luma(gct)[1]
+        expected = np.full((4, 5), bg_gray, np.uint8)
+        expected[1:3, 2:4] = fg_gray
+        assert np.array_equal(out["pixels"], expected)
+
+    def test_extensions_are_skipped(self):
+        # graphic control + comment extensions before the image block
+        ext = (
+            b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # GCE
+            + b"\x21\xfe\x05hello\x00"  # comment
+        )
+        gct = np.repeat(np.arange(4, dtype=np.uint8)[:, None] * 80, 3, axis=1)
+        idx = np.array([[3, 2, 1, 0]], np.uint8)
+        payload = _build_gif((4, 1), [{"idx": idx, "min_code_size": 2}],
+                             gct=gct, extensions=ext)
+        out = GifCodec().decode(payload)
+        assert np.array_equal(out["pixels"], _luma(gct)[idx])
+
+    def test_first_frame_of_animation_wins(self):
+        gct = np.repeat(np.arange(2, dtype=np.uint8)[:, None] * 255, 3, axis=1)
+        f0 = np.zeros((2, 2), np.uint8)
+        f1 = np.ones((2, 2), np.uint8)
+        payload = _build_gif(
+            (2, 2),
+            [{"idx": f0, "min_code_size": 2}, {"idx": f1, "min_code_size": 2}],
+            gct=gct,
+        )
+        out = GifCodec().decode(payload)
+        assert out["pixels"].max() == 0
+
+    def test_gif87a_header_accepted(self):
+        payload = bytearray(encode_gif(np.full((3, 3), 9, np.uint8)))
+        payload[:6] = b"GIF87a"
+        out = GifCodec().decode(bytes(payload))
+        assert np.array_equal(out["pixels"], np.full((3, 3), 9, np.uint8))
+
+
+class TestGifRejects:
+    def test_bad_signature(self):
+        with pytest.raises(ValueError, match="not a GIF"):
+            GifCodec().decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+
+    def test_no_image_block(self):
+        payload = b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0, 0, 0) + b"\x3b"
+        with pytest.raises(ValueError, match="no image block"):
+            GifCodec().decode(payload)
+
+    def test_no_color_table(self):
+        idx = np.zeros((1, 1), np.uint8)
+        payload = _build_gif((1, 1), [{"idx": idx, "min_code_size": 2}])
+        with pytest.raises(ValueError, match="no color table"):
+            GifCodec().decode(payload)
+
+    def test_short_pixel_data(self):
+        gct = np.zeros((4, 3), np.uint8)
+        # declare 4x4 but encode only 4 pixels
+        raw = _gif_lzw_encode(b"\x00" * 4, 2)
+        payload = (
+            b"GIF89a"
+            + struct.pack("<HHBBB", 4, 4, 0x81, 0, 0)
+            + gct.tobytes()
+            + b"\x2c"
+            + struct.pack("<HHHHB", 0, 0, 4, 4, 0)
+            + b"\x02"
+            + _sub_blocks(raw)
+            + b"\x3b"
+        )
+        with pytest.raises(ValueError, match="shorter than geometry"):
+            GifCodec().decode(payload)
+
+    def test_palette_index_out_of_range(self):
+        pal = np.zeros((2, 3), np.uint8)
+        idx = np.array([[3]], np.uint8)  # index 3, table size 2
+        payload = _build_gif((1, 1), [{"idx": idx, "pal": pal, "min_code_size": 2}])
+        with pytest.raises(ValueError, match="palette index out of range"):
+            GifCodec().decode(payload)
+
+
+class TestGifRayIntegration:
+    def test_feature_stage_over_gif_corpus(self, ray_session):
+        import ray.data as rd
+
+        from validatelite_ray.stages.multimodal import (
+            ImageFeatureStage,
+            make_gif_image_table,
+        )
+
+        table = make_gif_image_table(18, seed=42)
+        out = (
+            rd.from_arrow(table)
+            .map_batches(
+                ImageFeatureStage,
+                fn_constructor_kwargs={"codec": GifCodec()},
+                batch_format="pyarrow",
+                batch_size=8,
+                concurrency=2,
+            )
+            .sort("item_id")
+            .take_all()
+        )
+        assert len(out) == 18
+        codec = GifCodec()
+        for row, payload in zip(out, table["payload"].to_pylist()):
+            img = codec.decode(payload)
+            assert (row["width"], row["height"]) == (img["width"], img["height"])
+            assert row["mean_intensity"] == pytest.approx(float(img["pixels"].mean()))

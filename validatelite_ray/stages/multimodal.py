@@ -5,11 +5,13 @@ Decode support comes in two tiers:
 * **REAL codecs** (bottom of this module) that need no external
   libraries: ``BmpCodec`` (24/32-bit + 8-bit-palette Windows BMP),
   ``WavCodec`` (RIFF/WAVE PCM), ``Y4MCodec`` (YUV4MPEG2 video) — pure
-  struct + numpy — and ``PngCodec``, a full-spec PNG decoder built on
-  stdlib ``zlib`` (all five scanline filters, color types 0/2/3/4/6,
-  bit depths 1-16, Adam7 interlace, CRC-verified chunks). Any
-  standard tool's BMP/WAV/Y4M/PNG output decodes here, validated
-  against hand-constructed byte fixtures.
+  struct + numpy — plus two compressed formats: ``PngCodec``, a
+  full-spec PNG decoder built on stdlib ``zlib`` (all five scanline
+  filters, color types 0/2/3/4/6, bit depths 1-16, Adam7 interlace,
+  CRC-verified chunks), and ``GifCodec``, a GIF87a/89a decoder with a
+  pure-Python LZW core (global/local palettes, interlace, frame
+  placement, extension skip). Any standard tool's BMP/WAV/Y4M/PNG/GIF
+  output decodes here, validated against hand-constructed fixtures.
 * **Injection-only stubs** for formats whose codecs genuinely need
   external native libraries (JPEG/MP3/H.264): ``FakeCodec`` /
   ``FakeAudioCodec`` are deterministic stand-ins, and ``codec=None``
@@ -806,6 +808,245 @@ def make_png_image_table(n: int = 64, seed: int = 42) -> pa.Table:
         rows["modality"].append("image")
         rows["media_type"].append("image/png")
         rows["payload"].append(encode_png(px, filter_type=filters[i % len(filters)]))
+        rows["meta_width"].append(w)
+        rows["meta_height"].append(h)
+        rows["meta_duration_ms"].append(0)
+    return pa.table(rows, schema=MULTIMODAL_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL GIF codec — pure Python LZW + numpy, no imaging libraries.
+# --------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+    """GIF-variant LZW: variable code width 3..12 bits, little-endian
+    bit packing, CLEAR/EOI control codes, deferred-clear tolerated."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = i = 0
+    n = len(data)
+    while True:
+        while nbits < code_size and i < n:
+            acc |= data[i] << nbits
+            nbits += 8
+            i += 1
+        if nbits < code_size:
+            break  # stream exhausted without EOI — accept what we have
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    w = b""
+    for b in indices:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        if next_code < 4096:
+            table[wc] = next_code
+            if next_code == (1 << code_size):
+                code_size += 1
+            next_code += 1
+        else:  # table full: reset (mirrors the decoder's CLEAR handling)
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = clear + 2
+            code_size = min_code_size + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+#: GIF interlace passes: (row offset, row stride) per pass (GIF89a App. E)
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+class GifCodec:
+    """REAL decoder for GIF87a/GIF89a — pure Python LZW + numpy, zero
+    external libraries. Handles global and local color tables,
+    interlaced images, extension blocks (skipped), frame left/top
+    placement on the logical screen, and deferred CLEAR codes; decodes
+    the first image of animated files. Output matches the
+    ``ImageFeatureStage`` contract: 8-bit grayscale ``pixels`` via
+    BT.601 luma over the palette."""
+
+    def decode(self, payload: bytes) -> dict:
+        if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF payload")
+        sw, sh, packed, bg, _ = struct.unpack_from("<HHBBB", payload, 6)
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = np.frombuffer(payload, np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+            pos += n * 3
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label byte + sub-blocks
+                pos += 1
+                while payload[pos]:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                raise ValueError(f"unknown GIF block 0x{block:02x}")
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(
+                    payload, np.uint8, count=n * 3, offset=pos
+                ).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF image with no color table")
+            min_code_size = payload[pos]
+            pos += 1
+            if not 2 <= min_code_size <= 11:
+                raise ValueError(f"bad GIF LZW minimum code size {min_code_size}")
+            parts = []
+            while payload[pos]:
+                size = payload[pos]
+                parts.append(payload[pos + 1 : pos + 1 + size])
+                pos += 1 + size
+            pos += 1
+            idx_bytes = _gif_lzw_decode(b"".join(parts), min_code_size)
+            if len(idx_bytes) < w * h:
+                raise ValueError("GIF pixel data shorter than geometry requires")
+            idx = np.frombuffer(bytes(idx_bytes[: w * h]), np.uint8).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                de = np.empty_like(idx)
+                src = 0
+                for off, stride in _GIF_PASSES:
+                    cnt = len(range(off, h, stride))
+                    de[off::stride] = idx[src : src + cnt]
+                    src += cnt
+                idx = de
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("GIF palette index out of range")
+            pal_gray = (
+                (pal.astype(np.float64) @ _LUMA_RGB).round().astype(np.uint8)
+            )
+            # compose the first frame onto the logical screen at (left, top)
+            canvas_idx = np.full((sh, sw), bg if bg < len(pal) else 0, np.uint8)
+            ch = min(h, max(sh - top, 0))
+            cw = min(w, max(sw - left, 0))
+            canvas_idx[top : top + ch, left : left + cw] = idx[:ch, :cw]
+            return {
+                "width": sw,
+                "height": sh,
+                "pixels": np.ascontiguousarray(pal_gray[canvas_idx]),
+            }
+        raise ValueError("GIF contains no image block")
+
+    def resize(self, pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+        h, w = pixels.shape
+        ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+        xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+        return pixels[np.ix_(ys, xs)]
+
+
+def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """Writer for single-frame GIF89a from an (H, W) uint8 grayscale
+    array (256-entry grayscale global color table; real LZW
+    compression; standard viewers open the result)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2 or px.size == 0:
+        raise ValueError("encode_gif expects a non-empty (H, W) grayscale array")
+    h, w = px.shape
+    gct = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    if interlace:
+        rows = np.concatenate([px[off::stride] for off, stride in _GIF_PASSES])
+    else:
+        rows = px
+    compressed = _gif_lzw_encode(rows.tobytes(), 8)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x70 | 0x07, 0, 0)
+    out += gct.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(8)  # LZW minimum code size
+    for i in range(0, len(compressed), 255):
+        chunk = compressed[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def make_gif_image_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic corpus of REAL LZW-compressed GIF payloads
+    (decodable by any image tool, and by ``GifCodec`` with zero
+    external libs). Alternates interlaced/progressive frames."""
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("item_id", "modality", "media_type", "payload",
+                            "meta_width", "meta_height", "meta_duration_ms")}
+    for i in range(n):
+        w, h = int(rng.integers(4, 48)), int(rng.integers(4, 48))
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        rows["item_id"].append(i)
+        rows["modality"].append("image")
+        rows["media_type"].append("image/gif")
+        rows["payload"].append(encode_gif(px, interlace=bool(i % 2)))
         rows["meta_width"].append(w)
         rows["meta_height"].append(h)
         rows["meta_duration_ms"].append(0)
