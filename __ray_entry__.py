@@ -614,6 +614,29 @@ def _q_multimodal_gif(sf_dir: str):
     ).drop_columns(["thumb_8x8"])
 
 
+def _q_multimodal_flac(sf_dir: str):
+    """Actor-pool decode->feature pipeline over REAL FLAC payloads
+    (stages/flac.py::FlacCodec — pure-Python bit reader + numpy, no
+    audio libraries; Rice/Rice2 residuals, constant/verbatim/fixed/LPC
+    subframes, stereo decorrelation, CRC-8/16 verified; validated
+    against hand-built bitstreams in test_flac_codec.py). Rows-only:
+    SQL cannot decode FLAC."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.flac import FlacCodec, make_flac_audio_table
+    from validatelite_ray.stages.multimodal import AudioFeatureStage
+
+    n = max(_read(sf_dir, "documents", ["doc_id"]).count() // 8, 16)
+    ds = rd.from_arrow(make_flac_audio_table(int(n), seed=42))
+    return ds.map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs={"codec": FlacCodec()},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    )
+
+
 def _q_normalize_text(sf_dir: str):
     """Unicode normalization cleaning pass (NFC + CRLF fold + control
     strip + space collapse + trim + lowercase) — pure Arrow-kernel
@@ -1397,6 +1420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_bmp_features": _q_multimodal_bmp,
         "multimodal_png_features": _q_multimodal_png,
         "multimodal_gif_features": _q_multimodal_gif,
+        "multimodal_flac_features": _q_multimodal_flac,
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,

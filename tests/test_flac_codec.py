@@ -1,0 +1,325 @@
+"""FlacCodec: real FLAC decode, pure Python + numpy.
+
+FLAC is lossless, so every test is exact. Round trips go through
+``encode_flac``; the subframe/channel modes our encoder doesn't emit
+(LPC, stereo decorrelation, wasted bits, Rice2, multi-partition
+residuals, non-16-bit depths) are pinned with bitstreams assembled by
+hand in this file, so the decoder is validated against the FLAC spec
+itself rather than the encoder alone.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from validatelite_ray.stages.flac import (
+    FlacCodec,
+    _BitWriter,
+    _crc8,
+    _crc16,
+    encode_flac,
+    make_flac_audio_table,
+)
+
+
+def _streaminfo(rate: int, channels: int, bps: int, total: int) -> bytes:
+    bw = _BitWriter()
+    bw.write(4096, 16)
+    bw.write(4096, 16)
+    bw.write(0, 24)
+    bw.write(0, 24)
+    bw.write(rate, 20)
+    bw.write(channels - 1, 3)
+    bw.write(bps - 1, 5)
+    bw.write(total, 36)
+    body = bw.bytes() + b"\x00" * 16
+    return struct.pack(">I", (1 << 31) | len(body)) + body
+
+
+def _stream(frames: list[bytes], rate=16000, channels=1, bps=16, total=0) -> bytes:
+    return b"fLaC" + _streaminfo(rate, channels, bps, total) + b"".join(frames)
+
+
+def _rice(bw: _BitWriter, resid: list[int], param: int, method=0,
+          part_order=0, blocksize=0, pred_order=0) -> None:
+    bw.write(method, 2)
+    bw.write(part_order, 4)
+    idx = 0
+    for p in range(1 << part_order):
+        n = (blocksize >> part_order) - (pred_order if p == 0 else 0)
+        bw.write(param, 4 if method == 0 else 5)
+        for r in resid[idx : idx + n]:
+            v = (abs(r) << 1) - (1 if r < 0 else 0)
+            bw.write_unary(v >> param)
+            if param:
+                bw.write(v & ((1 << param) - 1), param)
+        idx += n
+    assert idx == len(resid)
+
+
+def _w_verbatim(samples, bps, wasted=0):
+    def w(bw: _BitWriter) -> None:
+        bw.write(0, 1)
+        bw.write(1, 6)
+        if wasted:
+            bw.write(1, 1)
+            bw.write(1, wasted)  # unary(wasted-1): zeros then a 1
+        else:
+            bw.write(0, 1)
+        for v in samples:
+            bw.write(int(v), bps - wasted)
+    return w
+
+
+def _w_lpc(samples, bps, coeffs, shift, precision, param=6, **rice_kw):
+    order = len(coeffs)
+
+    def w(bw: _BitWriter) -> None:
+        bw.write(0, 1)
+        bw.write(0x20 | (order - 1), 6)
+        bw.write(0, 1)
+        for v in samples[:order]:
+            bw.write(int(v), bps)
+        bw.write(precision - 1, 4)
+        bw.write(shift, 5)
+        for c in coeffs:
+            bw.write(int(c), precision)
+        resid = [
+            int(samples[k])
+            - (sum(c * int(samples[k - 1 - j]) for j, c in enumerate(coeffs)) >> shift)
+            for k in range(order, len(samples))
+        ]
+        _rice(bw, resid, param, blocksize=len(samples), pred_order=order, **rice_kw)
+    return w
+
+
+def _frame(blocksize, chan_code, writers, ss_code=4, sr_code=13, rate_val=16000,
+           bs_code=7) -> bytes:
+    bw = _BitWriter()
+    bw.write(0x3FFE, 14)
+    bw.write(0, 2)
+    bw.write(bs_code, 4)
+    bw.write(sr_code, 4)
+    bw.write(chan_code, 4)
+    bw.write(ss_code, 3)
+    bw.write(0, 1)
+    bw.write(0, 8)  # frame number 0
+    if bs_code == 6:
+        bw.write(blocksize - 1, 8)
+    elif bs_code == 7:
+        bw.write(blocksize - 1, 16)
+    if sr_code == 12:
+        bw.write(rate_val, 8)
+    elif sr_code in (13, 14):
+        bw.write(rate_val, 16)
+    header = bw.bytes()
+    bw = _BitWriter()
+    for b in header:
+        bw.write(b, 8)
+    bw.write(_crc8(header), 8)
+    for w in writers:
+        w(bw)
+    bw.align()
+    body = bw.bytes()
+    bw = _BitWriter()
+    for b in body:
+        bw.write(b, 8)
+    bw.write(_crc16(body), 16)
+    return bw.bytes()
+
+
+class TestFlacRoundTrip:
+    @pytest.mark.parametrize("mode", ["auto", "verbatim", "fixed0", "fixed1", "fixed2"])
+    def test_mono_exact(self, mode):
+        rng = np.random.default_rng(3)
+        x = np.clip(
+            3000 * np.sin(np.arange(4001) * 0.01) + rng.normal(0, 100, 4001),
+            -32768, 32767,
+        ).astype(np.int16)
+        out = FlacCodec().decode(encode_flac(x, 22050, blocksize=512, subframe=mode))
+        assert out["sample_rate"] == 22050
+        assert np.array_equal(out["samples"], x)
+
+    def test_stereo_averages_to_mono(self):
+        rng = np.random.default_rng(5)
+        st = rng.integers(-2000, 2000, size=(1537, 2)).astype(np.int16)
+        out = FlacCodec().decode(encode_flac(st, blocksize=256))
+        exp = np.clip(
+            np.round(st.astype(np.float64).mean(axis=1)), -32768, 32767
+        ).astype(np.int16)
+        assert np.array_equal(out["samples"], exp)
+
+    def test_constant_and_extremes(self):
+        c = np.full(700, -32768, np.int16)
+        assert np.array_equal(FlacCodec().decode(encode_flac(c))["samples"], c)
+        x = np.array([32767, -32768, 0, 1, -1] * 50, np.int16)
+        assert np.array_equal(
+            FlacCodec().decode(encode_flac(x, subframe="verbatim"))["samples"], x
+        )
+
+    def test_escape_coded_raw_partitions(self):
+        rng = np.random.default_rng(7)
+        x = rng.integers(-30000, 30000, size=900).astype(np.int16)
+        payload = encode_flac(x, subframe="fixed1", escape_raw=True, blocksize=300)
+        assert np.array_equal(FlacCodec().decode(payload)["samples"], x)
+
+    def test_encoder_rejects_bad_input(self):
+        with pytest.raises(ValueError):
+            encode_flac(np.zeros((0,), np.int16))
+        with pytest.raises(ValueError):
+            encode_flac(np.zeros((10, 9), np.int16))
+
+
+class TestFlacHandBuiltSpecPaths:
+    def test_lpc_subframe(self):
+        rng = np.random.default_rng(11)
+        s = rng.integers(-5000, 5000, size=192).astype(np.int64)
+        frame = _frame(192, 0, [_w_lpc(s, 16, coeffs=[3, -2], shift=1, precision=6)],
+                       bs_code=1)  # also pins block-size code 1 => 192
+        out = FlacCodec().decode(_stream([frame], total=192))
+        assert np.array_equal(out["samples"], s.astype(np.int16))
+
+    def test_lpc_high_order(self):
+        rng = np.random.default_rng(13)
+        s = rng.integers(-800, 800, size=256).astype(np.int64)
+        coeffs = list(rng.integers(-20, 20, size=8))
+        frame = _frame(256, 0, [_w_lpc(s, 16, coeffs=coeffs, shift=3, precision=7)],
+                       bs_code=8)  # block-size code 8 => 256
+        out = FlacCodec().decode(_stream([frame], total=256))
+        assert np.array_equal(out["samples"], s.astype(np.int16))
+
+    def test_left_side_stereo(self):
+        rng = np.random.default_rng(17)
+        left = rng.integers(-6000, 6000, size=64).astype(np.int64)
+        right = rng.integers(-6000, 6000, size=64).astype(np.int64)
+        side = left - right
+        frame = _frame(64, 8, [_w_verbatim(left, 16), _w_verbatim(side, 17)])
+        out = FlacCodec().decode(_stream([frame], channels=2, total=64))
+        exp = np.clip(np.round((left + right) / 2), -32768, 32767).astype(np.int16)
+        assert np.array_equal(out["samples"], exp)
+
+    def test_right_side_stereo(self):
+        rng = np.random.default_rng(19)
+        left = rng.integers(-6000, 6000, size=48).astype(np.int64)
+        right = rng.integers(-6000, 6000, size=48).astype(np.int64)
+        side = left - right
+        frame = _frame(48, 9, [_w_verbatim(side, 17), _w_verbatim(right, 16)])
+        out = FlacCodec().decode(_stream([frame], channels=2, total=48))
+        exp = np.clip(np.round((left + right) / 2), -32768, 32767).astype(np.int16)
+        assert np.array_equal(out["samples"], exp)
+
+    def test_mid_side_stereo(self):
+        rng = np.random.default_rng(23)
+        left = rng.integers(-6000, 6000, size=96).astype(np.int64)
+        right = rng.integers(-6000, 6000, size=96).astype(np.int64)
+        mid = (left + right) >> 1
+        side = left - right
+        frame = _frame(96, 10, [_w_verbatim(mid, 16), _w_verbatim(side, 17)])
+        out = FlacCodec().decode(_stream([frame], channels=2, total=96))
+        exp = np.clip(np.round((left + right) / 2), -32768, 32767).astype(np.int16)
+        assert np.array_equal(out["samples"], exp)
+
+    def test_wasted_bits(self):
+        s = (np.arange(-32, 32, dtype=np.int64)) << 3  # all multiples of 8
+        frame = _frame(64, 0, [_w_verbatim(s >> 3, 16, wasted=3)])
+        out = FlacCodec().decode(_stream([frame], total=64))
+        assert np.array_equal(out["samples"], s.astype(np.int16))
+
+    def test_rice2_method_and_partitions(self):
+        rng = np.random.default_rng(29)
+        s = rng.integers(-4000, 4000, size=128).astype(np.int64)
+        frame = _frame(
+            128, 0,
+            [_w_lpc(s, 16, coeffs=[1], shift=0, precision=5, param=12,
+                    method=1, part_order=2)],
+        )
+        out = FlacCodec().decode(_stream([frame], total=128))
+        assert np.array_equal(out["samples"], s.astype(np.int16))
+
+    def test_8bit_depth_rescales(self):
+        s = np.array([-128, -1, 0, 1, 127] * 8, np.int64)
+        frame = _frame(40, 0, [_w_verbatim(s, 8)], ss_code=1)
+        out = FlacCodec().decode(_stream([frame], bps=8, total=40))
+        assert np.array_equal(out["samples"], (s << 8).astype(np.int16))
+
+    def test_sample_rate_code_khz(self):
+        s = np.zeros(32, np.int64)
+        frame = _frame(32, 0, [_w_verbatim(s, 16)], sr_code=12, rate_val=44)
+        out = FlacCodec().decode(_stream([frame], total=32))
+        assert out["sample_rate"] == 44000
+
+    def test_sample_rate_code_tens_of_hz(self):
+        s = np.zeros(32, np.int64)
+        frame = _frame(32, 0, [_w_verbatim(s, 16)], sr_code=14, rate_val=4410)
+        out = FlacCodec().decode(_stream([frame], total=32))
+        assert out["sample_rate"] == 44100
+
+
+class TestFlacRejects:
+    def test_bad_magic(self):
+        with pytest.raises(ValueError, match="not a FLAC"):
+            FlacCodec().decode(b"RIFF" + b"\x00" * 64)
+
+    def test_missing_streaminfo(self):
+        # a padding-only metadata chain
+        payload = b"fLaC" + struct.pack(">I", (1 << 31) | (1 << 24) | 4) + b"\x00" * 4
+        with pytest.raises(ValueError, match="missing FLAC STREAMINFO"):
+            FlacCodec().decode(payload)
+
+    def test_header_crc8_mismatch(self):
+        x = np.arange(100, dtype=np.int16)
+        payload = bytearray(encode_flac(x))
+        # frame starts right after fLaC + 4-byte block header + 34-byte body
+        payload[4 + 4 + 34 + 2] ^= 0x01  # corrupt a frame-header byte
+        with pytest.raises(ValueError, match="CRC-8 mismatch|sync"):
+            FlacCodec().decode(bytes(payload))
+
+    def test_body_crc16_mismatch(self):
+        x = np.arange(200, dtype=np.int16)
+        payload = bytearray(encode_flac(x, subframe="verbatim"))
+        payload[-10] ^= 0xFF  # corrupt subframe data near the stream end
+        with pytest.raises(ValueError, match="CRC-16 mismatch"):
+            FlacCodec().decode(bytes(payload))
+
+    def test_no_frames(self):
+        with pytest.raises(ValueError, match="no frames"):
+            FlacCodec().decode(_stream([], total=0))
+
+    def test_truncated_stream(self):
+        x = np.arange(500, dtype=np.int16)
+        payload = encode_flac(x, subframe="verbatim")
+        with pytest.raises(ValueError, match="truncated"):
+            FlacCodec().decode(payload[: len(payload) - 40])
+
+
+class TestFlacRayIntegration:
+    def test_audio_feature_stage_over_flac_corpus(self, ray_session):
+        import ray.data as rd
+
+        from validatelite_ray.stages.multimodal import AudioFeatureStage
+
+        table = make_flac_audio_table(16, seed=42)
+        out = (
+            rd.from_arrow(table)
+            .map_batches(
+                AudioFeatureStage,
+                fn_constructor_kwargs={"codec": FlacCodec()},
+                batch_format="pyarrow",
+                batch_size=8,
+                concurrency=2,
+            )
+            .sort("item_id")
+            .take_all()
+        )
+        assert len(out) == 16
+        codec = FlacCodec()
+        for row, payload, dur in zip(
+            out, table["payload"].to_pylist(), table["meta_duration_ms"].to_pylist()
+        ):
+            clip = codec.decode(payload)
+            x = clip["samples"].astype(np.float64) / 32768.0
+            assert row["duration_ms"] == int(1000 * len(x) / clip["sample_rate"]) == dur
+            assert row["rms"] == pytest.approx(float(np.sqrt(np.mean(x * x))))

@@ -10,8 +10,11 @@ Decode support comes in two tiers:
   filters, color types 0/2/3/4/6, bit depths 1-16, Adam7 interlace,
   CRC-verified chunks), and ``GifCodec``, a GIF87a/89a decoder with a
   pure-Python LZW core (global/local palettes, interlace, frame
-  placement, extension skip). Any standard tool's BMP/WAV/Y4M/PNG/GIF
-  output decodes here, validated against hand-constructed fixtures.
+  placement, extension skip). ``stages/flac.py`` adds ``FlacCodec``,
+  a full static-FLAC decoder (Rice/Rice2 residuals, fixed + LPC
+  predictors, stereo decorrelation, CRC-verified). Any standard
+  tool's BMP/WAV/Y4M/PNG/GIF/FLAC output decodes here, validated
+  against hand-constructed fixtures.
 * **Injection-only stubs** for formats whose codecs genuinely need
   external native libraries (JPEG/MP3/H.264): ``FakeCodec`` /
   ``FakeAudioCodec`` are deterministic stand-ins, and ``codec=None``
