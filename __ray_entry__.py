@@ -637,6 +637,29 @@ def _q_multimodal_flac(sf_dir: str):
     )
 
 
+def _q_multimodal_jpeg(sf_dir: str):
+    """Actor-pool decode->feature pipeline over REAL baseline JPEG
+    payloads (stages/jpeg.py::JpegCodec — pure-Python Huffman + numpy
+    batched IDCT, no image libraries; full baseline marker stream,
+    any sampling factors, restart intervals, 8/16-bit DQT; validated
+    against error-bounded round trips and spliced marker fixtures in
+    test_jpeg_codec.py). Rows-only: SQL cannot decode JPEG."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.jpeg import JpegCodec, make_jpeg_image_table
+    from validatelite_ray.stages.multimodal import ImageFeatureStage
+
+    n = max(_read(sf_dir, "documents", ["doc_id"]).count() // 8, 16)
+    ds = rd.from_arrow(make_jpeg_image_table(int(n), seed=42))
+    return ds.map_batches(
+        ImageFeatureStage,
+        fn_constructor_kwargs={"codec": JpegCodec()},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    ).drop_columns(["thumb_8x8"])
+
+
 def _q_normalize_text(sf_dir: str):
     """Unicode normalization cleaning pass (NFC + CRLF fold + control
     strip + space collapse + trim + lowercase) — pure Arrow-kernel
@@ -1421,6 +1444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_png_features": _q_multimodal_png,
         "multimodal_gif_features": _q_multimodal_gif,
         "multimodal_flac_features": _q_multimodal_flac,
+        "multimodal_jpeg_features": _q_multimodal_jpeg,
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,

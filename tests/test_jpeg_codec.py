@@ -1,0 +1,187 @@
+"""JpegCodec: real baseline JPEG decode, pure Python + numpy.
+
+JPEG is lossy, so round trips assert tight error bounds; DC-only
+(constant) images reconstruct exactly at quality 100 (quant tables all
+ones). Marker-level variants the encoder doesn't emit (APPn/COM
+segments, 16-bit DQT) are spliced into encoder output by hand.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from validatelite_ray.stages.jpeg import (
+    _DCT_A,
+    _ZIGZAG,
+    JpegCodec,
+    encode_jpeg,
+    make_jpeg_image_table,
+)
+
+
+def _gradient(h: int, w: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (
+        128
+        + 60 * np.sin(xx * rng.uniform(0.05, 0.3))
+        + 40 * np.cos(yy * rng.uniform(0.05, 0.3))
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _maxerr(a: np.ndarray, b: np.ndarray) -> int:
+    return int(np.abs(a.astype(int) - b.astype(int)).max())
+
+
+class TestJpegRoundTrip:
+    def test_constant_image_exact_at_q100(self):
+        px = np.full((24, 40), 77, np.uint8)
+        out = JpegCodec().decode(encode_jpeg(px, quality=100))
+        assert (out["width"], out["height"]) == (40, 24)
+        assert _maxerr(out["pixels"], px) == 0
+
+    @pytest.mark.parametrize("quality,bound", [(100, 2), (95, 3), (85, 5)])
+    def test_smooth_gray_bounds(self, quality, bound):
+        px = _gradient(33, 47, seed=quality)
+        out = JpegCodec().decode(encode_jpeg(px, quality=quality))
+        assert _maxerr(out["pixels"], px) <= bound
+
+    @pytest.mark.parametrize("shape", [(8, 8), (9, 17), (1, 1), (7, 64), (64, 7)])
+    def test_odd_sizes(self, shape):
+        px = _gradient(*shape, seed=shape[0])
+        out = JpegCodec().decode(encode_jpeg(px, quality=100))
+        assert (out["height"], out["width"]) == shape
+        assert _maxerr(out["pixels"], px) <= 2
+
+    @pytest.mark.parametrize("sub", ["444", "420"])
+    def test_color_decodes_luma(self, sub):
+        base = _gradient(33, 47, seed=3).astype(np.float64)
+        rgb = np.clip(
+            np.stack([base, np.roll(base, 5, 0), 255 - base], axis=2), 0, 255
+        ).astype(np.uint8)
+        ytrue = np.clip(
+            np.round(
+                0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        out = JpegCodec().decode(encode_jpeg(rgb, quality=95, subsampling=sub))
+        assert out["pixels"].shape == ytrue.shape
+        assert _maxerr(out["pixels"], ytrue) <= 3
+
+    def test_restart_intervals(self):
+        px = _gradient(48, 80, seed=7)  # 60 MCUs -> many RSTn markers
+        payload = encode_jpeg(px, quality=95, restart_interval=4)
+        assert b"\xff\xd0" in payload  # at least one real restart marker
+        out = JpegCodec().decode(payload)
+        assert _maxerr(out["pixels"], px) <= 3
+
+    def test_zrl_long_zero_runs(self):
+        # build a block whose AC pattern forces ZRL: DC + one
+        # high-frequency coefficient (zigzag index 40), 39 zeros before it
+        coefs = np.zeros(64)
+        coefs[0] = 100.0
+        coefs[40] = 9.0
+        natural = np.zeros(64)
+        natural[_ZIGZAG] = coefs
+        block = _DCT_A.T @ natural.reshape(8, 8) @ _DCT_A + 128
+        px = np.clip(np.round(block), 0, 255).astype(np.uint8)
+        out = JpegCodec().decode(encode_jpeg(px, quality=100))
+        assert _maxerr(out["pixels"], px) <= 2
+
+    def test_encode_rejects_bad_input(self):
+        with pytest.raises(ValueError):
+            encode_jpeg(np.zeros((2, 2, 4), np.uint8))
+        with pytest.raises(ValueError):
+            encode_jpeg(np.zeros((0, 4), np.uint8))
+        with pytest.raises(ValueError):
+            encode_jpeg(np.zeros((4, 4), np.uint8), subsampling="422")
+
+
+class TestJpegMarkerHandling:
+    def test_appn_and_com_segments_skipped(self):
+        px = _gradient(16, 16, seed=1)
+        payload = encode_jpeg(px, quality=100)
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+        com = b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+        spliced = payload[:2] + app0 + com + payload[2:]
+        out = JpegCodec().decode(spliced)
+        assert _maxerr(out["pixels"], px) <= 2
+
+    def test_16bit_dqt(self):
+        px = _gradient(16, 16, seed=2)
+        payload = encode_jpeg(px, quality=100)
+        # encoder emits SOI + DQT(67 bytes body incl. id) first
+        assert payload[2:4] == b"\xff\xdb"
+        (length,) = struct.unpack_from(">H", payload, 4)
+        assert length == 67
+        table8 = payload[7 : 7 + 64]
+        dqt16 = (
+            b"\xff\xdb"
+            + struct.pack(">H", 2 + 1 + 128)
+            + bytes([0x10])
+            + b"".join(struct.pack(">H", v) for v in table8)
+        )
+        spliced = payload[:2] + dqt16 + payload[2 + 4 + 65 :]
+        out = JpegCodec().decode(spliced)
+        assert _maxerr(out["pixels"], px) <= 2
+
+    def test_rejects(self):
+        with pytest.raises(ValueError, match="not a JPEG"):
+            JpegCodec().decode(b"\x89PNG\r\n\x1a\n")
+        px = _gradient(16, 16)
+        payload = bytearray(encode_jpeg(px))
+        sof_at = bytes(payload).index(b"\xff\xc0")
+        payload[sof_at + 1] = 0xC2  # pretend progressive
+        with pytest.raises(ValueError, match="progressive"):
+            JpegCodec().decode(bytes(payload))
+
+    def test_truncated_entropy_data(self):
+        px = _gradient(32, 32, seed=5)
+        payload = encode_jpeg(px, quality=100)
+        with pytest.raises(ValueError, match="exhausted|truncated"):
+            JpegCodec().decode(payload[: len(payload) - 60])
+
+    def test_missing_sos(self):
+        px = _gradient(8, 8)
+        payload = encode_jpeg(px)
+        sos_at = payload.index(b"\xff\xda")
+        with pytest.raises(ValueError, match="missing SOF/SOS"):
+            JpegCodec().decode(payload[:sos_at] + b"\xff\xd9")
+
+
+class TestJpegRayIntegration:
+    def test_feature_stage_over_jpeg_corpus(self, ray_session):
+        import ray.data as rd
+
+        from validatelite_ray.stages.multimodal import ImageFeatureStage
+
+        table = make_jpeg_image_table(16, seed=42)
+        out = (
+            rd.from_arrow(table)
+            .map_batches(
+                ImageFeatureStage,
+                fn_constructor_kwargs={"codec": JpegCodec()},
+                batch_format="pyarrow",
+                batch_size=8,
+                concurrency=2,
+            )
+            .sort("item_id")
+            .take_all()
+        )
+        assert len(out) == 16
+        codec = JpegCodec()
+        for row, payload, w, h in zip(
+            out,
+            table["payload"].to_pylist(),
+            table["meta_width"].to_pylist(),
+            table["meta_height"].to_pylist(),
+        ):
+            img = codec.decode(payload)
+            assert (row["width"], row["height"]) == (w, h) == (img["width"], img["height"])
+            assert row["mean_intensity"] == pytest.approx(float(img["pixels"].mean()))

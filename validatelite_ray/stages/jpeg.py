@@ -1,0 +1,619 @@
+"""REAL baseline JPEG decoder — pure Python + numpy, no imaging libs.
+
+Baseline sequential JPEG (ITU-T T.81 / ISO 10918-1, SOF0/SOF1) is
+fully implementable without native libraries: Huffman-coded DCT
+coefficients over 8x8 blocks. This module decodes:
+
+* the complete marker stream: SOI, APPn/COM (skipped), DQT (8- and
+  16-bit tables, multi-table segments), DHT (multi-table segments),
+  SOF0/SOF1, DRI restart intervals, SOS, RSTn markers, EOI
+* interleaved scans with any sampling factors (4:4:4, 4:2:2, 4:2:0,
+  ...), 1-4 components, byte-stuffed entropy data
+* Huffman DC (differential) + AC (run/size, EOB, ZRL) decoding,
+  dequantization, vectorized 8x8 inverse DCT over all blocks at once
+
+The grayscale output is the luma (Y) plane directly — chroma blocks
+are entropy-decoded to keep the bitstream in sync but skip the IDCT,
+which is exactly what a features-only pipeline wants. Progressive
+(SOF2) and arithmetic-coded files raise a clear ``ValueError``.
+
+``encode_jpeg`` writes real baseline JPEG (grayscale or 4:4:4 / 4:2:0
+YCbCr color, Annex-K tables scaled by the libjpeg quality formula,
+optional restart intervals) so round-trip tests cover every decoder
+path. JPEG is lossy: round trips assert tight error bounds, and
+DC-only (constant) images reconstruct exactly at quality 100.
+
+Output matches the ``ImageFeatureStage`` contract of
+``stages/multimodal.py``. Parity note: the reference repo treats media
+as opaque payloads only; this codec exists so the Ray-side actor-pool
+image decode path is exercised end-to-end on the single most common
+compressed image format.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["JpegCodec", "encode_jpeg", "make_jpeg_image_table"]
+
+#: zigzag scan order: index i holds the natural (row-major) position of
+#: the i-th zigzag coefficient
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+#: Annex K quantization tables (natural order)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+])
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+])
+
+#: Annex K Huffman specs: (BITS[1..16], HUFFVAL)
+_HUFF_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_HUFF_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                   list(range(12)))
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis A: forward F = A f A^T, inverse
+    f = A^T F A."""
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    a = np.cos((2 * n + 1) * k * np.pi / 16) / 2
+    a[0] /= np.sqrt(2)
+    return a
+
+
+_DCT_A = _dct_matrix()
+
+
+def _build_huff_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: map (code length, code) -> symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[vi]
+            code += 1
+            vi += 1
+        code <<= 1
+    return table
+
+
+def _build_huff_encode(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    return {sym: (length, code)
+            for (length, code), sym in _build_huff_decode(bits, vals).items()}
+
+
+def _extend(value: int, size: int) -> int:
+    """JPEG F.2.2.1 EXTEND: map a `size`-bit magnitude code to signed."""
+    return value if value >= (1 << (size - 1)) else value - (1 << size) + 1
+
+
+class _ScanBits:
+    """Bit reader over de-stuffed entropy segments (one per restart
+    interval); MSB-first, as JPEG requires."""
+
+    def __init__(self, segments: list[bytes]):
+        self.segments = segments
+        self.seg_idx = 0
+        self.data = segments[0] if segments else b""
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data) * 8:
+            raise ValueError("JPEG entropy data exhausted")
+        b = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def next_segment(self) -> None:
+        self.seg_idx += 1
+        if self.seg_idx >= len(self.segments):
+            raise ValueError("JPEG scan ended before all restart intervals")
+        self.data = self.segments[self.seg_idx]
+        self.pos = 0
+
+    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+class JpegCodec:
+    """Decoder for baseline sequential JPEG (see module docstring).
+    Output contract matches ``BmpCodec``/``PngCodec``: 8-bit grayscale
+    ``pixels`` — the luma plane directly."""
+
+    def decode(self, payload: bytes) -> dict:
+        if payload is None or payload[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG payload")
+        pos = 2
+        qt: dict[int, np.ndarray] = {}
+        huff_dc: dict[int, dict] = {}
+        huff_ac: dict[int, dict] = {}
+        restart_interval = 0
+        frame = None
+        scan = None
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("bad JPEG marker alignment")
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                continue
+            if marker == 0xD9:
+                break
+            (length,) = struct.unpack_from(">H", payload, pos)
+            seg = payload[pos + 2 : pos + length]
+            pos += length
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                    i += 1
+                    if pq:
+                        tbl = np.frombuffer(seg, ">u2", count=64, offset=i).astype(
+                            np.int32
+                        )
+                        i += 128
+                    else:
+                        tbl = np.frombuffer(seg, np.uint8, count=64, offset=i).astype(
+                            np.int32
+                        )
+                        i += 64
+                    qt[tq] = tbl  # zigzag order
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 0x0F
+                    bits = list(seg[i + 1 : i + 17])
+                    n = sum(bits)
+                    vals = list(seg[i + 17 : i + 17 + n])
+                    i += 17 + n
+                    (huff_ac if tc else huff_dc)[th] = _build_huff_decode(bits, vals)
+            elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline/extended
+                precision, height, width, ncomp = struct.unpack_from(">BHHB", seg, 0)
+                if precision != 8:
+                    raise ValueError(f"{precision}-bit JPEG not supported")
+                comps = []
+                for c in range(ncomp):
+                    cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                    comps.append(
+                        {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                    )
+                frame = {"w": width, "h": height, "comps": comps}
+            elif marker == 0xC2:
+                raise ValueError("progressive JPEG (SOF2) not supported")
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                            0xCD, 0xCE, 0xCF):
+                raise ValueError(f"unsupported JPEG frame type 0x{marker:02x}")
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack_from(">H", seg, 0)
+            elif marker == 0xDA:  # SOS
+                ns = seg[0]
+                scan = []
+                for c in range(ns):
+                    cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                    scan.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 0x0F})
+                # entropy-coded data follows until the next marker
+                segments, pos = self._destuff(payload, pos)
+                break
+        if frame is None or scan is None:
+            raise ValueError("JPEG missing SOF/SOS")
+
+        comps = frame["comps"]
+        by_id = {c["id"]: c for c in comps}
+        scan_comps = []
+        for s in scan:
+            if s["cs"] not in by_id:
+                raise ValueError("JPEG scan references unknown component")
+            scan_comps.append({**by_id[s["cs"]], **s})
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcus_x = -(-frame["w"] // (8 * hmax))
+        mcus_y = -(-frame["h"] // (8 * vmax))
+
+        br = _ScanBits(segments)
+        dc_pred = {c["id"]: 0 for c in scan_comps}
+        luma_id = scan_comps[0]["id"]  # first scan component is Y per JFIF
+        luma = scan_comps[0]
+        n_luma_blocks = mcus_x * mcus_y * luma["h"] * luma["v"]
+        luma_coefs = np.zeros((n_luma_blocks, 64), np.int32)
+        li = 0
+        mcu_count = 0
+        for _ in range(mcus_x * mcus_y):
+            if restart_interval and mcu_count == restart_interval:
+                br.next_segment()
+                dc_pred = {c["id"]: 0 for c in scan_comps}
+                mcu_count = 0
+            for c in scan_comps:
+                dct = huff_dc.get(c["td"])
+                act = huff_ac.get(c["ta"])
+                if dct is None or act is None:
+                    raise ValueError("JPEG scan uses undefined Huffman table")
+                for _ in range(c["h"] * c["v"]):
+                    coefs = self._decode_block(br, dct, act, dc_pred, c["id"])
+                    if c["id"] == luma_id:
+                        luma_coefs[li] = coefs
+                        li += 1
+            mcu_count += 1
+
+        q = qt.get(luma["tq"])
+        if q is None:
+            raise ValueError("JPEG luma component uses undefined quant table")
+        # dequantize (zigzag order), un-zigzag, batched inverse DCT
+        deq = np.zeros((n_luma_blocks, 64), np.float64)
+        deq[:, _ZIGZAG] = luma_coefs * q
+        blocks = deq.reshape(-1, 8, 8)
+        pix = _DCT_A.T @ blocks @ _DCT_A + 128.0
+        pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
+        # blocks arrive in MCU order: tile them into the luma plane
+        bh, bv = luma["h"], luma["v"]
+        plane = (
+            pix.reshape(mcus_y, mcus_x, bv, bh, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * bv * 8, mcus_x * bh * 8)
+        )
+        if bh < hmax or bv < vmax:  # subsampled luma (rare): replicate up
+            plane = np.repeat(np.repeat(plane, vmax // bv, 0), hmax // bh, 1)
+        plane = plane[: frame["h"], : frame["w"]]
+        return {
+            "width": frame["w"],
+            "height": frame["h"],
+            "pixels": np.ascontiguousarray(plane),
+        }
+
+    @staticmethod
+    def _destuff(payload: bytes, pos: int) -> tuple[list[bytes], int]:
+        """Split entropy-coded data into de-stuffed per-restart segments."""
+        segments: list[bytes] = []
+        cur = bytearray()
+        n = len(payload)
+        while pos < n:
+            b = payload[pos]
+            if b != 0xFF:
+                cur.append(b)
+                pos += 1
+                continue
+            nxt = payload[pos + 1] if pos + 1 < n else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                pos += 2
+            else:  # next real marker (EOI or otherwise) ends the scan
+                break
+        segments.append(bytes(cur))
+        return segments, pos
+
+    @staticmethod
+    def _decode_block(br: _ScanBits, dct: dict, act: dict, dc_pred: dict,
+                      cid: int) -> np.ndarray:
+        coefs = np.zeros(64, np.int32)
+        size = br.decode_huff(dct)
+        diff = _extend(br.read(size), size) if size else 0
+        dc_pred[cid] += diff
+        coefs[0] = dc_pred[cid]
+        k = 1
+        while k < 64:
+            rs = br.decode_huff(act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL: sixteen zeros
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC coefficient index overflow")
+            coefs[k] = _extend(br.read(s), s)
+            k += 1
+        return coefs
+
+    def resize(self, pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+        h, w = pixels.shape
+        ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+        xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+        return pixels[np.ix_(ys, xs)]
+
+
+class _BitWriterMSB:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:  # pad with 1-bits per spec
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        return bytes(self.buf)
+
+
+def _scale_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H, W) plane (H, W multiples of 8) -> (n_blocks, 64) quantized
+    zigzag coefficients, block raster order. ``q`` is in ZIGZAG order
+    (the DQT wire order), matching the coefficient layout."""
+    h, w = plane.shape
+    blocks = (
+        plane.astype(np.float64)
+        .reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    ) - 128.0
+    f = _DCT_A @ blocks @ _DCT_A.T
+    zz = f.reshape(-1, 64)[:, _ZIGZAG]
+    return np.round(zz / q).astype(np.int32)
+
+
+def _encode_block(bw: _BitWriterMSB, coefs: np.ndarray, dc_pred: int,
+                  dc_tbl: dict, ac_tbl: dict) -> int:
+    diff = int(coefs[0]) - dc_pred
+    mag = abs(diff)
+    size = mag.bit_length()
+    length, code = dc_tbl[size]
+    bw.write(code, length)
+    if size:
+        bw.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(coefs)[0])) if np.any(coefs[1:]) else 0
+    for k in range(1, 64):
+        v = int(coefs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_tbl[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size = abs(v).bit_length()
+        length, code = ac_tbl[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+        if k == last_nz:
+            break
+    if last_nz < 63:
+        length, code = ac_tbl[0x00]  # EOB
+        bw.write(code, length)
+    return int(coefs[0])
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, -h % mh), (0, -w % mw)), mode="edge")
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Writer for real baseline JPEG from (H, W) grayscale or (H, W, 3)
+    RGB uint8 (Annex-K Huffman + quality-scaled quant tables; standard
+    viewers open the result). ``subsampling``: "444" or "420" (color
+    only). ``restart_interval`` emits DRI + RSTn every k MCUs."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim not in (2, 3) or px.size == 0 or (px.ndim == 3 and px.shape[2] != 3):
+        raise ValueError("encode_jpeg expects non-empty (H, W) or (H, W, 3) uint8")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    h, w = px.shape[:2]
+    color = px.ndim == 3
+    # scale in natural order, then convert to zigzag (the wire + coef order)
+    qy = _scale_qt(_QT_LUMA, quality)[_ZIGZAG]
+    qc = _scale_qt(_QT_CHROMA, quality)[_ZIGZAG]
+
+    if color:
+        rgb = px.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2] + 128
+        cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2] + 128
+        y, cb, cr = (np.clip(np.round(p), 0, 255) for p in (y, cb, cr))
+        if subsampling == "420":
+            hs = vs = 2
+            # simple 2x2 mean subsample on the edge-padded plane
+            cb2 = _pad_to(cb, 2, 2)
+            cr2 = _pad_to(cr, 2, 2)
+            cbs = cb2.reshape(cb2.shape[0] // 2, 2, cb2.shape[1] // 2, 2).mean((1, 3))
+            crs = cr2.reshape(cr2.shape[0] // 2, 2, cr2.shape[1] // 2, 2).mean((1, 3))
+            planes = [(_pad_to(y, 16, 16), qy), (_pad_to(cbs, 8, 8), qc),
+                      (_pad_to(crs, 8, 8), qc)]
+        else:
+            hs = vs = 1
+            planes = [(_pad_to(p, 8, 8), t) for p, t in
+                      ((y, qy), (cb, qc), (cr, qc))]
+        comps = [(1, hs, vs, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    else:
+        hs = vs = 1
+        planes = [(_pad_to(px, 8, 8), qy)]
+        comps = [(1, 1, 1, 0)]
+
+    coef_sets = [_fdct_quant(p, q) for p, q in planes]
+
+    out = bytearray(b"\xff\xd8")
+    # DQT: table 0 (luma) and, for color, table 1 (chroma); zigzag order
+    out += _seg(0xDB, bytes([0x00]) + qy.astype(np.uint8).tobytes())
+    if color:
+        out += _seg(0xDB, bytes([0x01]) + qc.astype(np.uint8).tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, ch, cv, tq in comps:
+        sof += bytes([cid, (ch << 4) | cv, tq])
+    out += _seg(0xC0, sof)
+    for tc, th, (bits, vals) in (
+        [(0, 0, _HUFF_DC_LUMA), (1, 0, _HUFF_AC_LUMA)]
+        + ([(0, 1, _HUFF_DC_CHROMA), (1, 1, _HUFF_AC_CHROMA)] if color else [])
+    ):
+        out += _seg(0xC4, bytes([(tc << 4) | th] + bits) + bytes(vals))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for cid, _, _, tq in comps:
+        sos += bytes([cid, (tq << 4) | tq])  # table th == component's 0/1 split
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    dc_enc = [_build_huff_encode(*_HUFF_DC_LUMA), _build_huff_encode(*_HUFF_DC_CHROMA)]
+    ac_enc = [_build_huff_encode(*_HUFF_AC_LUMA), _build_huff_encode(*_HUFF_AC_CHROMA)]
+    mcus_x = planes[0][0].shape[1] // (8 * hs)
+    mcus_y = planes[0][0].shape[0] // (8 * vs)
+    blocks_per_row = [p.shape[1] // 8 for p, _ in planes]
+    dc_pred = [0] * len(planes)
+    bw = _BitWriterMSB()
+    mcu_i = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i == restart_interval:
+                out += bw.flush()
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                mcu_i = 0
+                dc_pred = [0] * len(planes)
+                bw = _BitWriterMSB()
+            for ci, (coefs, (cid, ch, cv, tq)) in enumerate(zip(coef_sets, comps)):
+                for by in range(cv):
+                    for bx in range(ch):
+                        bi = (my * cv + by) * blocks_per_row[ci] + (mx * ch + bx)
+                        dc_pred[ci] = _encode_block(
+                            bw, coefs[bi], dc_pred[ci], dc_enc[min(tq, 1)],
+                            ac_enc[min(tq, 1)]
+                        )
+            mcu_i += 1
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def make_jpeg_image_table(n: int = 64, seed: int = 42):
+    """Deterministic corpus of REAL baseline JPEG payloads (decodable
+    by any image tool, and by ``JpegCodec`` with zero external libs).
+    Mixes grayscale/color, 4:4:4/4:2:0 and restart intervals."""
+    import pyarrow as pa
+
+    from validatelite_ray.stages.multimodal import MULTIMODAL_SCHEMA
+
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("item_id", "modality", "media_type", "payload",
+                            "meta_width", "meta_height", "meta_duration_ms")}
+    for i in range(n):
+        w, h = int(rng.integers(8, 56)), int(rng.integers(8, 56))
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (
+            128
+            + 100 * np.sin(xx * rng.uniform(0.05, 0.3))
+            + 60 * np.cos(yy * rng.uniform(0.05, 0.3))
+        )
+        if i % 2:
+            px = np.clip(base, 0, 255).astype(np.uint8)
+            payload = encode_jpeg(px, quality=90,
+                                  restart_interval=3 if i % 4 == 1 else 0)
+        else:
+            px = np.clip(
+                np.stack([base, np.roll(base, 3, 0), 255 - base], axis=2), 0, 255
+            ).astype(np.uint8)
+            payload = encode_jpeg(px, quality=90,
+                                  subsampling="420" if i % 4 == 0 else "444")
+        rows["item_id"].append(i)
+        rows["modality"].append("image")
+        rows["media_type"].append("image/jpeg")
+        rows["payload"].append(payload)
+        rows["meta_width"].append(w)
+        rows["meta_height"].append(h)
+        rows["meta_duration_ms"].append(0)
+    return pa.table(rows, schema=MULTIMODAL_SCHEMA)

@@ -12,13 +12,16 @@ Decode support comes in two tiers:
   pure-Python LZW core (global/local palettes, interlace, frame
   placement, extension skip). ``stages/flac.py`` adds ``FlacCodec``,
   a full static-FLAC decoder (Rice/Rice2 residuals, fixed + LPC
-  predictors, stereo decorrelation, CRC-verified). Any standard
-  tool's BMP/WAV/Y4M/PNG/GIF/FLAC output decodes here, validated
-  against hand-constructed fixtures.
-* **Injection-only stubs** for formats whose codecs genuinely need
-  external native libraries (JPEG/MP3/H.264): ``FakeCodec`` /
-  ``FakeAudioCodec`` are deterministic stand-ins, and ``codec=None``
-  raises ``NotImplementedError`` at the decode step.
+  predictors, stereo decorrelation, CRC-verified), and
+  ``stages/jpeg.py`` adds ``JpegCodec``, a baseline-JPEG decoder
+  (Huffman + batched numpy IDCT, any sampling factors, restart
+  intervals). Any standard tool's BMP/WAV/Y4M/PNG/GIF/FLAC/baseline-
+  JPEG output decodes here, validated against hand-built fixtures.
+* **Injection-only stubs** for the remaining perceptual-codec formats
+  (MP3/AAC/H.264 — psychoacoustic/motion-compensated decoders that
+  genuinely need native libraries): ``FakeCodec`` / ``FakeAudioCodec``
+  are deterministic stand-ins, and ``codec=None`` raises
+  ``NotImplementedError`` at the decode step.
 
 Everything Ray-side is real and tested either way: schemas, actor-pool
 signatures, small-batch sizing for wide binary rows, and the output
