@@ -323,3 +323,20 @@ class TestFlacRayIntegration:
             x = clip["samples"].astype(np.float64) / 32768.0
             assert row["duration_ms"] == int(1000 * len(x) / clip["sample_rate"]) == dur
             assert row["rms"] == pytest.approx(float(np.sqrt(np.mean(x * x))))
+
+
+class TestFlacReviewFixes:
+    """Regressions for the round-5 codec review findings."""
+
+    def test_sample_rate_out_of_16bit_range_rejected(self):
+        x = np.zeros(100, np.int16)
+        with pytest.raises(ValueError, match="sample_rate must be"):
+            encode_flac(x, sample_rate=96000)
+        with pytest.raises(ValueError, match="sample_rate must be"):
+            encode_flac(x, sample_rate=0)
+
+    def test_max_16bit_rate_round_trips(self):
+        x = np.arange(100, dtype=np.int16)
+        out = FlacCodec().decode(encode_flac(x, sample_rate=65535))
+        assert out["sample_rate"] == 65535
+        assert np.array_equal(out["samples"], x)

@@ -240,3 +240,18 @@ class TestGifRayIntegration:
             img = codec.decode(payload)
             assert (row["width"], row["height"]) == (img["width"], img["height"])
             assert row["mean_intensity"] == pytest.approx(float(img["pixels"].mean()))
+
+
+class TestGifReviewFixes:
+    """Regressions for the round-5 codec review findings."""
+
+    def test_degenerate_screen_rejected(self):
+        payload = b"GIF89a" + struct.pack("<HHBBB", 0, 0, 0, 0, 0) + b"\x3b"
+        with pytest.raises(ValueError, match="degenerate GIF dimensions"):
+            GifCodec().decode(payload)
+
+    @pytest.mark.parametrize("cut", [8, 14, 300, -3])
+    def test_truncation_raises_value_error(self, cut):
+        payload = encode_gif(np.arange(400, dtype=np.uint8).reshape(20, 20))
+        with pytest.raises(ValueError):
+            GifCodec().decode(payload[:cut] if cut > 0 else payload[: len(payload) + cut])

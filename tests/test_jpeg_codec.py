@@ -185,3 +185,35 @@ class TestJpegRayIntegration:
             img = codec.decode(payload)
             assert (row["width"], row["height"]) == (w, h) == (img["width"], img["height"])
             assert row["mean_intensity"] == pytest.approx(float(img["pixels"].mean()))
+
+
+class TestJpegReviewFixes:
+    """Regressions for the round-5 codec review findings."""
+
+    def test_fill_bytes_before_markers(self):
+        px = _gradient(16, 16, seed=9)
+        payload = encode_jpeg(px, quality=100)
+        sof_at = payload.index(b"\xff\xc0")
+        spliced = payload[:sof_at] + b"\xff\xff\xff" + payload[sof_at + 1 :]
+        out = JpegCodec().decode(spliced)
+        assert _maxerr(out["pixels"], px) <= 2
+
+    def test_degenerate_sof_dimensions_rejected(self):
+        px = _gradient(16, 16, seed=10)
+        payload = bytearray(encode_jpeg(px, quality=100))
+        sof_at = bytes(payload).index(b"\xff\xc0")
+        struct.pack_into(">H", payload, sof_at + 7, 0)  # width := 0
+        with pytest.raises(ValueError, match="degenerate JPEG dimensions"):
+            JpegCodec().decode(bytes(payload))
+
+    def test_non_interleaved_scan_rejected(self):
+        base = _gradient(16, 16, seed=11).astype(np.float64)
+        rgb = np.clip(np.stack([base] * 3, axis=2), 0, 255).astype(np.uint8)
+        payload = bytearray(encode_jpeg(rgb, quality=100))
+        sos_at = bytes(payload).index(b"\xff\xda")
+        # rewrite SOS to reference only component 1 (ns=3 -> ns=1)
+        new_sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+        old_len = struct.unpack_from(">H", payload, sos_at + 2)[0]
+        payload[sos_at : sos_at + 2 + old_len] = new_sos
+        with pytest.raises(ValueError, match="non-interleaved"):
+            JpegCodec().decode(bytes(payload))

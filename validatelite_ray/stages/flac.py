@@ -422,6 +422,10 @@ def encode_flac(
     n, n_ch = x.shape
     if n == 0 or not 1 <= n_ch <= 8:
         raise ValueError("encode_flac expects (n,) or (n, channels<=8) int16")
+    if not 1 <= sample_rate <= 65535:
+        # the frame header carries the rate as sr_code 13 (16-bit Hz);
+        # silently masking would contradict STREAMINFO
+        raise ValueError("encode_flac sample_rate must be 1..65535 Hz")
     bps = 16
     out = bytearray(b"fLaC")
     si = _BitWriter()

@@ -209,6 +209,8 @@ class JpegCodec:
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError("bad JPEG marker alignment")
+            while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+                pos += 1  # T.81 B.1.1.2: 0xFF fill bytes may precede any marker
             marker = payload[pos + 1]
             pos += 2
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
@@ -253,6 +255,8 @@ class JpegCodec:
                     comps.append(
                         {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                     )
+                if width <= 0 or height <= 0:
+                    raise ValueError("degenerate JPEG dimensions")
                 frame = {"w": width, "h": height, "comps": comps}
             elif marker == 0xC2:
                 raise ValueError("progressive JPEG (SOF2) not supported")
@@ -274,6 +278,10 @@ class JpegCodec:
             raise ValueError("JPEG missing SOF/SOS")
 
         comps = frame["comps"]
+        if len(scan) != len(comps):
+            # baseline also permits one-component-per-scan files; decoding
+            # them as interleaved would desync the entropy stream
+            raise ValueError("non-interleaved JPEG scans not supported")
         by_id = {c["id"]: c for c in comps}
         scan_comps = []
         for s in scan:
@@ -385,10 +393,9 @@ class JpegCodec:
         return coefs
 
     def resize(self, pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
-        h, w = pixels.shape
-        ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
-        xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-        return pixels[np.ix_(ys, xs)]
+        from validatelite_ray.stages.multimodal import nearest_resize
+
+        return nearest_resize(pixels, out_w, out_h)
 
 
 class _BitWriterMSB:

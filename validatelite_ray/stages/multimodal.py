@@ -59,6 +59,17 @@ MULTIMODAL_SCHEMA = pa.schema(
 _FAKE_MAGIC = b"FAKE"
 
 
+def nearest_resize(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbour resize shared by every image codec's
+    ``resize`` method (the thumb-8x8 contract of ImageFeatureStage)."""
+    h, w = pixels.shape
+    if h == 0 or w == 0:
+        raise ValueError("cannot resize empty pixel plane")
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return pixels[np.ix_(ys, xs)]
+
+
 def encode_fake_image(width: int, height: int, seed: int = 0) -> bytes:
     """Deterministic fake 'encoded image': header + seeded byte payload."""
     rng = np.random.default_rng(seed)
@@ -78,10 +89,7 @@ class FakeCodec:
         return {"width": width, "height": height, "pixels": pixels}
 
     def resize(self, pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
-        h, w = pixels.shape
-        ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
-        xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-        return pixels[np.ix_(ys, xs)]
+        return nearest_resize(pixels, out_w, out_h)
 
 
 class ImageFeatureStage:
@@ -348,10 +356,7 @@ class BmpCodec:
         return {"width": width, "height": abs_h, "pixels": np.ascontiguousarray(pixels)}
 
     def resize(self, pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
-        h, w = pixels.shape
-        ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
-        xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-        return pixels[np.ix_(ys, xs)]
+        return nearest_resize(pixels, out_w, out_h)
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:
@@ -725,10 +730,7 @@ class PngCodec:
         return {"width": width, "height": height, "pixels": np.ascontiguousarray(gray)}
 
     def resize(self, pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
-        h, w = pixels.shape
-        ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
-        xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-        return pixels[np.ix_(ys, xs)]
+        return nearest_resize(pixels, out_w, out_h)
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -934,7 +936,17 @@ class GifCodec:
     def decode(self, payload: bytes) -> dict:
         if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
             raise ValueError("not a GIF payload")
+        try:
+            return self._decode(payload)
+        except (IndexError, struct.error) as exc:
+            # the block walk indexes raw bytes; a payload cut anywhere
+            # surfaces as one uniform, catchable error type
+            raise ValueError("truncated GIF payload") from exc
+
+    def _decode(self, payload: bytes) -> dict:
         sw, sh, packed, bg, _ = struct.unpack_from("<HHBBB", payload, 6)
+        if sw <= 0 or sh <= 0:
+            raise ValueError("degenerate GIF dimensions")
         pos = 13
         gct = None
         if packed & 0x80:
@@ -1005,10 +1017,7 @@ class GifCodec:
         raise ValueError("GIF contains no image block")
 
     def resize(self, pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
-        h, w = pixels.shape
-        ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
-        xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-        return pixels[np.ix_(ys, xs)]
+        return nearest_resize(pixels, out_w, out_h)
 
 
 def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
