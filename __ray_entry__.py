@@ -660,6 +660,28 @@ def _q_multimodal_jpeg(sf_dir: str):
     ).drop_columns(["thumb_8x8"])
 
 
+def _q_multimodal_mjpeg(sf_dir: str):
+    """Actor-pool frame-sampling pipeline over REAL compressed MJPEG/AVI
+    video payloads (stages/jpeg.py::AviMjpegCodec — RIFF walker +
+    per-frame baseline-JPEG decode, no video libraries; validated in
+    test_jpeg_codec.py::TestAviMjpeg). Flat-map shape: one row per
+    sampled frame. Rows-only: SQL cannot decode MJPEG."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.jpeg import AviMjpegCodec, make_avi_video_table
+    from validatelite_ray.stages.multimodal import FrameSampleStage
+
+    n = max(_read(sf_dir, "documents", ["doc_id"]).count() // 16, 8)
+    ds = rd.from_arrow(make_avi_video_table(int(n), seed=42))
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"codec": AviMjpegCodec(), "every_ms": 200},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+    )
+
+
 def _q_normalize_text(sf_dir: str):
     """Unicode normalization cleaning pass (NFC + CRLF fold + control
     strip + space collapse + trim + lowercase) — pure Arrow-kernel
@@ -1445,6 +1467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_gif_features": _q_multimodal_gif,
         "multimodal_flac_features": _q_multimodal_flac,
         "multimodal_jpeg_features": _q_multimodal_jpeg,
+        "multimodal_mjpeg_frames": _q_multimodal_mjpeg,
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,

@@ -36,7 +36,14 @@ import struct
 
 import numpy as np
 
-__all__ = ["JpegCodec", "encode_jpeg", "make_jpeg_image_table"]
+__all__ = [
+    "AviMjpegCodec",
+    "JpegCodec",
+    "encode_avi_mjpeg",
+    "encode_jpeg",
+    "make_avi_video_table",
+    "make_jpeg_image_table",
+]
 
 #: zigzag scan order: index i holds the natural (row-major) position of
 #: the i-th zigzag coefficient
@@ -623,4 +630,151 @@ def make_jpeg_image_table(n: int = 64, seed: int = 42):
         rows["meta_width"].append(w)
         rows["meta_height"].append(h)
         rows["meta_duration_ms"].append(0)
+    return pa.table(rows, schema=MULTIMODAL_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL compressed-video codec: MJPEG in an AVI (RIFF) container.
+# Composes the RIFF chunk walker with JpegCodec — every frame is a
+# baseline JPEG, so compressed video needs no new entropy machinery.
+# --------------------------------------------------------------------------
+
+
+class AviMjpegCodec:
+    """Decoder for MJPEG-in-AVI — the compressed video format webcams,
+    capture cards and ffmpeg's `-c:v mjpeg` emit. Walks the RIFF tree
+    (hdrl/avih for timing, strl/strh for the rate/scale fps fraction,
+    movi for the frame stream) and decodes each ``00dc``/``00db``
+    chunk with ``JpegCodec``. Output matches the ``FrameSampleStage``
+    contract of stages/multimodal.py: ``{"width", "height", "fps",
+    "frames": (n, h, w) uint8}`` grayscale luma frames."""
+
+    def __init__(self) -> None:
+        self._jpeg = JpegCodec()
+
+    def decode(self, payload: bytes) -> dict:
+        if (
+            payload is None
+            or payload[:4] != b"RIFF"
+            or payload[8:12] != b"AVI "
+        ):
+            raise ValueError("not an AVI payload")
+        try:
+            return self._decode(payload)
+        except (IndexError, struct.error) as exc:
+            raise ValueError("truncated AVI payload") from exc
+
+    def _decode(self, payload: bytes) -> dict:
+        state = {"fps": None, "us_per_frame": None}
+        frames: list[np.ndarray] = []
+
+        def walk(pos: int, end: int) -> None:
+            while pos + 8 <= end:
+                cid = payload[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", payload, pos + 4)
+                body = pos + 8
+                if body + size > len(payload):
+                    raise ValueError("truncated AVI chunk")
+                if cid == b"LIST":
+                    walk(body + 4, body + size)
+                elif cid == b"avih":
+                    (us_pf,) = struct.unpack_from("<I", payload, body)
+                    state["us_per_frame"] = us_pf
+                elif cid == b"strh":
+                    if payload[body : body + 4] == b"vids":
+                        scale, rate = struct.unpack_from("<II", payload, body + 20)
+                        if scale and rate:
+                            state["fps"] = rate / scale
+                elif cid[2:4] in (b"dc", b"db") and size:
+                    img = self._jpeg.decode(payload[body : body + size])
+                    frames.append(img["pixels"])
+                pos = body + size + (size & 1)  # chunks are word-aligned
+
+        walk(12, len(payload))
+        if not frames:
+            raise ValueError("AVI contains no video frames")
+        h, w = frames[0].shape
+        if any(f.shape != (h, w) for f in frames):
+            raise ValueError("AVI frames disagree on dimensions")
+        fps = state["fps"]
+        if fps is None and state["us_per_frame"]:
+            fps = 1_000_000 / state["us_per_frame"]
+        return {
+            "width": w,
+            "height": h,
+            "fps": float(fps or 25.0),
+            "frames": np.stack(frames),
+        }
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    return fourcc + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
+
+
+def _riff_list(list_type: bytes, data: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + data)
+
+
+def encode_avi_mjpeg(
+    frames: np.ndarray, fps: int = 25, quality: int = 90
+) -> bytes:
+    """Writer for MJPEG-in-AVI from (n, h, w) uint8 grayscale frames
+    (each frame a real baseline JPEG; standard players open the
+    result)."""
+    f = np.asarray(frames, np.uint8)
+    if f.ndim != 3 or f.shape[0] == 0:
+        raise ValueError("encode_avi_mjpeg expects non-empty (n, h, w) uint8")
+    n, h, w = f.shape
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 10000, 0, 0)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3,
+                       0, 0, 0, 0)
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(
+        b"movi",
+        b"".join(_riff_chunk(b"00dc", encode_jpeg(f[i], quality=quality))
+                 for i in range(n)),
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_avi_video_table(n: int = 16, seed: int = 42):
+    """Deterministic corpus of REAL MJPEG/AVI payloads (decodable by
+    any video tool, and by ``AviMjpegCodec`` with zero external
+    libs)."""
+    import pyarrow as pa
+
+    from validatelite_ray.stages.multimodal import MULTIMODAL_SCHEMA
+
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("item_id", "modality", "media_type", "payload",
+                            "meta_width", "meta_height", "meta_duration_ms")}
+    for i in range(n):
+        w, h = int(rng.integers(16, 49)), int(rng.integers(16, 49))
+        n_frames = int(rng.integers(3, 12))
+        fps = int(rng.choice([10, 25, 30]))
+        yy, xx = np.mgrid[0:h, 0:w]
+        clip = np.stack([
+            np.clip(128 + 90 * np.sin(xx * 0.15 + t * 0.7)
+                    + 30 * np.cos(yy * 0.2), 0, 255)
+            for t in range(n_frames)
+        ]).astype(np.uint8)
+        rows["item_id"].append(i)
+        rows["modality"].append("video")
+        rows["media_type"].append("video/x-msvideo")
+        rows["payload"].append(encode_avi_mjpeg(clip, fps=fps, quality=92))
+        rows["meta_width"].append(w)
+        rows["meta_height"].append(h)
+        rows["meta_duration_ms"].append(int(1000 * n_frames / fps))
     return pa.table(rows, schema=MULTIMODAL_SCHEMA)

@@ -228,9 +228,11 @@ class FrameSampleStage:
     Codec contract: ``decode(payload) -> {"width", "height", "fps",
     "frames": uint8 ndarray (n, h, w) grayscale}``. ``Y4MCodec`` below
     is a REAL implementation for uncompressed YUV4MPEG2 streams (pure
-    numpy); compressed containers (mp4/webm) need an injected
-    ffmpeg/pyav wrapper — ``codec=None`` raises at the decode step.
-    Output: item_id, frame_idx, t_ms, width, height, mean_intensity.
+    numpy) and ``stages/jpeg.py::AviMjpegCodec`` for compressed
+    MJPEG-in-AVI; inter-frame-coded containers (mp4/webm) need an
+    injected ffmpeg/pyav wrapper — ``codec=None`` raises at the decode
+    step. Output: item_id, frame_idx, t_ms, width, height,
+    mean_intensity.
     """
 
     def __init__(self, every_ms: int = 1000, codec=None, payload_col: str = "payload"):
