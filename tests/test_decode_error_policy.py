@@ -1,0 +1,102 @@
+"""Poison-row policy (`on_error`) for the multimodal feature stages.
+
+At corpus scale one corrupt payload must neither kill a whole block's
+work (on_error="raise" would fail the task) nor silently vanish:
+on_error="null" emits the row with null features and decode_ok=false.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from validatelite_ray.stages.flac import FlacCodec, encode_flac
+from validatelite_ray.stages.jpeg import AviMjpegCodec, encode_avi_mjpeg
+from validatelite_ray.stages.multimodal import (
+    MULTIMODAL_SCHEMA,
+    AudioFeatureStage,
+    FrameSampleStage,
+    ImageFeatureStage,
+    PngCodec,
+    encode_png,
+)
+
+
+def _table(payloads: list[bytes], modality="image") -> pa.Table:
+    n = len(payloads)
+    return pa.table(
+        {
+            "item_id": list(range(n)),
+            "modality": [modality] * n,
+            "media_type": ["application/octet-stream"] * n,
+            "payload": payloads,
+            "meta_width": [0] * n,
+            "meta_height": [0] * n,
+            "meta_duration_ms": [0] * n,
+        },
+        schema=MULTIMODAL_SCHEMA,
+    )
+
+
+class TestImagePolicy:
+    def _batch(self):
+        good = encode_png(np.full((4, 4), 9, np.uint8))
+        return _table([good, b"not an image", good])
+
+    def test_raise_is_default(self):
+        stage = ImageFeatureStage(codec=PngCodec())
+        with pytest.raises(ValueError):
+            stage(self._batch())
+
+    def test_null_emits_flagged_rows(self):
+        stage = ImageFeatureStage(codec=PngCodec(), on_error="null")
+        out = stage(self._batch())
+        assert out["item_id"].to_pylist() == [0, 1, 2]
+        assert out["decode_ok"].to_pylist() == [True, False, True]
+        assert out["width"].to_pylist() == [4, None, 4]
+        assert out["mean_intensity"].to_pylist()[1] is None
+
+    def test_all_rows_bad_still_accounted(self):
+        stage = ImageFeatureStage(codec=PngCodec(), on_error="null")
+        out = stage(_table([b"x", b"y"]))
+        assert out["decode_ok"].to_pylist() == [False, False]
+
+    def test_bad_policy_rejected(self):
+        with pytest.raises(ValueError, match="on_error"):
+            ImageFeatureStage(codec=PngCodec(), on_error="skip")
+
+
+class TestAudioPolicy:
+    def test_null_emits_flagged_rows(self):
+        good = encode_flac(np.arange(100, dtype=np.int16))
+        stage = AudioFeatureStage(codec=FlacCodec(), on_error="null")
+        out = stage(_table([good, b"junk"], modality="audio"))
+        assert out["decode_ok"].to_pylist() == [True, False]
+        assert out["duration_ms"].to_pylist()[1] is None
+
+    def test_raise_is_default(self):
+        stage = AudioFeatureStage(codec=FlacCodec())
+        with pytest.raises(ValueError):
+            stage(_table([b"junk"], modality="audio"))
+
+
+class TestVideoPolicy:
+    def test_null_emits_one_row_per_bad_clip(self):
+        clip = np.full((4, 8, 8), 100, np.uint8)
+        good = encode_avi_mjpeg(clip, fps=10)
+        stage = FrameSampleStage(
+            every_ms=100, codec=AviMjpegCodec(), on_error="null"
+        )
+        out = stage(_table([good, b"junk"], modality="video"))
+        ids = out["item_id"].to_pylist()
+        oks = out["decode_ok"].to_pylist()
+        # clip 0 fans out to 4 sampled frames, clip 1 to exactly 1 null row
+        assert ids.count(1) == 1
+        assert [ok for i, ok in zip(ids, oks) if i == 1] == [False]
+        assert all(ok for i, ok in zip(ids, oks) if i == 0)
+
+    def test_raise_is_default(self):
+        stage = FrameSampleStage(codec=AviMjpegCodec())
+        with pytest.raises(ValueError):
+            stage(_table([b"junk"], modality="video"))

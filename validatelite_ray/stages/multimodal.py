@@ -99,11 +99,27 @@ class ImageFeatureStage:
     a real deployment passes a codec wrapping PIL/turbojpeg. Output
     columns: item_id, width, height, mean_intensity, thumb_8x8
     (fixed-size list<uint8>), preserving input order.
+
+    ``on_error`` is the corpus-scale poison-row policy: ``"raise"``
+    (default — fail the task, right for trusted fixtures) or
+    ``"null"`` — a payload whose decode raises ValueError still emits
+    its row, with null feature columns and ``decode_ok=false``, so at
+    100 TB one corrupt file neither kills a whole block's work nor
+    vanishes from the accounting (downstream filters or aggregates on
+    ``decode_ok``).
     """
 
-    def __init__(self, codec: FakeCodec | None = None, payload_col: str = "payload"):
+    def __init__(
+        self,
+        codec: FakeCodec | None = None,
+        payload_col: str = "payload",
+        on_error: str = "raise",
+    ):
+        if on_error not in ("raise", "null"):
+            raise ValueError("on_error must be 'raise' or 'null'")
         self.codec = codec
         self.payload_col = payload_col
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.codec is None:
@@ -111,18 +127,30 @@ class ImageFeatureStage:
                 "image decode requires a codec (PIL/libjpeg not available in "
                 "this environment); pass codec=FakeCodec() for the tested stub"
             )
-        ids, widths, heights, means, thumbs = [], [], [], [], []
+        ids, widths, heights, means, thumbs, oks = [], [], [], [], [], []
         for item_id, payload in zip(
             batch["item_id"].to_pylist(), batch[self.payload_col].to_pylist()
         ):
-            img = self.codec.decode(payload)
-            thumb = self.codec.resize(img["pixels"], 8, 8)
+            try:
+                img = self.codec.decode(payload)
+                thumb = self.codec.resize(img["pixels"], 8, 8)
+            except ValueError:
+                if self.on_error == "raise":
+                    raise
+                ids.append(item_id)
+                widths.append(None)
+                heights.append(None)
+                means.append(None)
+                thumbs.append(None)
+                oks.append(False)
+                continue
             ids.append(item_id)
             widths.append(img["width"])
             heights.append(img["height"])
             means.append(float(img["pixels"].mean()))
             thumbs.append(thumb.ravel().tolist())
-        return pa.table(
+            oks.append(True)
+        out = pa.table(
             {
                 "item_id": pa.array(ids, pa.int64()),
                 "width": pa.array(widths, pa.int32()),
@@ -131,6 +159,9 @@ class ImageFeatureStage:
                 "thumb_8x8": pa.array(thumbs, pa.list_(pa.uint8(), 64)),
             }
         )
+        if self.on_error == "null":
+            out = out.append_column("decode_ok", pa.array(oks, pa.bool_()))
+        return out
 
 
 _FAKE_AUDIO_MAGIC = b"FAKA"
@@ -167,12 +198,22 @@ class AudioFeatureStage:
     (FakeAudioCodec for tests, soundfile/ffmpeg wrapper in production)
     is held per actor. Output: item_id, duration_ms, rms,
     zero_crossing_rate — the numpy feature math is real and vectorized
-    per clip.
+    per clip. ``on_error`` follows the ``ImageFeatureStage`` poison-row
+    policy: ``"raise"`` (default) or ``"null"`` (null features +
+    ``decode_ok`` flag).
     """
 
-    def __init__(self, codec: FakeAudioCodec | None = None, payload_col: str = "payload"):
+    def __init__(
+        self,
+        codec: FakeAudioCodec | None = None,
+        payload_col: str = "payload",
+        on_error: str = "raise",
+    ):
+        if on_error not in ("raise", "null"):
+            raise ValueError("on_error must be 'raise' or 'null'")
         self.codec = codec
         self.payload_col = payload_col
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.codec is None:
@@ -180,11 +221,21 @@ class AudioFeatureStage:
                 "audio decode requires a codec (soundfile/ffmpeg not available "
                 "in this environment); pass codec=FakeAudioCodec() for the stub"
             )
-        ids, durs, rmss, zcrs = [], [], [], []
+        ids, durs, rmss, zcrs, oks = [], [], [], [], []
         for item_id, payload in zip(
             batch["item_id"].to_pylist(), batch[self.payload_col].to_pylist()
         ):
-            clip = self.codec.decode(payload)
+            try:
+                clip = self.codec.decode(payload)
+            except ValueError:
+                if self.on_error == "raise":
+                    raise
+                ids.append(item_id)
+                durs.append(None)
+                rmss.append(None)
+                zcrs.append(None)
+                oks.append(False)
+                continue
             x = clip["samples"].astype(np.float64) / 32768.0
             ids.append(item_id)
             durs.append(int(1000 * len(x) / clip["sample_rate"]))
@@ -194,7 +245,8 @@ class AudioFeatureStage:
                 if len(x) > 1
                 else 0.0
             )
-        return pa.table(
+            oks.append(True)
+        out = pa.table(
             {
                 "item_id": pa.array(ids, pa.int64()),
                 "duration_ms": pa.array(durs, pa.int32()),
@@ -202,6 +254,9 @@ class AudioFeatureStage:
                 "zero_crossing_rate": pa.array(zcrs, pa.float64()),
             }
         )
+        if self.on_error == "null":
+            out = out.append_column("decode_ok", pa.array(oks, pa.bool_()))
+        return out
 
 
 def make_fake_audio_table(n: int = 64, seed: int = 42) -> pa.Table:
@@ -232,13 +287,25 @@ class FrameSampleStage:
     MJPEG-in-AVI; inter-frame-coded containers (mp4/webm) need an
     injected ffmpeg/pyav wrapper — ``codec=None`` raises at the decode
     step. Output: item_id, frame_idx, t_ms, width, height,
-    mean_intensity.
+    mean_intensity. ``on_error="null"`` emits ONE row per undecodable
+    clip (frame_idx/t_ms/features null, ``decode_ok=false``) so the
+    poison clip stays visible in the flat-mapped output; the default
+    ``"raise"`` fails the task.
     """
 
-    def __init__(self, every_ms: int = 1000, codec=None, payload_col: str = "payload"):
+    def __init__(
+        self,
+        every_ms: int = 1000,
+        codec=None,
+        payload_col: str = "payload",
+        on_error: str = "raise",
+    ):
+        if on_error not in ("raise", "null"):
+            raise ValueError("on_error must be 'raise' or 'null'")
         self.every_ms = every_ms
         self.codec = codec
         self.payload_col = payload_col
+        self.on_error = on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.codec is None:
@@ -247,11 +314,23 @@ class FrameSampleStage:
                 "this environment for compressed containers); pass "
                 "codec=Y4MCodec() for uncompressed YUV4MPEG2"
             )
-        ids, idxs, ts, ws, hs, means = [], [], [], [], [], []
+        ids, idxs, ts, ws, hs, means, oks = [], [], [], [], [], [], []
         for item_id, payload in zip(
             batch["item_id"].to_pylist(), batch[self.payload_col].to_pylist()
         ):
-            clip = self.codec.decode(payload)
+            try:
+                clip = self.codec.decode(payload)
+            except ValueError:
+                if self.on_error == "raise":
+                    raise
+                ids.append(item_id)
+                idxs.append(None)
+                ts.append(None)
+                ws.append(None)
+                hs.append(None)
+                means.append(None)
+                oks.append(False)
+                continue
             frames = clip["frames"]
             fps = float(clip["fps"])
             step = max(1, int(round(self.every_ms * fps / 1000.0)))
@@ -262,7 +341,8 @@ class FrameSampleStage:
                 ws.append(clip["width"])
                 hs.append(clip["height"])
                 means.append(float(frames[i].mean()))
-        return pa.table(
+                oks.append(True)
+        out = pa.table(
             {
                 "item_id": pa.array(ids, pa.int64()),
                 "frame_idx": pa.array(idxs, pa.int32()),
@@ -272,6 +352,9 @@ class FrameSampleStage:
                 "mean_intensity": pa.array(means, pa.float64()),
             }
         )
+        if self.on_error == "null":
+            out = out.append_column("decode_ok", pa.array(oks, pa.bool_()))
+        return out
 
 
 def make_fake_image_table(n: int = 64, seed: int = 42) -> pa.Table:
