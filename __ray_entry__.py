@@ -682,6 +682,99 @@ def _q_multimodal_mjpeg(sf_dir: str):
     )
 
 
+def _q_html_extract(sf_dir: str):
+    """HTML -> text extraction (stages/html.py): wrap each document in
+    deterministic HTML (escaped title + body paragraph), then recover
+    title and text with the pure-stdlib extractor. Lossless for this
+    corpus, so it is FULLY oracled: the DuckDB oracle reproduces the
+    recovered columns directly from the documents table."""
+    import html as _h
+
+    import pyarrow as pa
+
+    from validatelite_ray.stages.html import extract_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        docs = [
+            f"<html><head><title>doc {i}</title></head>"
+            f"<body><p>{_h.escape(t)}</p></body></html>"
+            for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist())
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "html": pa.array(docs, pa.string())}
+        )
+
+    wrapped = ds.map_batches(wrap, batch_format="pyarrow")
+    out = extract_text(
+        wrapped, column="html", out_text="text_out", out_title="title",
+        out_links=None,
+    )
+    return out.select_columns(["doc_id", "title", "text_out"])
+
+
+def _q_warc_pipeline(sf_dir: str):
+    """Full crawl-corpus front end: documents -> deterministic
+    .warc/.warc.gz shards on disk -> read_warc (one Ray block per
+    shard, member-per-record gunzip) -> HTTP-response filter ->
+    HTML->text extraction -> per-page token count. Rows-only: the
+    oracle cannot read WARC. sources/warc.py + stages/html.py."""
+    import html as _h
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from validatelite_ray.sources.warc import make_warc_bytes, read_warc
+    from validatelite_ray.stages.html import extract_text
+
+    tbl = _read(sf_dir, "documents", ["doc_id", "text"]).sort("doc_id").take_all()
+    shard_dir = "/tmp/vlray_warc_contract"
+    os.makedirs(shard_dir, exist_ok=True)
+    n_shards = 4
+    paths = []
+    for s in range(n_shards):
+        pages = [
+            (
+                f"http://corpus.local/doc/{r['doc_id']}",
+                (
+                    f"<html><head><title>doc {r['doc_id']}</title></head>"
+                    f"<body><p>{_h.escape(r['text'])}</p>"
+                    f"<a href=\"/doc/{r['doc_id'] + 1}\">next</a></body></html>"
+                ).encode(),
+            )
+            for r in tbl
+            if r["doc_id"] % n_shards == s
+        ]
+        gz = s % 2 == 0
+        path = os.path.join(shard_dir, f"shard-{s}.warc" + (".gz" if gz else ""))
+        with open(path, "wb") as f:
+            f.write(make_warc_bytes(pages, gzipped=gz))
+        paths.append(path)
+
+    pages_ds = read_warc(paths).filter(
+        lambda r: r["warc_type"] == "response"
+    )
+    out = extract_text(pages_ds, column="payload")
+
+    def features(batch: pa.Table) -> pa.Table:
+        n_tokens = pc.list_value_length(
+            pc.split_pattern_regex(batch["text"], r"\s+")
+        )
+        return pa.table(
+            {
+                "target_uri": batch["target_uri"],
+                "http_status": batch["http_status"],
+                "title": batch["title"],
+                "n_tokens": n_tokens,
+                "n_links": pc.list_value_length(batch["links"]),
+            }
+        )
+
+    return out.map_batches(features, batch_format="pyarrow").sort("target_uri")
+
+
 def _q_normalize_text(sf_dir: str):
     """Unicode normalization cleaning pass (NFC + CRLF fold + control
     strip + space collapse + trim + lowercase) — pure Arrow-kernel
@@ -1468,6 +1561,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_flac_features": _q_multimodal_flac,
         "multimodal_jpeg_features": _q_multimodal_jpeg,
         "multimodal_mjpeg_frames": _q_multimodal_mjpeg,
+        "html_extract_documents": _q_html_extract,
+        "warc_html_pipeline": _q_warc_pipeline,
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,
@@ -1531,6 +1626,13 @@ def oracle_sql() -> dict[str, str]:
     fail = "count(CASE WHEN {cond} THEN 1 END) AS failed_records"
     head = "SELECT count(*) AS total_records, "
     return {
+        "html_extract_documents": (
+            # the extractor treats <title> as visible block text, so the
+            # recovered text is the title line + the body paragraph
+            "SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS title, "
+            "'doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text AS text_out "
+            "FROM documents"
+        ),
         "rule_not_null_events": head + fail.format(cond="user_id IS NULL") + " FROM events",
         "rule_range_orders": head
         + fail.format(

@@ -1,0 +1,144 @@
+"""WARC source + HTML->text extraction (the crawl-corpus front end)."""
+
+from __future__ import annotations
+
+import gzip
+
+import numpy as np
+import pytest
+
+from validatelite_ray.sources.warc import (
+    encode_warc_record,
+    iter_warc_records,
+    make_warc_bytes,
+    read_warc,
+    warc_records_table,
+)
+from validatelite_ray.stages.html import (
+    extract_text,
+    html_links,
+    html_title,
+    html_to_text,
+)
+
+_DOC = """<!DOCTYPE html><html><head><title>My &amp; Page</title>
+<style>body{color:red}</style><script>var x="<p>not text</p>";</script></head>
+<body><h1>Header</h1><p>Hello <b>world</b> &mdash; test.</p>
+<!-- a comment --><div>Line <a href="http://a.com/x">link</a> two</div>
+<ul><li>one</li><li>two</li></ul></body></html>"""
+
+
+class TestHtmlToText:
+    def test_full_document(self):
+        text = html_to_text(_DOC)
+        assert text.split("\n") == [
+            "My & Page", "Header", "Hello world — test.",
+            "Line link two", "one", "two",
+        ]
+
+    def test_script_style_comment_doctype_dropped(self):
+        text = html_to_text(_DOC)
+        for noise in ("color:red", "not text", "a comment", "DOCTYPE"):
+            assert noise not in text
+
+    def test_inline_tags_do_not_break_words(self):
+        assert html_to_text("<p>a<b>b</b>c</p>") == "a b c"
+        assert html_to_text("one<br>two") == "one\ntwo"
+
+    def test_entities_and_empty(self):
+        assert html_to_text("&lt;tag&gt; &#65;") == "<tag> A"
+        assert html_to_text("") == ""
+        assert html_to_text("plain text, no tags") == "plain text, no tags"
+
+    def test_unclosed_script_is_not_fatal(self):
+        # regex needs the closing tag; an unclosed script leaks as text
+        # but must not raise
+        assert isinstance(html_to_text("<script>var x=1;"), str)
+
+    def test_title_and_links(self):
+        assert html_title(_DOC) == "My & Page"
+        assert html_title("<p>no title</p>") is None
+        doc = (
+            '<a href="http://a.com">x</a><a href=\'/rel\'>y</a>'
+            '<a href=bare>z</a><a href="#frag">f</a>'
+            '<a href="javascript:void(0)">j</a><a href="http://a.com">dup</a>'
+        )
+        assert html_links(doc) == ["http://a.com", "/rel", "bare"]
+
+
+class TestWarcParsing:
+    def test_record_fields_and_http_split(self):
+        data = make_warc_bytes([("http://ex.com/1", _DOC.encode())])
+        info, resp = iter_warc_records(data)
+        assert info["warc_type"] == "warcinfo"
+        assert resp["warc_type"] == "response"
+        assert resp["target_uri"] == "http://ex.com/1"
+        assert resp["http_status"] == 200
+        assert resp["http_content_type"] == "text/html"
+        assert resp["payload"].decode() == _DOC
+
+    def test_gzip_member_per_record(self):
+        pages = [(f"http://ex.com/{i}", f"<p>page {i}</p>".encode())
+                 for i in range(5)]
+        plain = list(iter_warc_records(make_warc_bytes(pages)))
+        gz = list(iter_warc_records(make_warc_bytes(pages, gzipped=True)))
+        assert [r["payload"] for r in plain] == [r["payload"] for r in gz]
+        assert len(gz) == 6  # warcinfo + 5 responses
+
+    def test_non_response_record_payload_raw(self):
+        rec = encode_warc_record("metadata", b"k: v\r\n",
+                                 content_type="application/warc-fields")
+        (out,) = iter_warc_records(rec)
+        assert out["payload"] == b"k: v\r\n"
+        assert out["http_status"] is None
+
+    def test_rejects_malformed_and_truncated(self):
+        with pytest.raises(ValueError, match="missing version line"):
+            list(iter_warc_records(b"NOT A WARC\r\n\r\n"))
+        data = make_warc_bytes([("http://x", b"<p>hello world</p>")])
+        with pytest.raises(ValueError, match="truncated WARC record"):
+            list(iter_warc_records(data[:-30]))
+        gz = make_warc_bytes([("http://x", b"<p>y</p>")], gzipped=True)
+        with pytest.raises(ValueError, match="truncated gzip member"):
+            list(iter_warc_records(gz[: len(gz) - 5]))
+
+    def test_records_table_schema(self):
+        t = warc_records_table(
+            make_warc_bytes([("http://x", b"<i>a</i>")]), "shard-0.warc"
+        )
+        assert t.num_rows == 2
+        assert t["source_file"].to_pylist() == ["shard-0.warc"] * 2
+
+
+class TestWarcRayPipeline:
+    def test_read_warc_and_extract_text(self, ray_session, tmp_path):
+        rng = np.random.default_rng(7)
+        paths = []
+        for shard in range(3):
+            pages = [
+                (
+                    f"http://ex.com/{shard}/{i}",
+                    (
+                        f"<html><head><title>t{shard}-{i}</title></head>"
+                        f"<body><p>body {shard} {i} "
+                        + " ".join(rng.choice(["alpha", "beta", "gamma"], 5))
+                        + '</p><a href="/next">n</a></body></html>'
+                    ).encode(),
+                )
+                for i in range(4)
+            ]
+            gz = shard % 2 == 0
+            p = tmp_path / f"shard-{shard}.warc{'.gz' if gz else ''}"
+            p.write_bytes(make_warc_bytes(pages, gzipped=gz))
+            paths.append(str(p))
+
+        ds = read_warc(paths)
+        pages_ds = ds.filter(lambda r: r["warc_type"] == "response")
+        out = extract_text(pages_ds).take_all()
+        assert len(out) == 12
+        for row in out:
+            assert row["title"].startswith("t")
+            assert "body" in row["text"]
+            assert row["links"] == ["/next"]
+        files = {row["source_file"] for row in out}
+        assert len(files) == 3

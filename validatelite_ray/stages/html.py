@@ -1,0 +1,129 @@
+"""HTML -> text extraction — the first transform of every web-crawl
+quality pipeline (crawled pages are HTML; the model trains on text).
+
+Pure stdlib: a single-pass tag scanner that drops ``<script>`` /
+``<style>`` / ``<noscript>`` / comments wholesale, treats block-level
+tags as line breaks, unescapes entities (``html.unescape``) and
+collapses whitespace. Also surfaces the ``<title>`` and outgoing
+``href`` links (the inputs to link-graph / URL-filter stages).
+
+Ray-side shape: ``extract_text`` is one stateless ``map_batches``
+over Arrow batches — per-document parsing is inherently row-wise
+(same as the reference's CSV/Excel parsers), but the stage streams,
+holds no state and shuffles nothing.
+
+Reference parity note: the reference has no HTML layer; this stage is
+part of the crawl-corpus front end the 100 TB quality filter needs
+(WARC -> HTML -> text -> langid/score/scrub/dedup).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pyarrow as pa
+
+__all__ = ["extract_text", "html_links", "html_to_text", "html_title"]
+
+#: tags whose entire content is noise for text extraction
+_RAW_TEXT_TAGS = ("script", "style", "noscript", "template")
+#: tags that imply a line break around their content
+_BLOCK_TAGS = frozenset(
+    "p div br hr li ul ol h1 h2 h3 h4 h5 h6 tr table blockquote pre "
+    "article section header footer form title".split()
+)
+
+_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>")
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_DECL_RE = re.compile(r"<![^>]*>")  # <!DOCTYPE ...> and other declarations
+_RAW_RE = {
+    t: re.compile(rf"<{t}\b.*?</{t}\s*>", re.S | re.I) for t in _RAW_TEXT_TAGS
+}
+_WS_RE = re.compile(r"[ \t\r\f\v]+")
+_NL_RE = re.compile(r"\n\s*\n+")
+_TITLE_RE = re.compile(r"<title\b[^>]*>(.*?)</title\s*>", re.S | re.I)
+_HREF_RE = re.compile(
+    r"""<a\b[^>]*?\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
+)
+
+
+def html_to_text(doc: str) -> str:
+    """Visible text of an HTML document: script/style/comments dropped,
+    block tags become newlines, entities unescaped, whitespace
+    collapsed."""
+    if not doc:
+        return ""
+    doc = _COMMENT_RE.sub(" ", doc)
+    doc = _DECL_RE.sub(" ", doc)
+    for rx in _RAW_RE.values():
+        doc = rx.sub(" ", doc)
+
+    def tag_repl(m: re.Match) -> str:
+        return "\n" if m.group(2).lower() in _BLOCK_TAGS else " "
+
+    text = _TAG_RE.sub(tag_repl, doc)
+    text = _html.unescape(text)
+    text = _WS_RE.sub(" ", text)
+    lines = [ln.strip() for ln in text.split("\n")]
+    return _NL_RE.sub("\n", "\n".join(ln for ln in lines if ln)).strip()
+
+
+def html_title(doc: str) -> str | None:
+    m = _TITLE_RE.search(doc or "")
+    if not m:
+        return None
+    return _WS_RE.sub(" ", _html.unescape(m.group(1))).strip() or None
+
+
+def html_links(doc: str) -> list[str]:
+    """Outgoing hrefs in document order (entity-unescaped, deduped,
+    fragments and javascript: pseudo-links dropped)."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for m in _HREF_RE.finditer(doc or ""):
+        href = _html.unescape(m.group(2) or m.group(3) or m.group(4) or "").strip()
+        if not href or href.startswith(("#", "javascript:")):
+            continue
+        if href not in seen:
+            seen.add(href)
+            out.append(href)
+    return out
+
+
+def extract_text(
+    ds,
+    *,
+    column: str = "payload",
+    encoding: str = "utf-8",
+    out_text: str = "text",
+    out_title: str = "title",
+    out_links: str | None = "links",
+):
+    """Dataset op: decode ``column`` (binary or string HTML) into
+    visible text, title and links. One stateless streaming
+    ``map_batches``; no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts, titles, links = [], [], []
+        for v in batch[column]:
+            raw = v.as_py()
+            if raw is None:
+                doc = ""
+            elif isinstance(raw, bytes):
+                doc = raw.decode(encoding, "replace")
+            else:
+                doc = raw
+            texts.append(html_to_text(doc))
+            titles.append(html_title(doc))
+            if out_links:
+                links.append(html_links(doc))
+        batch = batch.append_column(out_text, pa.array(texts, pa.string()))
+        batch = batch.append_column(out_title, pa.array(titles, pa.string()))
+        if out_links:
+            batch = batch.append_column(
+                out_links, pa.array(links, pa.list_(pa.string()))
+            )
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow")
