@@ -722,6 +722,7 @@ def _q_warc_pipeline(sf_dir: str):
     oracle cannot read WARC. sources/warc.py + stages/html.py."""
     import html as _h
     import os
+    import tempfile
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -730,8 +731,9 @@ def _q_warc_pipeline(sf_dir: str):
     from validatelite_ray.stages.html import extract_text
 
     tbl = _read(sf_dir, "documents", ["doc_id", "text"]).sort("doc_id").take_all()
-    shard_dir = "/tmp/vlray_warc_contract"
-    os.makedirs(shard_dir, exist_ok=True)
+    # a fresh dir per invocation: concurrent contract runs (or different
+    # sf dirs) must not overwrite each other's shards mid-read
+    shard_dir = tempfile.mkdtemp(prefix="vlray_warc_contract_")
     n_shards = 4
     paths = []
     for s in range(n_shards):

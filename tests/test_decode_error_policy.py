@@ -100,3 +100,81 @@ class TestVideoPolicy:
         stage = FrameSampleStage(codec=AviMjpegCodec())
         with pytest.raises(ValueError):
             stage(_table([b"junk"], modality="video"))
+
+
+class TestDecodeGuard:
+    """decode_guard folds codec-internal low-level errors (zlib.error,
+    struct.error, index errors on hostile bytes) into ValueError so the
+    poison-row policy has one catchable contract."""
+
+    def test_png_bad_deflate_with_valid_crcs(self):
+        import struct as s
+        import zlib
+
+        def chunk(t, d):
+            return s.pack(">I", len(d)) + t + d + s.pack(">I", zlib.crc32(t + d))
+
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", s.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", b"NOT DEFLATE DATA")
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="malformed payload"):
+            PngCodec().decode(payload)
+
+    def test_png_short_ihdr_with_valid_crc(self):
+        import struct as s
+        import zlib
+
+        def chunk(t, d):
+            return s.pack(">I", len(d)) + t + d + s.pack(">I", zlib.crc32(t + d))
+
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", b"\x00\x01")  # 2 bytes instead of 13
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            PngCodec().decode(payload)
+
+    def test_jpeg_zero_sampling_factors(self):
+        import struct as s
+
+        from validatelite_ray.stages.jpeg import JpegCodec, encode_jpeg
+
+        payload = bytearray(encode_jpeg(np.full((8, 8), 5, np.uint8)))
+        sof_at = bytes(payload).index(b"\xff\xc0")
+        payload[sof_at + 11] = 0x00  # h=v=0 for component 1
+        with pytest.raises(ValueError, match="sampling factors"):
+            JpegCodec().decode(bytes(payload))
+
+    def test_guarded_errors_become_poison_rows(self):
+        import struct as s
+        import zlib
+
+        def chunk(t, d):
+            return s.pack(">I", len(d)) + t + d + s.pack(">I", zlib.crc32(t + d))
+
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", s.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", b"NOT DEFLATE DATA")
+            + chunk(b"IEND", b"")
+        )
+        good = encode_png(np.full((4, 4), 9, np.uint8))
+        stage = ImageFeatureStage(codec=PngCodec(), on_error="null")
+        out = stage(_table([good, bad]))
+        assert out["decode_ok"].to_pylist() == [True, False]
+
+
+class TestVideoZeroFrames:
+    def test_zero_frame_clip_stays_visible(self):
+        from validatelite_ray.stages.multimodal import Y4MCodec
+
+        header_only = b"YUV4MPEG2 W4 H4 F25:1 C420\n"
+        stage = FrameSampleStage(codec=Y4MCodec(), on_error="null")
+        out = stage(_table([header_only], modality="video"))
+        assert out["item_id"].to_pylist() == [0]
+        assert out["decode_ok"].to_pylist() == [False]

@@ -292,3 +292,13 @@ class TestAviMjpeg:
             assert row["mean_intensity"] == pytest.approx(
                 float(clip["frames"][row["frame_idx"]].mean())
             )
+
+
+class TestAviReviewFixes:
+    def test_trailing_junk_after_riff_body_tolerated(self):
+        from validatelite_ray.stages.jpeg import AviMjpegCodec, encode_avi_mjpeg
+
+        clip = np.full((3, 8, 8), 50, np.uint8)
+        payload = encode_avi_mjpeg(clip, fps=10) + b"JUNKJUNKJUNK"
+        out = AviMjpegCodec().decode(payload)
+        assert out["frames"].shape == (3, 8, 8)

@@ -42,8 +42,21 @@ class TestHtmlToText:
             assert noise not in text
 
     def test_inline_tags_do_not_break_words(self):
-        assert html_to_text("<p>a<b>b</b>c</p>") == "a b c"
+        # intra-word markup (te<b>st</b>) must not split tokens —
+        # downstream token counts / shingles / dedup depend on it
+        assert html_to_text("<p>te<b>st</b> word</p>") == "test word"
+        assert html_to_text("a<span>b</span>c") == "abc"
         assert html_to_text("one<br>two") == "one\ntwo"
+
+    def test_comments_scripts_yield_no_phantom_title_or_links(self):
+        doc = (
+            "<!-- <title>commented out</title> -->"
+            "<script>var a = '<a href=\"http://tracker.example/p\">x</a>';"
+            "</script><title>Real Title</title>"
+            '<a href="http://real.example/">r</a>'
+        )
+        assert html_title(doc) == "Real Title"
+        assert html_links(doc) == ["http://real.example/"]
 
     def test_entities_and_empty(self):
         assert html_to_text("&lt;tag&gt; &#65;") == "<tag> A"
@@ -98,9 +111,13 @@ class TestWarcParsing:
         data = make_warc_bytes([("http://x", b"<p>hello world</p>")])
         with pytest.raises(ValueError, match="truncated WARC record"):
             list(iter_warc_records(data[:-30]))
+        with pytest.raises(ValueError, match="truncated WARC record header"):
+            list(iter_warc_records(data[:20]))
         gz = make_warc_bytes([("http://x", b"<p>y</p>")], gzipped=True)
         with pytest.raises(ValueError, match="truncated gzip member"):
             list(iter_warc_records(gz[: len(gz) - 5]))
+        with pytest.raises(ValueError, match="gzip member"):
+            list(iter_warc_records(gz + b"GARBAGE!"))
 
     def test_records_table_schema(self):
         t = warc_records_table(
@@ -142,3 +159,16 @@ class TestWarcRayPipeline:
             assert row["links"] == ["/next"]
         files = {row["source_file"] for row in out}
         assert len(files) == 3
+
+
+class TestWarcSourceSpec:
+    def test_open_source_dispatches_warc(self, ray_session, tmp_path):
+        from validatelite_ray.sources.io import open_source, parse_source
+
+        p = tmp_path / "crawl-shard.warc.gz"
+        p.write_bytes(make_warc_bytes([("http://x", b"<p>hi</p>")], gzipped=True))
+        spec = parse_source(str(p))
+        assert spec.fmt == "warc"
+        assert spec.table == "crawl_shard"
+        rows = open_source(str(p)).take_all()
+        assert {r["warc_type"] for r in rows} == {"warcinfo", "response"}

@@ -84,6 +84,11 @@ def parse_source(source: str) -> SourceSpec:
         if list(p.glob("*.parquet")):
             return SourceSpec(str(p), "parquet", p.name)
         raise SourceError(f"directory {source!r} contains no parquet files")
+    if p.name.lower().endswith((".warc", ".warc.gz")):
+        if not p.exists():
+            raise SourceError(f"source file not found: {source}")
+        stem = p.name[: p.name.lower().index(".warc")]
+        return SourceSpec(str(p), "warc", stem.replace("-", "_"))
     fmt = _SUFFIXES.get(p.suffix.lower())
     if fmt is None:
         raise SourceError(
@@ -155,6 +160,10 @@ def open_source(
         from validatelite_ray.sources.excel import open_excel_source
 
         ds = open_excel_source(spec.path)
+    elif spec.fmt == "warc":
+        from validatelite_ray.sources.warc import read_warc
+
+        ds = read_warc(spec.path)
     else:  # pragma: no cover
         raise SourceError(f"unhandled format {spec.fmt}")
     return ds.select_columns(columns) if columns else ds

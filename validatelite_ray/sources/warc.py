@@ -56,7 +56,10 @@ def _split_gzip_members(data: bytes) -> list[bytes]:
     rest = data
     while rest:
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(rest))
+        try:
+            out.append(d.decompress(rest))
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member in WARC stream: {exc}") from exc
         if not d.eof:
             raise ValueError("truncated gzip member in WARC stream")
         rest = d.unused_data
@@ -94,7 +97,9 @@ def iter_warc_records(data: bytes):
             break
         if not data[pos : pos + 5] == b"WARC/":
             raise ValueError("malformed WARC: missing version line")
-        head_end = data.index(b"\r\n\r\n", pos)
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise ValueError("truncated WARC record header")
         headers = _parse_headers(data[pos:head_end])
         length = int(headers.get("content-length", "0"))
         body_start = head_end + 4

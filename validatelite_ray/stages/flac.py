@@ -36,6 +36,8 @@ import struct
 
 import numpy as np
 
+from validatelite_ray.stages.multimodal import decode_guard
+
 __all__ = ["FlacCodec", "encode_flac", "make_flac_audio_table"]
 
 
@@ -230,6 +232,7 @@ class FlacCodec:
     Output contract matches ``WavCodec``: ``{"sample_rate", "samples"}``
     with samples mono int16 (channels averaged, depth rescaled)."""
 
+    @decode_guard
     def decode(self, payload: bytes) -> dict:
         if payload is None or payload[:4] != b"fLaC":
             raise ValueError("not a FLAC payload")

@@ -41,36 +41,44 @@ _RAW_RE = {
     t: re.compile(rf"<{t}\b.*?</{t}\s*>", re.S | re.I) for t in _RAW_TEXT_TAGS
 }
 _WS_RE = re.compile(r"[ \t\r\f\v]+")
-_NL_RE = re.compile(r"\n\s*\n+")
 _TITLE_RE = re.compile(r"<title\b[^>]*>(.*?)</title\s*>", re.S | re.I)
 _HREF_RE = re.compile(
     r"""<a\b[^>]*?\bhref\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
 )
 
 
-def html_to_text(doc: str) -> str:
-    """Visible text of an HTML document: script/style/comments dropped,
-    block tags become newlines, entities unescaped, whitespace
-    collapsed."""
-    if not doc:
-        return ""
+def _strip_noise(doc: str) -> str:
+    """Remove comments, declarations and raw-text (script/style/...)
+    blocks — shared by text, title AND link extraction so dead markup
+    cannot contribute phantom titles or links."""
     doc = _COMMENT_RE.sub(" ", doc)
     doc = _DECL_RE.sub(" ", doc)
     for rx in _RAW_RE.values():
         doc = rx.sub(" ", doc)
+    return doc
+
+
+def html_to_text(doc: str) -> str:
+    """Visible text of an HTML document: script/style/comments dropped,
+    block tags become newlines, inline tags vanish (intra-word markup
+    like ``te<b>st</b>`` must not split words), entities unescaped,
+    whitespace collapsed."""
+    if not doc:
+        return ""
+    doc = _strip_noise(doc)
 
     def tag_repl(m: re.Match) -> str:
-        return "\n" if m.group(2).lower() in _BLOCK_TAGS else " "
+        return "\n" if m.group(2).lower() in _BLOCK_TAGS else ""
 
     text = _TAG_RE.sub(tag_repl, doc)
     text = _html.unescape(text)
     text = _WS_RE.sub(" ", text)
-    lines = [ln.strip() for ln in text.split("\n")]
-    return _NL_RE.sub("\n", "\n".join(ln for ln in lines if ln)).strip()
+    lines = (ln.strip() for ln in text.split("\n"))
+    return "\n".join(ln for ln in lines if ln).strip()
 
 
 def html_title(doc: str) -> str | None:
-    m = _TITLE_RE.search(doc or "")
+    m = _TITLE_RE.search(_strip_noise(doc or ""))
     if not m:
         return None
     return _WS_RE.sub(" ", _html.unescape(m.group(1))).strip() or None
@@ -78,10 +86,11 @@ def html_title(doc: str) -> str | None:
 
 def html_links(doc: str) -> list[str]:
     """Outgoing hrefs in document order (entity-unescaped, deduped,
-    fragments and javascript: pseudo-links dropped)."""
+    fragments and javascript: pseudo-links dropped; anchors inside
+    comments/scripts do not count)."""
     out: list[str] = []
     seen: set[str] = set()
-    for m in _HREF_RE.finditer(doc or ""):
+    for m in _HREF_RE.finditer(_strip_noise(doc or "")):
         href = _html.unescape(m.group(2) or m.group(3) or m.group(4) or "").strip()
         if not href or href.startswith(("#", "javascript:")):
             continue

@@ -36,6 +36,8 @@ import struct
 
 import numpy as np
 
+from validatelite_ray.stages.multimodal import decode_guard
+
 __all__ = [
     "AviMjpegCodec",
     "JpegCodec",
@@ -203,6 +205,7 @@ class JpegCodec:
     Output contract matches ``BmpCodec``/``PngCodec``: 8-bit grayscale
     ``pixels`` — the luma plane directly."""
 
+    @decode_guard
     def decode(self, payload: bytes) -> dict:
         if payload is None or payload[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG payload")
@@ -259,9 +262,12 @@ class JpegCodec:
                 comps = []
                 for c in range(ncomp):
                     cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
-                    comps.append(
-                        {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
-                    )
+                    ch, cv = hv >> 4, hv & 0x0F
+                    if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                        raise ValueError(
+                            f"illegal JPEG sampling factors {ch}x{cv}"
+                        )
+                    comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
                 if width <= 0 or height <= 0:
                     raise ValueError("degenerate JPEG dimensions")
                 frame = {"w": width, "h": height, "comps": comps}
@@ -652,6 +658,7 @@ class AviMjpegCodec:
     def __init__(self) -> None:
         self._jpeg = JpegCodec()
 
+    @decode_guard
     def decode(self, payload: bytes) -> dict:
         if (
             payload is None
@@ -690,7 +697,10 @@ class AviMjpegCodec:
                     frames.append(img["pixels"])
                 pos = body + size + (size & 1)  # chunks are word-aligned
 
-        walk(12, len(payload))
+        # honor the RIFF size field: padded/concatenated trailing bytes
+        # after the declared RIFF body are not chunks
+        (riff_size,) = struct.unpack_from("<I", payload, 4)
+        walk(12, min(len(payload), 8 + riff_size))
         if not frames:
             raise ValueError("AVI contains no video frames")
         h, w = frames[0].shape

@@ -58,6 +58,42 @@ MULTIMODAL_SCHEMA = pa.schema(
 
 _FAKE_MAGIC = b"FAKE"
 
+#: low-level exception types a pure-Python codec can surface while
+#: chewing on malformed bytes; decode_guard folds them into ValueError
+#: so the stages' poison-row policy has ONE catchable error contract
+DECODE_ERROR_TYPES = (
+    ValueError,
+    IndexError,
+    KeyError,
+    OverflowError,
+    ZeroDivisionError,
+    EOFError,
+    struct.error,
+)
+
+
+def decode_guard(fn):
+    """Wrap a codec ``decode`` so ANY malformed-payload failure —
+    struct under-reads, bad indices, zlib errors — raises ValueError
+    with the original as ``__cause__``. Codecs raise precise
+    ValueErrors on the paths they validate; this guard is the backstop
+    for the paths hostile bytes find first."""
+    import functools
+    import zlib as _zlib
+
+    errs = DECODE_ERROR_TYPES + (_zlib.error,)
+
+    @functools.wraps(fn)
+    def wrapped(self, payload):
+        try:
+            return fn(self, payload)
+        except errs as exc:
+            if isinstance(exc, ValueError):
+                raise
+            raise ValueError(f"malformed payload: {exc}") from exc
+
+    return wrapped
+
 
 def nearest_resize(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbour resize shared by every image codec's
@@ -334,6 +370,17 @@ class FrameSampleStage:
             frames = clip["frames"]
             fps = float(clip["fps"])
             step = max(1, int(round(self.every_ms * fps / 1000.0)))
+            if len(frames) == 0 and self.on_error == "null":
+                # zero-frame clip (e.g. header-only capture): keep the
+                # 'every input clip appears in the output' guarantee
+                ids.append(item_id)
+                idxs.append(None)
+                ts.append(None)
+                ws.append(clip["width"])
+                hs.append(clip["height"])
+                means.append(None)
+                oks.append(False)
+                continue
             for i in range(0, len(frames), step):
                 ids.append(item_id)
                 idxs.append(i)
@@ -393,6 +440,7 @@ class BmpCodec:
     ``pixels`` via BT.601 luma. Pure numpy — one reshape + one matmul
     per image, no Python per pixel."""
 
+    @decode_guard
     def decode(self, payload: bytes) -> dict:
         if payload is None or len(payload) < 54 or payload[:2] != b"BM":
             raise ValueError("not a BMP payload")
@@ -473,6 +521,7 @@ class WavCodec:
     numpy; walks the chunk list, so extra chunks (LIST, fact…) are
     fine. Output matches the ``AudioFeatureStage`` contract."""
 
+    @decode_guard
     def decode(self, payload: bytes) -> dict:
         if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
             raise ValueError("not a RIFF/WAVE payload")
@@ -569,6 +618,7 @@ class Y4MCodec:
             return 2 * width * height
         return 0  # mono
 
+    @decode_guard
     def decode(self, payload: bytes) -> dict:
         if payload is None or not payload.startswith(b"YUV4MPEG2"):
             raise ValueError("not a YUV4MPEG2 payload")
@@ -727,6 +777,7 @@ class PngCodec:
     actor-pool decode path is exercised end-to-end on a format real
     corpora actually contain."""
 
+    @decode_guard
     def decode(self, payload: bytes) -> dict:
         if payload is None or payload[:8] != _PNG_SIG:
             raise ValueError("not a PNG payload")
@@ -1018,6 +1069,7 @@ class GifCodec:
     ``ImageFeatureStage`` contract: 8-bit grayscale ``pixels`` via
     BT.601 luma over the palette."""
 
+    @decode_guard
     def decode(self, payload: bytes) -> dict:
         if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
             raise ValueError("not a GIF payload")
