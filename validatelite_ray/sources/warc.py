@@ -51,18 +51,49 @@ WARC_SCHEMA = pa.schema(
 
 def _split_gzip_members(data: bytes) -> list[bytes]:
     """Decompress a stream of concatenated gzip members (one WARC
-    record each, per the warc.gz convention)."""
-    out = []
-    rest = data
-    while rest:
-        d = zlib.decompressobj(wbits=31)
+    record each, per the warc.gz convention).
+
+    Fed in fixed-size chunks: handing each decompressobj the whole
+    remaining buffer would make ``unused_data`` copy the tail once PER
+    MEMBER — O(n^2) bytes of memcpy on a real shard (measured ~800 MB
+    of copying for a 1 MB / 1500-member shard). Chunking bounds the
+    copied tail to one chunk per member."""
+    out: list[bytes] = []
+    view = memoryview(data)
+    n = len(data)
+    pos = 0
+    chunk_size = 1 << 18
+    d = zlib.decompressobj(wbits=31)
+    cur = bytearray()
+    fed = 0  # bytes fed into the current member so far
+    pending: bytes = b""
+
+    def _feed(buf) -> None:
+        nonlocal fed
         try:
-            out.append(d.decompress(rest))
+            cur.extend(d.decompress(buf))
         except zlib.error as exc:
             raise ValueError(f"corrupt gzip member in WARC stream: {exc}") from exc
-        if not d.eof:
-            raise ValueError("truncated gzip member in WARC stream")
-        rest = d.unused_data
+        fed += len(buf)
+
+    while pending or pos < n:
+        if pending:
+            buf, pending = pending, b""
+        else:
+            buf = view[pos : pos + chunk_size]
+            pos += chunk_size
+        _feed(buf)
+        while d.eof:
+            out.append(bytes(cur))
+            cur = bytearray()
+            tail = d.unused_data
+            d = zlib.decompressobj(wbits=31)
+            fed = 0
+            if not tail:
+                break
+            _feed(tail)
+    if fed:
+        raise ValueError("truncated gzip member in WARC stream")
     return out
 
 
