@@ -259,3 +259,45 @@ class TestCsvSniffing:
         ds = open_source(str(p), encoding="latin-1")
         row = ds.take_all()[0]
         assert row["name"] == "José" and row["city"] == "Köln"
+
+
+class TestGzipTextSources:
+    """Gzip-compressed text sources: the wire format of real corpora."""
+
+    def test_csv_gz_round_trip(self, ray_session, tmp_path):
+        import gzip
+
+        from validatelite_ray.sources.io import open_source, parse_source
+
+        raw = "name;age\nalice;30\nbob;41\n"
+        p = tmp_path / "my-users.csv.gz"
+        p.write_bytes(gzip.compress(raw.encode()))
+        spec = parse_source(str(p))
+        assert (spec.fmt, spec.table) == ("csv", "my_users")
+        rows = open_source(str(p)).take_all()
+        assert rows == [
+            {"name": "alice", "age": 30},
+            {"name": "bob", "age": 41},
+        ]
+
+    def test_jsonl_gz(self, ray_session, tmp_path):
+        import gzip
+
+        from validatelite_ray.sources.io import open_source, parse_source
+
+        p = tmp_path / "events.jsonl.gz"
+        p.write_bytes(gzip.compress(b'{"a": 1}\n{"a": 2}\n'))
+        assert parse_source(str(p)).fmt == "jsonl"
+        assert sorted(r["a"] for r in open_source(str(p)).take_all()) == [1, 2]
+
+    def test_unsupported_inner_format_rejected(self, tmp_path):
+        import gzip
+
+        import pytest as _pytest
+
+        from validatelite_ray.sources.io import SourceError, parse_source
+
+        p = tmp_path / "data.bin.gz"
+        p.write_bytes(gzip.compress(b"x"))
+        with _pytest.raises(SourceError, match="unsupported compressed source"):
+            parse_source(str(p))

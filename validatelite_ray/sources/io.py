@@ -89,6 +89,19 @@ def parse_source(source: str) -> SourceSpec:
             raise SourceError(f"source file not found: {source}")
         stem = p.name[: p.name.lower().index(".warc")]
         return SourceSpec(str(p), "warc", stem.replace("-", "_"))
+    if p.suffix.lower() == ".gz":
+        # gzip-compressed text sources (.csv.gz, .jsonl.gz, ...): the
+        # format is the inner suffix; Arrow decompresses transparently
+        inner = Path(p.stem).suffix.lower()
+        fmt = _SUFFIXES.get(inner)
+        if fmt in ("csv", "tsv", "json", "jsonl"):
+            if not p.exists():
+                raise SourceError(f"source file not found: {source}")
+            return SourceSpec(str(p), fmt, Path(p.stem).stem.replace("-", "_"))
+        raise SourceError(
+            f"unsupported compressed source {source!r} "
+            "(expected .csv/.tsv/.json/.jsonl/.warc inside .gz)"
+        )
     fmt = _SUFFIXES.get(p.suffix.lower())
     if fmt is None:
         raise SourceError(
@@ -105,8 +118,14 @@ def sniff_delimiter(path: str, encoding: str = "utf8") -> str:
     ``,`` then ``;`` then ``\\t`` — first that yields more than one
     column on the header line wins; fall back to comma."""
     try:
-        with open(path, "rb") as f:
-            head = f.readline()
+        if path.lower().endswith(".gz"):
+            import gzip
+
+            with gzip.open(path, "rb") as f:
+                head = f.readline()
+        else:
+            with open(path, "rb") as f:
+                head = f.readline()
         line = head.decode(encoding, errors="replace").rstrip("\r\n")
     except OSError:
         return ","
