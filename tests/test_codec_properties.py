@@ -1,0 +1,134 @@
+"""Property-based round trips for the real codecs (hypothesis).
+
+The fixture tests pin spec paths; these pin the algebra — for ANY
+input in the supported domain, decode(encode(x)) == x (lossless
+formats) or stays within the quantization bound (JPEG at quality 100,
+where the quant tables are all ones and the only loss is DCT
+rounding; the empirical worst case on random noise is 1 LSB, asserted
+at <= 2 for slack).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from validatelite_ray.stages.flac import FlacCodec, encode_flac
+from validatelite_ray.stages.jpeg import JpegCodec, encode_jpeg
+from validatelite_ray.stages.multimodal import (
+    BmpCodec,
+    GifCodec,
+    PngCodec,
+    WavCodec,
+    _gif_lzw_decode,
+    _gif_lzw_encode,
+    encode_bmp,
+    encode_gif,
+    encode_png,
+    encode_wav,
+)
+
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def _gray(max_side=24):
+    return st.tuples(
+        st.integers(1, max_side), st.integers(1, max_side), st.integers(0, 2**31 - 1)
+    ).map(
+        lambda t: np.random.default_rng(t[2]).integers(
+            0, 256, size=(t[0], t[1]), dtype=np.uint8
+        )
+    )
+
+
+def _rgb(max_side=20):
+    return st.tuples(
+        st.integers(1, max_side), st.integers(1, max_side), st.integers(0, 2**31 - 1)
+    ).map(
+        lambda t: np.random.default_rng(t[2]).integers(
+            0, 256, size=(t[0], t[1], 3), dtype=np.uint8
+        )
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(px=_rgb(), ft=st.sampled_from([0, 1, 2, 3, 4, "mixed"]))
+def test_png_rgb_round_trip(px, ft):
+    out = PngCodec().decode(encode_png(px, filter_type=ft))
+    expect = np.round(px.astype(np.float64) @ _LUMA).astype(np.uint8)
+    assert np.array_equal(out["pixels"], expect)
+
+
+@settings(max_examples=30, deadline=None)
+@given(px=_gray(), ft=st.sampled_from([0, 1, 2, 3, 4, "mixed"]))
+def test_png_gray_round_trip(px, ft):
+    out = PngCodec().decode(encode_png(px, filter_type=ft))
+    assert np.array_equal(out["pixels"], px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(px=_gray(32), interlace=st.booleans())
+def test_gif_round_trip(px, interlace):
+    out = GifCodec().decode(encode_gif(px, interlace=interlace))
+    assert np.array_equal(out["pixels"], px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=2000),
+    mcs=st.integers(2, 8),
+)
+def test_gif_lzw_round_trip(data, mcs):
+    # clamp symbols into the mcs alphabet
+    clamped = bytes(b % (1 << mcs) for b in data)
+    assert bytes(_gif_lzw_decode(_gif_lzw_encode(clamped, mcs), mcs)) == clamped
+
+
+@settings(max_examples=25, deadline=None)
+@given(px=_gray())
+def test_bmp_round_trip(px):
+    out = BmpCodec().decode(encode_bmp(px))
+    assert np.array_equal(out["pixels"], px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(px=_gray())
+def test_jpeg_q100_bound(px):
+    out = JpegCodec().decode(encode_jpeg(px, quality=100))
+    assert out["pixels"].shape == px.shape
+    assert np.abs(out["pixels"].astype(int) - px.astype(int)).max() <= 2
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 3000),
+    n_ch=st.integers(1, 2),
+    blocksize=st.sampled_from([64, 192, 1024]),
+    mode=st.sampled_from(["auto", "verbatim", "fixed0", "fixed1", "fixed2"]),
+)
+def test_flac_round_trip(seed, n, n_ch, blocksize, mode):
+    if mode.startswith("fixed") and n <= int(mode[-1]):
+        n += 5  # block must exceed the predictor order
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, size=(n, n_ch)).astype(np.int16)
+    out = FlacCodec().decode(
+        encode_flac(x, sample_rate=16000, blocksize=blocksize, subframe=mode)
+    )
+    expect = np.clip(
+        np.round(x.astype(np.float64).mean(axis=1)), -32768, 32767
+    ).astype(np.int16)
+    assert np.array_equal(out["samples"], expect)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 4000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_round_trip(seed, n, rate):
+    x = np.random.default_rng(seed).integers(-32768, 32768, size=n).astype(np.int16)
+    out = WavCodec().decode(encode_wav(x, sample_rate=rate))
+    assert out["sample_rate"] == rate
+    assert np.array_equal(out["samples"], x)
