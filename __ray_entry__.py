@@ -777,6 +777,58 @@ def _q_warc_pipeline(sf_dir: str):
     return out.map_batches(features, batch_format="pyarrow").sort("target_uri")
 
 
+def _q_archive_extract(sf_dir: str):
+    """Corpus-tarball ingestion (sources/archive.py): pack the
+    documents table into deterministic .tar.gz/.zip shards on disk,
+    read them back with read_archive (one Ray block per shard, member
+    rows exploded in map_batches), and recover (doc_id, text) from the
+    member name/payload. Lossless, so FULLY oracled: the DuckDB oracle
+    is the documents table itself."""
+    import io
+    import os
+    import tarfile
+    import tempfile
+    import zipfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from validatelite_ray.sources.archive import read_archive
+
+    tbl = _read(sf_dir, "documents", ["doc_id", "text"]).sort("doc_id").take_all()
+    shard_dir = tempfile.mkdtemp(prefix="vlray_archive_contract_")
+    n_shards = 4
+    paths = []
+    for s in range(n_shards):
+        rows = [r for r in tbl if r["doc_id"] % n_shards == s]
+        if s % 2 == 0:
+            path = os.path.join(shard_dir, f"shard-{s}.tar.gz")
+            with tarfile.open(path, "w:gz") as tf:
+                for r in rows:
+                    data = r["text"].encode()
+                    info = tarfile.TarInfo(f"docs/doc_{r['doc_id']}.txt")
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+        else:
+            path = os.path.join(shard_dir, f"shard-{s}.zip")
+            with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+                for r in rows:
+                    zf.writestr(f"docs/doc_{r['doc_id']}.txt", r["text"])
+        paths.append(path)
+
+    ds = read_archive(paths, pattern="docs/*.txt")
+
+    def recover(batch: pa.Table) -> pa.Table:
+        names = batch["name"].to_pylist()
+        ids = [int(n.rsplit("_", 1)[1][:-4]) for n in names]
+        texts = pc.cast(batch["payload"], pa.string())
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": texts}
+        )
+
+    return ds.map_batches(recover, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_normalize_text(sf_dir: str):
     """Unicode normalization cleaning pass (NFC + CRLF fold + control
     strip + space collapse + trim + lowercase) — pure Arrow-kernel
@@ -1565,6 +1617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_mjpeg_frames": _q_multimodal_mjpeg,
         "html_extract_documents": _q_html_extract,
         "warc_html_pipeline": _q_warc_pipeline,
+        "archive_extract_documents": _q_archive_extract,
         "text_token_count": _q_token_count,
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,
@@ -1635,6 +1688,7 @@ def oracle_sql() -> dict[str, str]:
             "'doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text AS text_out "
             "FROM documents"
         ),
+        "archive_extract_documents": "SELECT doc_id, text FROM documents",
         "rule_not_null_events": head + fail.format(cond="user_id IS NULL") + " FROM events",
         "rule_range_orders": head
         + fail.format(

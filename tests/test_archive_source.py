@@ -1,0 +1,83 @@
+"""TAR/ZIP archive source (the corpus-tarball front door)."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+import zipfile
+
+import pytest
+
+from validatelite_ray.sources.archive import iter_archive_members, read_archive
+
+
+def _make_tar(files: dict[str, bytes], mode: str = "w") -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode=mode) as tf:
+        # add a directory entry to prove it gets skipped
+        d = tarfile.TarInfo("src/")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        for name, data in files.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def _make_zip(files: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in files.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+_FILES = {
+    "src/a.py": b"print('a')\n",
+    "src/b.py": b"print('b')\n" * 100,
+    "README.md": b"# readme\n",
+    "vendor/big.bin": b"\x00" * 5000,
+}
+
+
+class TestIterArchiveMembers:
+    @pytest.mark.parametrize("mode", ["w", "w:gz", "w:bz2", "w:xz"])
+    def test_tar_variants(self, mode):
+        out = dict(iter_archive_members(_make_tar(_FILES, mode)))
+        assert out == _FILES
+
+    def test_zip(self):
+        assert dict(iter_archive_members(_make_zip(_FILES))) == _FILES
+
+    def test_pattern_prunes_before_extraction(self):
+        out = dict(iter_archive_members(_make_tar(_FILES), pattern="src/*.py"))
+        assert sorted(out) == ["src/a.py", "src/b.py"]
+
+    def test_max_member_bytes(self):
+        out = dict(iter_archive_members(_make_zip(_FILES), max_member_bytes=2000))
+        assert "vendor/big.bin" not in out
+        assert "src/b.py" in out
+
+    def test_malformed_raises_value_error(self):
+        with pytest.raises(ValueError, match="malformed TAR"):
+            list(iter_archive_members(b"definitely not an archive" * 40))
+        # a truncated zip: valid magic, broken directory
+        z = _make_zip(_FILES)
+        with pytest.raises(ValueError):
+            list(iter_archive_members(z[: len(z) // 2]))
+
+
+class TestReadArchiveRay:
+    def test_read_archive_multi_shard(self, ray_session, tmp_path):
+        p1 = tmp_path / "shard-0.tar.gz"
+        p1.write_bytes(_make_tar(_FILES, "w:gz"))
+        p2 = tmp_path / "shard-1.zip"
+        p2.write_bytes(_make_zip({"only/c.py": b"c = 1\n"}))
+        rows = read_archive([str(p1), str(p2)], pattern="*.py").take_all()
+        names = sorted(r["name"] for r in rows)
+        assert names == ["only/c.py", "src/a.py", "src/b.py"]
+        by_name = {r["name"]: r for r in rows}
+        assert by_name["src/a.py"]["payload"] == _FILES["src/a.py"]
+        assert by_name["src/a.py"]["size"] == len(_FILES["src/a.py"])
+        assert by_name["only/c.py"]["archive"].endswith("shard-1.zip")
