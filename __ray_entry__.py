@@ -682,6 +682,50 @@ def _q_multimodal_mjpeg(sf_dir: str):
     )
 
 
+def _q_multimodal_tiff(sf_dir: str):
+    """Actor-pool decode->feature pipeline over REAL TIFF payloads
+    (stages/tiff.py::TiffCodec — IFD walk, both byte orders, LZW with
+    early change / Deflate / PackBits strips, predictor, palette;
+    validated in test_tiff_codec.py). Rows-only: SQL cannot decode
+    TIFF."""
+    import numpy as np
+    import ray.data as rd
+    import pyarrow as pa
+
+    from validatelite_ray.stages.multimodal import (
+        MULTIMODAL_SCHEMA,
+        ImageFeatureStage,
+    )
+    from validatelite_ray.stages.tiff import TiffCodec, encode_tiff
+
+    n = max(_read(sf_dir, "documents", ["doc_id"]).count() // 8, 16)
+    rng = np.random.default_rng(42)
+    comps = [1, 5, 8, 32773]
+    rows = {k: [] for k in MULTIMODAL_SCHEMA.names}
+    for i in range(int(n)):
+        w, h = int(rng.integers(4, 48)), int(rng.integers(4, 48))
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        rows["item_id"].append(i)
+        rows["modality"].append("image")
+        rows["media_type"].append("image/tiff")
+        rows["payload"].append(
+            encode_tiff(px, compression=comps[i % 4],
+                        byte_order="II" if i % 2 else "MM",
+                        predictor=2 if i % 3 == 0 else 1)
+        )
+        rows["meta_width"].append(w)
+        rows["meta_height"].append(h)
+        rows["meta_duration_ms"].append(0)
+    ds = rd.from_arrow(pa.table(rows, schema=MULTIMODAL_SCHEMA))
+    return ds.map_batches(
+        ImageFeatureStage,
+        fn_constructor_kwargs={"codec": TiffCodec()},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    ).drop_columns(["thumb_8x8"])
+
+
 def _q_html_extract(sf_dir: str):
     """HTML -> text extraction (stages/html.py): wrap each document in
     deterministic HTML (escaped title + body paragraph), then recover
@@ -1615,6 +1659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_flac_features": _q_multimodal_flac,
         "multimodal_jpeg_features": _q_multimodal_jpeg,
         "multimodal_mjpeg_frames": _q_multimodal_mjpeg,
+        "multimodal_tiff_features": _q_multimodal_tiff,
         "html_extract_documents": _q_html_extract,
         "warc_html_pipeline": _q_warc_pipeline,
         "archive_extract_documents": _q_archive_extract,

@@ -1,0 +1,222 @@
+"""TiffCodec + PnmCodec: real TIFF 6.0 baseline (+Deflate) and netpbm.
+
+Round trips are exact (all supported compressions are lossless); the
+LZW early-change boundary, PackBits runs, both byte orders, palette /
+WhiteIsZero photometrics and strip splitting are each pinned.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from validatelite_ray.stages.tiff import (
+    PnmCodec,
+    TiffCodec,
+    _packbits_decode,
+    _packbits_encode,
+    _tiff_lzw_decode,
+    _tiff_lzw_encode,
+    encode_pnm,
+    encode_tiff,
+)
+
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def _luma(rgb):
+    return np.round(rgb.astype(np.float64) @ _LUMA).astype(np.uint8)
+
+
+class TestTiffLzw:
+    @pytest.mark.parametrize("n", [1, 200, 1000, 5000, 60000])
+    def test_round_trip_across_width_changes(self, n):
+        rng = np.random.default_rng(n)
+        data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data)) == data
+
+    def test_table_full_reset(self):
+        data = bytes(np.tile(np.arange(5, dtype=np.uint8), 30000))
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data)) == data
+
+
+class TestPackBits:
+    def test_round_trip_runs_and_literals(self):
+        rng = np.random.default_rng(3)
+        for data in (
+            b"\x00" * 500,
+            rng.integers(0, 256, 500, dtype=np.uint8).tobytes(),
+            b"ab" + b"c" * 200 + b"de" + b"\xff" * 3,
+            b"",
+            b"x",
+        ):
+            assert _packbits_decode(_packbits_encode(data), len(data)) == data
+
+
+class TestTiffRoundTrip:
+    @pytest.mark.parametrize("compression", [1, 5, 8, 32773])
+    @pytest.mark.parametrize("byte_order", ["II", "MM"])
+    def test_gray(self, compression, byte_order):
+        rng = np.random.default_rng(compression)
+        px = rng.integers(0, 256, size=(21, 13), dtype=np.uint8)
+        out = TiffCodec().decode(
+            encode_tiff(px, compression=compression, byte_order=byte_order)
+        )
+        assert (out["width"], out["height"]) == (13, 21)
+        assert np.array_equal(out["pixels"], px)
+
+    @pytest.mark.parametrize("compression", [1, 5, 8, 32773])
+    def test_rgb_multistrip_with_predictor(self, compression):
+        rng = np.random.default_rng(compression + 10)
+        px = rng.integers(0, 256, size=(30, 17, 3), dtype=np.uint8)
+        out = TiffCodec().decode(
+            encode_tiff(px, compression=compression, rows_per_strip=7, predictor=2)
+        )
+        assert np.array_equal(out["pixels"], _luma(px))
+
+    def test_single_pixel(self):
+        px = np.array([[123]], np.uint8)
+        assert TiffCodec().decode(encode_tiff(px))["pixels"][0, 0] == 123
+
+
+class TestTiffSpecPaths:
+    def _retag(self, payload: bytes, tag: int, new_value: int) -> bytes:
+        """Rewrite an inline SHORT/LONG tag value in a little-endian
+        single-IFD TIFF produced by encode_tiff."""
+        (ifd_off,) = struct.unpack_from("<I", payload, 4)
+        (n,) = struct.unpack_from("<H", payload, ifd_off)
+        buf = bytearray(payload)
+        for e in range(n):
+            off = ifd_off + 2 + 12 * e
+            t, vtype, _ = struct.unpack_from("<HHI", payload, off)
+            if t == tag:
+                fmt = "<H" if vtype == 3 else "<I"
+                struct.pack_into(fmt, buf, off + 8, new_value)
+                return bytes(buf)
+        raise AssertionError(f"tag {tag} not found")
+
+    def test_white_is_zero(self):
+        px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        payload = self._retag(encode_tiff(px), 262, 0)  # WhiteIsZero
+        out = TiffCodec().decode(payload)
+        assert np.array_equal(out["pixels"], 255 - px)
+
+    def test_palette_color(self):
+        # hand-build: encode an index image, then append a ColorMap IFD
+        # by re-encoding with photometric=3 via tag rewrite + appended map
+        idx = np.array([[0, 1], [2, 3]], np.uint8)
+        payload = bytearray(encode_tiff(idx))
+        payload = bytearray(self._retag(bytes(payload), 262, 3))
+        # append a 256-entry x 3 plane ColorMap (16-bit) and a new IFD
+        rng = np.random.default_rng(5)
+        cmap = rng.integers(0, 1 << 16, size=3 * 256, dtype=np.uint16)
+        (old_ifd,) = struct.unpack_from("<I", payload, 4)
+        (n,) = struct.unpack_from("<H", payload, old_ifd)
+        cmap_off = len(payload)
+        payload += cmap.astype("<u2").tobytes()
+        # rebuild IFD with one extra entry at the end of the file
+        entries = [bytes(payload[old_ifd + 2 + 12 * e : old_ifd + 14 + 12 * e])
+                   for e in range(n)]
+        entries.append(struct.pack("<HHII", 320, 3, 3 * 256, cmap_off))
+        entries.sort(key=lambda b: struct.unpack("<H", b[:2])[0])
+        new_ifd = len(payload)
+        payload += struct.pack("<H", n + 1) + b"".join(entries) + struct.pack("<I", 0)
+        struct.pack_into("<I", payload, 4, new_ifd)
+        out = TiffCodec().decode(bytes(payload))
+        pal = cmap.reshape(3, 256).T.astype(np.float64) / 257.0
+        pal_gray = np.round(pal @ _LUMA).astype(np.uint8)
+        assert np.array_equal(out["pixels"], pal_gray[idx])
+
+    def test_rejects(self):
+        with pytest.raises(ValueError, match="not a TIFF"):
+            TiffCodec().decode(b"GIF89a" + b"\x00" * 32)
+        px = np.zeros((4, 4), np.uint8)
+        with pytest.raises(ValueError, match="compression 7 not supported"):
+            TiffCodec().decode(self._retag(encode_tiff(px), 259, 7))
+        with pytest.raises(ValueError, match="degenerate TIFF"):
+            TiffCodec().decode(self._retag(encode_tiff(px), 256, 0))
+        payload = encode_tiff(px, compression=8)
+        with pytest.raises(ValueError):
+            TiffCodec().decode(payload[:-6])  # truncated strip / zlib error
+
+
+class TestPnm:
+    @pytest.mark.parametrize("magic", ["P2", "P3", "P5", "P6"])
+    def test_round_trip(self, magic):
+        rng = np.random.default_rng(7)
+        shape = (9, 13, 3) if magic in ("P3", "P6") else (9, 13)
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = PnmCodec().decode(encode_pnm(px, magic))
+        exp = px if px.ndim == 2 else _luma(px)
+        assert (out["width"], out["height"]) == (13, 9)
+        assert np.array_equal(out["pixels"], exp)
+
+    def test_bitmaps_and_comments(self):
+        out = PnmCodec().decode(b"P1\n# comment\n3 2\n0 1 0\n1 1 1\n")
+        assert out["pixels"].tolist() == [[255, 0, 255], [0, 0, 0]]
+        bits = np.packbits(np.array([[0, 1, 0], [1, 1, 1]], np.uint8), axis=1)
+        out = PnmCodec().decode(b"P4\n3 2\n" + bits.tobytes())
+        assert out["pixels"].tolist() == [[255, 0, 255], [0, 0, 0]]
+
+    def test_maxval_rescale(self):
+        out = PnmCodec().decode(b"P2\n2 1\n15\n0 15\n")
+        assert out["pixels"].tolist() == [[0, 255]]
+
+    def test_rejects(self):
+        with pytest.raises(ValueError, match="not a netpbm"):
+            PnmCodec().decode(b"XX nope")
+        with pytest.raises(ValueError, match="unknown netpbm magic"):
+            PnmCodec().decode(b"P7\n1 1\n255\n\x00")
+        with pytest.raises(ValueError, match="shorter than geometry"):
+            PnmCodec().decode(b"P2\n3 3\n255\n1 2 3\n")
+        with pytest.raises(ValueError, match="16-bit netpbm"):
+            PnmCodec().decode(b"P5\n1 1\n65535\n\x00\x00")
+
+
+class TestTiffRayIntegration:
+    def test_feature_stage_over_tiff_corpus(self, ray_session):
+        import ray.data as rd
+
+        from validatelite_ray.stages.multimodal import (
+            MULTIMODAL_SCHEMA,
+            ImageFeatureStage,
+        )
+        import pyarrow as pa
+
+        rng = np.random.default_rng(42)
+        comps = [1, 5, 8, 32773]
+        rows = {k: [] for k in MULTIMODAL_SCHEMA.names}
+        for i in range(12):
+            w, h = int(rng.integers(4, 40)), int(rng.integers(4, 40))
+            px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            rows["item_id"].append(i)
+            rows["modality"].append("image")
+            rows["media_type"].append("image/tiff")
+            rows["payload"].append(
+                encode_tiff(px, compression=comps[i % 4],
+                            byte_order="II" if i % 2 else "MM")
+            )
+            rows["meta_width"].append(w)
+            rows["meta_height"].append(h)
+            rows["meta_duration_ms"].append(0)
+        table = pa.table(rows, schema=MULTIMODAL_SCHEMA)
+        out = (
+            rd.from_arrow(table)
+            .map_batches(
+                ImageFeatureStage,
+                fn_constructor_kwargs={"codec": TiffCodec()},
+                batch_format="pyarrow",
+                batch_size=6,
+                concurrency=2,
+            )
+            .sort("item_id")
+            .take_all()
+        )
+        assert len(out) == 12
+        codec = TiffCodec()
+        for row, payload in zip(out, table["payload"].to_pylist()):
+            img = codec.decode(payload)
+            assert row["mean_intensity"] == pytest.approx(float(img["pixels"].mean()))

@@ -1,0 +1,496 @@
+"""REAL baseline TIFF decoder — pure Python + numpy + stdlib zlib.
+
+TIFF 6.0 baseline (plus the Deflate extension) is implementable
+without native libraries: an IFD tag walk plus per-strip decompression
+with byte-oriented codecs. This module decodes:
+
+* both byte orders (``II`` little- and ``MM`` big-endian)
+* compressions: 1 (none), 5 (TIFF LZW, MSB-first with early code-width
+  change), 8/32946 (Deflate via stdlib zlib), 32773 (PackBits)
+* photometric interpretations: WhiteIsZero, BlackIsZero, RGB(A)
+  (BT.601 luma), palette-color (ColorMap lookup)
+* 8-bit samples, any SamplesPerPixel, multi-strip images,
+  horizontal-differencing predictor (tag 317 = 2)
+* the netpbm family as a bonus: ``PnmCodec`` decodes P1-P6
+  (ASCII + binary bitmap/graymap/pixmap)
+
+``encode_tiff`` writes conformant files in every supported
+compression and both byte orders for exact round-trip tests.
+
+Output matches the ``ImageFeatureStage`` contract of
+``stages/multimodal.py``: 8-bit grayscale ``pixels``. Parity note:
+the reference treats media as opaque payloads; see stages/jpeg.py.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from validatelite_ray.stages.multimodal import decode_guard, nearest_resize
+
+__all__ = ["PnmCodec", "TiffCodec", "encode_pnm", "encode_tiff"]
+
+_LUMA_RGB = np.array([0.299, 0.587, 0.114], dtype=np.float64)
+
+
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first bit packing, Clear=256,
+    EOI=257, and the EARLY code-width change (width grows when the
+    table reaches 2^width - 1, one entry sooner than GIF)."""
+    CLEAR, EOI = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = i = 0
+    n = len(data)
+    while True:
+        while nbits < width and i < n:
+            acc = (acc << 8) | data[i]
+            nbits += 8
+            i += 1
+        if nbits < width:
+            break
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first TIFF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("TIFF LZW code out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        # early change, decoder side: the decoder's table add lags the
+        # encoder's by one code, so its width switch fires at 2^w - 2
+        # (the encoder's fires when ITS next free code hits 2^w - 1)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        if next_code < 4094:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        else:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:  # literal run of h+1 bytes
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            out += data[i : i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Simple conformant PackBits: repeat runs >= 3 as replicate runs,
+    everything else as literals (capped at 128)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and (i - lit_start) < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out.append(i - lit_start - 1)
+        out += data[lit_start:i]
+    return bytes(out)
+
+
+class TiffCodec:
+    """Decoder for baseline TIFF 6.0 + Deflate (see module docstring).
+    Output contract matches the other image codecs: 8-bit grayscale
+    ``pixels`` via BT.601 luma / palette lookup / photometric invert."""
+
+    @decode_guard
+    def decode(self, payload: bytes) -> dict:
+        if payload is None or payload[:4] not in (b"II*\x00", b"MM\x00*"):
+            raise ValueError("not a TIFF payload")
+        end = "<" if payload[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack_from(f"{end}I", payload, 4)
+        (n_entries,) = struct.unpack_from(f"{end}H", payload, ifd_off)
+        tags: dict[int, list[int]] = {}
+        for e in range(n_entries):
+            off = ifd_off + 2 + 12 * e
+            tag, vtype, count = struct.unpack_from(f"{end}HHI", payload, off)
+            size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}.get(vtype)
+            if size is None:
+                continue  # unknown value type: skip the tag
+            total = size * count
+            if total <= 4:
+                voff = off + 8
+            else:
+                (voff,) = struct.unpack_from(f"{end}I", payload, off + 8)
+            fmt = {1: "B", 2: "B", 3: "H", 4: "I", 5: "II"}[vtype]
+            n_scalars = count * (2 if vtype == 5 else 1)
+            tags[tag] = list(
+                struct.unpack_from(f"{end}{n_scalars}{fmt[-1]}", payload, voff)
+            )
+
+        def one(tag: int, default: int | None = None) -> int:
+            if tag in tags:
+                return tags[tag][0]
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+
+        width = one(256)
+        height = one(257)
+        if width <= 0 or height <= 0:
+            raise ValueError("degenerate TIFF dimensions")
+        spp = one(277, 1)
+        bits = tags.get(258, [8])
+        if any(b != 8 for b in bits):
+            raise ValueError(f"{bits}-bit TIFF samples not supported (8-bit only)")
+        compression = one(259, 1)
+        photometric = one(262, 1)
+        predictor = one(317, 1)
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing strip offsets/byte counts")
+        rows_per_strip = one(278, height)
+
+        row_bytes = width * spp
+        parts = []
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            strip = payload[off : off + cnt]
+            if len(strip) != cnt:
+                raise ValueError("truncated TIFF strip")
+            n_rows = min(rows_per_strip, height - si * rows_per_strip)
+            expected = n_rows * row_bytes
+            if compression == 1:
+                raw = strip
+            elif compression == 5:
+                raw = _tiff_lzw_decode(strip)
+            elif compression in (8, 32946):
+                raw = zlib.decompress(strip)
+            elif compression == 32773:
+                raw = _packbits_decode(strip, expected)
+            else:
+                raise ValueError(f"TIFF compression {compression} not supported")
+            if len(raw) < expected:
+                raise ValueError("TIFF strip shorter than geometry requires")
+            parts.append(raw[:expected])
+        data = np.frombuffer(b"".join(parts), np.uint8)
+        if data.size != height * row_bytes:
+            raise ValueError("TIFF pixel data shorter than geometry requires")
+        img = data.reshape(height, width, spp)
+        if predictor == 2:  # horizontal differencing: undo via cumsum
+            img = (np.cumsum(img, axis=1, dtype=np.int64) & 0xFF).astype(np.uint8)
+        elif predictor != 1:
+            raise ValueError(f"TIFF predictor {predictor} not supported")
+
+        if photometric == 2:  # RGB(A)
+            if spp < 3:
+                raise ValueError("RGB TIFF with fewer than 3 samples per pixel")
+            gray = (
+                (img[:, :, :3].astype(np.float64) @ _LUMA_RGB).round().astype(np.uint8)
+            )
+        elif photometric == 3:  # palette
+            cmap = tags.get(320)
+            if not cmap or len(cmap) < 3 * 256:
+                raise ValueError("palette TIFF missing ColorMap")
+            pal = (np.array(cmap[: 3 * 256], np.float64).reshape(3, 256).T / 257.0)
+            pal_gray = (pal @ _LUMA_RGB).round().astype(np.uint8)
+            gray = pal_gray[img[:, :, 0]]
+        elif photometric in (0, 1):
+            gray = img[:, :, 0]
+            if photometric == 0:  # WhiteIsZero
+                gray = (255 - gray.astype(np.int16)).astype(np.uint8)
+        else:
+            raise ValueError(f"TIFF photometric {photometric} not supported")
+        return {
+            "width": width,
+            "height": height,
+            "pixels": np.ascontiguousarray(gray),
+        }
+
+    def resize(self, pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+        return nearest_resize(pixels, out_w, out_h)
+
+
+def encode_tiff(
+    pixels: np.ndarray,
+    compression: int = 1,
+    byte_order: str = "II",
+    rows_per_strip: int | None = None,
+    predictor: int = 1,
+) -> bytes:
+    """Writer for 8-bit baseline TIFF from (H, W) grayscale or
+    (H, W, 3) RGB uint8. ``compression``: 1 none, 5 LZW, 8 Deflate,
+    32773 PackBits; both byte orders; multi-strip; optional horizontal
+    predictor. Standard viewers open the result."""
+    px = np.asarray(pixels, np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 3) or px.size == 0:
+        raise ValueError("encode_tiff expects non-empty (H, W) or (H, W, 3) uint8")
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte_order must be 'II' or 'MM'")
+    end = "<" if byte_order == "II" else ">"
+    h, w, spp = px.shape
+    rps = rows_per_strip or h
+    plane = px
+    if predictor == 2:
+        base = px.astype(np.int16)
+        plane = np.empty_like(px)
+        plane[:, 0] = px[:, 0]
+        plane[:, 1:] = ((base[:, 1:] - base[:, :-1]) & 0xFF).astype(np.uint8)
+    elif predictor != 1:
+        raise ValueError("predictor must be 1 or 2")
+
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = plane[y0 : y0 + rps].tobytes()
+        if compression == 1:
+            strips.append(raw)
+        elif compression == 5:
+            strips.append(_tiff_lzw_encode(raw))
+        elif compression == 8:
+            strips.append(zlib.compress(raw, 6))
+        elif compression == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            raise ValueError(f"unsupported encode compression {compression}")
+
+    photometric = 2 if spp == 3 else 1
+    entries = []  # (tag, type, count, values)
+    entries.append((256, 4, 1, [w]))
+    entries.append((257, 4, 1, [h]))
+    entries.append((258, 3, spp, [8] * spp))
+    entries.append((259, 3, 1, [compression]))
+    entries.append((262, 3, 1, [photometric]))
+    entries.append((277, 3, 1, [spp]))
+    entries.append((278, 4, 1, [rps]))
+    if predictor == 2:
+        entries.append((317, 3, 1, [predictor]))
+
+    # layout: header(8) + IFD + external values + strip data
+    n_with_strips = len(entries) + 2  # + StripOffsets + StripByteCounts
+    ifd_off = 8
+    ifd_len = 2 + 12 * n_with_strips + 4
+    ext_off = ifd_off + ifd_len
+    ext = bytearray()
+
+    def value_field(vtype: int, count: int, values: list[int]) -> bytes:
+        size = {3: 2, 4: 4}[vtype]
+        fmt = {3: "H", 4: "I"}[vtype]
+        packed = struct.pack(f"{end}{count}{fmt}", *values)
+        if len(packed) <= 4:
+            return packed + b"\x00" * (4 - len(packed))
+        nonlocal_off = ext_off + len(ext)
+        ext.extend(packed)
+        return struct.pack(f"{end}I", nonlocal_off)
+
+    # reserve space for strip arrays AFTER we know ext length: do the
+    # strip tags last by building entry bytes in two passes
+    entry_bytes = []
+    for tag, vtype, count, values in entries:
+        entry_bytes.append(
+            struct.pack(f"{end}HHI", tag, vtype, count)
+            + value_field(vtype, count, values)
+        )
+    n_strips = len(strips)
+    strip_counts = [len(s) for s in strips]
+    # strip offsets depend on total ext size including both arrays
+    arrays_bytes = (8 * n_strips) if n_strips > 1 else 0
+    data_off = ext_off + len(ext) + arrays_bytes
+    strip_offsets = []
+    acc = data_off
+    for c in strip_counts:
+        strip_offsets.append(acc)
+        acc += c
+    for tag, values in ((273, strip_offsets), (279, strip_counts)):
+        entry_bytes.append(
+            struct.pack(f"{end}HHI", tag, 4, n_strips)
+            + value_field(4, n_strips, values)
+        )
+    entry_bytes.sort(key=lambda b: struct.unpack(f"{end}H", b[:2])[0])
+
+    out = bytearray()
+    out += (b"II*\x00" if end == "<" else b"MM\x00*")
+    out += struct.pack(f"{end}I", ifd_off)
+    out += struct.pack(f"{end}H", n_with_strips)
+    out += b"".join(entry_bytes)
+    out += struct.pack(f"{end}I", 0)  # no next IFD
+    out += ext
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+class PnmCodec:
+    """Decoder for the netpbm family: P1/P4 bitmap, P2/P5 graymap,
+    P3/P6 pixmap (ASCII and binary, 8-bit maxval for binary)."""
+
+    @decode_guard
+    def decode(self, payload: bytes) -> dict:
+        if payload is None or len(payload) < 2 or payload[0:1] != b"P":
+            raise ValueError("not a netpbm payload")
+        magic = payload[:2].decode("ascii", "replace")
+        if magic not in ("P1", "P2", "P3", "P4", "P5", "P6"):
+            raise ValueError(f"unknown netpbm magic {magic}")
+        # tokenize the header: whitespace-separated, # comments to EOL
+        pos = 2
+        tokens: list[int] = []
+        need = 2 if magic in ("P1", "P4") else 3
+        while len(tokens) < need:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if pos < len(payload) and payload[pos : pos + 1] == b"#":
+                eol = payload.find(b"\n", pos)
+                pos = len(payload) if eol < 0 else eol + 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            if start == pos:
+                raise ValueError("truncated netpbm header")
+            tokens.append(int(payload[start:pos]))
+        width, height = tokens[0], tokens[1]
+        if width <= 0 or height <= 0:
+            raise ValueError("degenerate netpbm dimensions")
+        maxval = tokens[2] if need == 3 else 1
+        if magic in ("P4", "P5", "P6"):
+            pos += 1  # single whitespace byte after the header
+            if magic == "P4":
+                row_bytes = (width + 7) // 8
+                raw = np.frombuffer(
+                    payload, np.uint8, count=row_bytes * height, offset=pos
+                ).reshape(height, row_bytes)
+                bits = np.unpackbits(raw, axis=1)[:, :width]
+                gray = ((1 - bits) * 255).astype(np.uint8)  # 1 = black
+            else:
+                if maxval > 255:
+                    raise ValueError("16-bit netpbm not supported")
+                ch = 3 if magic == "P6" else 1
+                raw = np.frombuffer(
+                    payload, np.uint8, count=width * height * ch, offset=pos
+                ).reshape(height, width, ch)
+                scaled = raw.astype(np.float64) * (255.0 / maxval)
+                if ch == 3:
+                    gray = (scaled @ _LUMA_RGB).round().astype(np.uint8)
+                else:
+                    gray = scaled[:, :, 0].round().astype(np.uint8)
+        else:
+            vals = payload[pos:].split()
+            ch = 3 if magic == "P3" else 1
+            n = width * height * ch
+            if len(vals) < n:
+                raise ValueError("netpbm pixel data shorter than geometry requires")
+            arr = np.array([int(v) for v in vals[:n]], np.float64).reshape(
+                height, width, ch
+            )
+            if magic == "P1":
+                gray = ((1 - arr[:, :, 0]) * 255).astype(np.uint8)
+            else:
+                arr *= 255.0 / maxval
+                gray = (
+                    (arr @ _LUMA_RGB).round().astype(np.uint8)
+                    if ch == 3
+                    else arr[:, :, 0].round().astype(np.uint8)
+                )
+        return {"width": width, "height": height, "pixels": np.ascontiguousarray(gray)}
+
+    def resize(self, pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+        return nearest_resize(pixels, out_w, out_h)
+
+
+def encode_pnm(pixels: np.ndarray, magic: str = "P5") -> bytes:
+    """Writer for P2/P3/P5/P6 netpbm from (H, W) gray or (H, W, 3) RGB
+    uint8 (test fixture + sink helper)."""
+    px = np.asarray(pixels, np.uint8)
+    if magic in ("P5", "P2"):
+        if px.ndim != 2 or px.size == 0:
+            raise ValueError(f"{magic} expects non-empty (H, W) uint8")
+        h, w = px.shape
+    elif magic in ("P6", "P3"):
+        if px.ndim != 3 or px.shape[2] != 3 or px.size == 0:
+            raise ValueError(f"{magic} expects non-empty (H, W, 3) uint8")
+        h, w = px.shape[:2]
+    else:
+        raise ValueError("magic must be P2/P3/P5/P6")
+    head = f"{magic}\n# vlray\n{w} {h}\n255\n".encode()
+    if magic in ("P5", "P6"):
+        return head + px.tobytes()
+    return head + " ".join(str(int(v)) for v in px.ravel()).encode() + b"\n"
