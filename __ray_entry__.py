@@ -523,6 +523,56 @@ def _q_gopher_signals(sf_dir: str):
     return gopher_quality_signals(ds)
 
 
+#: toxicity demo lexicon over the synthetic corpus vocabulary ("slow"
+#: and "big" occur; "leak"/"spill" never do) — mixed hit counts so the
+#: oracle exercises both gate outcomes (175/500 pass at 0.05)
+_TOXICITY_LEXICON = ("slow", "leak", "big", "spill")
+_TOXICITY_MAX_FRAC = 0.05
+
+
+def _sql_str_list(words) -> str:
+    """Python string tuple → DuckDB list literal (['a','b',...])."""
+    return "[" + ",".join("'" + w.replace("'", "''") + "'" for w in words) + "]"
+
+
+def _toxic_body() -> str:
+    """The EXACT RE2 alternation the Ray scrub compiles, for embedding
+    in the DuckDB oracle (DuckDB standard strings keep backslashes
+    literal, so no extra escaping)."""
+    from validatelite_ray.stages.toxicity import lexicon_pattern_body
+
+    return lexicon_pattern_body(_TOXICITY_LEXICON)
+
+
+def _q_toxicity(sf_dir: str):
+    """C4/Dolma-style lexicon toxicity signals per document
+    (stages/toxicity.py::toxicity_signals): toxic_hits = case-
+    insensitive lexicon-token count over the shared ASCII \\w+ split,
+    toxic_frac = hits / max(tokens, 1), toxic_gate = frac <= 0.05.
+    Zero-shuffle stateless map_batches; the DuckDB oracle rebuilds the
+    identical definitions with list lambdas (IEEE double division both
+    sides)."""
+    from validatelite_ray.stages.toxicity import toxicity_signals
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return toxicity_signals(
+        ds, "text", _TOXICITY_LEXICON, max_frac=_TOXICITY_MAX_FRAC
+    ).select_columns(["doc_id", "toxic_hits", "toxic_frac", "toxic_gate"])
+
+
+def _q_scrub_toxic(sf_dir: str):
+    """Toxicity masking scrub (stages/toxicity.py::scrub_toxic): every
+    lexicon word (word-boundary, case-insensitive) replaced with
+    [TOXIC] via RE2 replace_substring_regex, plus the per-row replaced
+    count. DuckDB runs the IDENTICAL RE2 alternation (both engines are
+    RE2) built by lexicon_pattern_body."""
+    from validatelite_ray.stages.toxicity import scrub_toxic
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = scrub_toxic(ds, "text", _TOXICITY_LEXICON, mask="[TOXIC]", out="detoxed")
+    return out.select_columns(["doc_id", "detoxed", "toxic_masked"])
+
+
 def _q_dedup_substrings(sf_dir: str):
     """Exact substring (k-token-run) dedup flags, Lee et al. 2022
     style: per doc the token count, tokens covered by a verbatim
@@ -1676,6 +1726,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text_documents": _q_normalize_text,
         "substring_dedup_documents": _q_dedup_substrings,
         "gopher_signals_documents": _q_gopher_signals,
+        "toxicity_documents": _q_toxicity,
+        "scrub_toxic_documents": _q_scrub_toxic,
     }
 
 
@@ -2258,6 +2310,35 @@ def oracle_sql() -> dict[str, str]:
             "    '(\\.\\.\\.|' || chr(8230) || ')$')))"
             "    AS DOUBLE) / len(ls) END AS frac_lines_ellipsis"
             " FROM toks"
+        ),
+        "toxicity_documents": (
+            "WITH toks AS ("
+            "  SELECT doc_id, text, list_filter("
+            "    regexp_split_to_array(coalesce(text, ''), '[^0-9A-Za-z_]+'),"
+            "    x -> x <> '') AS t"
+            "  FROM documents"
+            "), h AS ("
+            "  SELECT doc_id, text, len(t) AS n,"
+            "    len(list_filter(t, x -> list_contains("
+            f"    {_sql_str_list(_TOXICITY_LEXICON)}, lower(x)))) AS hits"
+            "  FROM toks"
+            ") SELECT doc_id,"
+            "  CASE WHEN text IS NULL THEN NULL ELSE CAST(hits AS BIGINT) END"
+            "    AS toxic_hits,"
+            "  CASE WHEN text IS NULL THEN NULL ELSE"
+            "    CAST(hits AS DOUBLE) / greatest(n, 1) END AS toxic_frac,"
+            "  CASE WHEN text IS NULL THEN NULL ELSE"
+            f"    (CAST(hits AS DOUBLE) / greatest(n, 1) <= {_TOXICITY_MAX_FRAC})"
+            "    END AS toxic_gate"
+            " FROM h"
+        ),
+        "scrub_toxic_documents": (
+            "SELECT doc_id,"
+            f" regexp_replace(text, '{_toxic_body()}', '[TOXIC]', 'gi') AS detoxed,"
+            " CAST(CASE WHEN text IS NULL THEN NULL ELSE"
+            f" len(regexp_extract_all(text, '{_toxic_body()}', 0, 'i')) END"
+            " AS BIGINT) AS toxic_masked"
+            " FROM documents"
         ),
         "substring_dedup_documents": (
             "WITH toks AS ("

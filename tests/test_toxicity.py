@@ -1,0 +1,184 @@
+"""Toxicity scoring + masking (stages/toxicity.py): DuckDB-oracle
+parity on planted tricky inputs, mask/boundary semantics, gate edges,
+the ray.put lexicon actor stage, and the flagship wiring."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from validatelite_ray.stages.toxicity import (
+    ToxicityStage,
+    add_toxicity_signals,
+    lexicon_pattern_body,
+    mask_toxic,
+    scrub_toxic,
+    toxicity_counts,
+    toxicity_signals,
+)
+
+LEX = ("slow", "leak", "big", "spill")
+
+TRICKY = [
+    "slow SLOW Slow slower slow_case big",   # case folds; no partial/underscore hits
+    "leak. spill, (BIG) [slow]!",            # punctuation boundaries
+    "no bad words here at all",
+    "slow slow slow slow",                   # all-toxic doc
+    "",                                      # token-free → frac 0.0, gate True
+    None,                                    # NULL → NULL signals
+    "   \t\n  ",                             # whitespace only
+    "123 456 _ __ slow9 9slow",              # digit-adjacent: \w runs, no hits
+    "BiG biG bIg",                           # mixed case hits
+    "spillage leakage bigger",               # superstrings never hit
+]
+
+
+def _ray_signals(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"doc_id": list(range(len(TRICKY))), "text": TRICKY})
+    ds = toxicity_signals(rd.from_arrow(t).repartition(3), "text", LEX, max_frac=0.05)
+    out = pa.Table.from_pylist(ds.take_all())
+    return out.take(pc.sort_indices(out["doc_id"]))
+
+
+def _oracle(sql_key: str):
+    import __ray_entry__ as entrymod
+
+    sql = entrymod.oracle_sql()[sql_key]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(zip(range(len(TRICKY)), TRICKY))
+    )
+    return con.execute(sql + " ORDER BY doc_id").df()
+
+
+def test_signals_match_duckdb_on_tricky_inputs(ray_session):
+    got = _ray_signals(ray_session)
+    want = _oracle("toxicity_documents")
+    for i in range(len(TRICKY)):
+        for col in ("toxic_hits", "toxic_frac", "toxic_gate"):
+            g = got[col][i].as_py()
+            w = want[col][i]
+            w = None if w is None or (isinstance(w, float) and np.isnan(w)) else w
+            if col == "toxic_frac" and g is not None:
+                assert g == pytest.approx(float(w), abs=0.0), (i, col)
+            else:
+                assert g == (None if w is None else type(g)(w)), (i, col, g, w)
+
+
+def test_scrub_matches_duckdb_on_tricky_inputs(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"doc_id": list(range(len(TRICKY))), "text": TRICKY})
+    ds = scrub_toxic(rd.from_arrow(t).repartition(3), "text", LEX, out="detoxed")
+    out = pa.Table.from_pylist(ds.take_all())
+    out = out.take(pc.sort_indices(out["doc_id"]))
+    want = _oracle("scrub_toxic_documents")
+    for i in range(len(TRICKY)):
+        g = out["detoxed"][i].as_py()
+        w = want["detoxed"][i]
+        assert g == (None if w is None else w), i
+        gm = out["toxic_masked"][i].as_py()
+        wm = want["toxic_masked"][i]
+        wm = None if wm is None or (isinstance(wm, float) and np.isnan(wm)) else int(wm)
+        assert gm == wm, i
+
+
+def test_mask_word_boundaries_and_case():
+    masked, counts = mask_toxic(
+        pa.array(["BIG big Bigger big_x (big)"]), ("big",), mask="*"
+    )
+    assert masked[0].as_py() == "* * Bigger big_x (*)"
+    assert counts[0].as_py() == 3
+
+
+def test_counts_ignore_superstrings_and_underscore_joins():
+    hits, toks = toxicity_counts(pa.array(["slow slowest slow_case slow"]), LEX)
+    assert hits.tolist() == [2] and toks.tolist() == [4]
+
+
+def test_pattern_body_escapes_metachars_and_orders_longest_first():
+    body = lexicon_pattern_body(("a.b", "ab", "abc"))
+    assert r"a\.b" in body
+    assert body.index("abc") < body.index("ab|") if "ab|" in body else True
+    # the escaped dot matches only the literal
+    got = pc.count_substring_regex(pa.array(["a.b axb ab"]), pattern="(?i)" + body)
+    assert got[0].as_py() == 2  # "a.b" + trailing "ab"; "axb" never matches
+    with pytest.raises(ValueError):
+        lexicon_pattern_body(())
+
+
+def test_gate_edges_max_hits_and_nulls():
+    t = pa.table({"text": ["slow ok ok ok", "", None, "slow slow"]})
+    out = add_toxicity_signals(t, "text", LEX, max_frac=0.25, max_hits=1)
+    assert out["toxic_hits"].to_pylist() == [1, 0, None, 2]
+    assert out["toxic_frac"].to_pylist() == [0.25, 0.0, None, 1.0]
+    assert out["toxic_gate"].to_pylist() == [True, True, None, False]
+
+
+def test_actor_stage_with_ray_put_lexicon(ray_session):
+    import ray
+    import ray.data as rd
+
+    ref = ray.put(list(LEX))
+    t = pa.table({"text": ["Big slow data", "clean text"]})
+    ds = rd.from_arrow(t).map_batches(
+        ToxicityStage,
+        fn_constructor_kwargs={
+            "text_col": "text",
+            "lexicon_ref": ref,
+            "mask": "[TOXIC]",
+        },
+        batch_format="pyarrow",
+        concurrency=1,
+    )
+    rows = ds.take_all()
+    rows.sort(key=lambda r: r["text"])
+    assert rows[0]["text_detoxed"] == "[TOXIC] [TOXIC] data"
+    assert rows[0]["toxic_hits"] == 2
+    assert rows[1]["toxic_hits"] == 0
+
+
+def test_flagship_wiring_gate_and_detox(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.pipelines.quality_filter import (
+        QualityFilterConfig,
+        fused_label,
+    )
+
+    base = "def f(x, y=None):\n    return x\n" * 4
+    t = pa.table(
+        {
+            "repo": ["r1", "r1"],
+            "path": ["a.py", "b.py"],
+            "commit": ["c1", "c1"],
+            "lang": ["python", "python"],
+            "content": [base, base + "badword " * 30],
+        }
+    )
+    cfg = QualityFilterConfig(
+        min_chars=1,
+        min_ppl_bits=0.0,
+        max_ppl_bits=100.0,
+        toxicity_lexicon=("badword",),
+        max_toxic_frac=0.10,
+        toxicity_mask="[TOXIC]",
+    )
+    out = pa.Table.from_pylist(fused_label(rd.from_arrow(t), cfg).take_all())
+    out = out.take(pc.sort_indices(out["path"]))
+    assert "toxic_frac" in out.schema.names and "fail_toxicity" in out.schema.names
+    assert out["fail_toxicity"].to_pylist() == [False, True]
+    assert out["keep_rules"].to_pylist()[1] is False
+    scrubbed = out["content_scrubbed"].to_pylist()
+    assert "badword" not in scrubbed[1] and "[TOXIC]" in scrubbed[1]
+    # modular path (featurize+label) derives the identical signal columns
+    from validatelite_ray.pipelines.quality_filter import featurize, label
+
+    mod = pa.Table.from_pylist(label(featurize(rd.from_arrow(t), cfg), cfg).take_all())
+    mod = mod.take(pc.sort_indices(mod["path"]))
+    assert mod["fail_toxicity"].to_pylist() == [False, True]
+    assert mod["toxic_hits"].to_pylist() == out["toxic_hits"].to_pylist()

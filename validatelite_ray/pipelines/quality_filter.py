@@ -157,6 +157,19 @@ class QualityFilterConfig:
     #: and the kept ``content_scrubbed`` all see normalized text.
     #: ``None`` disables (the default).
     normalize_form: str | None = None
+    #: opt-in toxicity gate (the north rule's "toxicity-scrub"): a
+    #: blocklist of words (C4/Dolma lexicon shape). When set, every row
+    #: gets ``toxic_hits``/``toxic_frac`` columns (stages/toxicity.py —
+    #: one extra pass of the byte-LUT tokenizer, zero shuffle) and a
+    #: RANGE rule caps ``toxic_frac`` at ``max_toxic_frac``. ``None``
+    #: disables (the default).
+    toxicity_lexicon: tuple[str, ...] | None = None
+    max_toxic_frac: float = 0.05
+    #: when set (with a lexicon), lexicon words in the kept
+    #: ``content_scrubbed`` are ALSO masked with this token (RE2
+    #: word-boundary replace — same contract as the PII scrub), so the
+    #: kept output is detoxed, not just gated.
+    toxicity_mask: str | None = None
 
     def rules(self) -> list[RuleSpec]:
         """Quality thresholds expressed as ordinary ValidateLite rules
@@ -174,7 +187,11 @@ class QualityFilterConfig:
             ),
             S.value_range("ppl_bits", self.min_ppl_bits, self.max_ppl_bits, name="perplexity"),
             S.enum("lang_gate", list(self.target_langs), name="language"),
-        ]
+        ] + (
+            [S.value_range("toxic_frac", 0.0, self.max_toxic_frac, name="toxicity")]
+            if self.toxicity_lexicon
+            else []
+        )
 
 
 class ModelScorer:
@@ -197,6 +214,24 @@ class ModelScorer:
         return batch.append_column("lang_gate", gate)
 
 
+def _toxicity_block(b: pa.Table, cfg: QualityFilterConfig) -> pa.Table:
+    """Opt-in toxicity signals (+ mask of the kept scrubbed text).
+    Signals are scored on the RAW text column; the mask is applied on
+    top of the PII scrub so the kept output is detoxed too."""
+    if not cfg.toxicity_lexicon:
+        return b
+    from validatelite_ray.stages.toxicity import add_toxicity_signals, mask_toxic
+
+    b = add_toxicity_signals(
+        b, cfg.text_col, tuple(cfg.toxicity_lexicon), max_frac=cfg.max_toxic_frac
+    )
+    if cfg.toxicity_mask is not None:
+        idx = b.schema.get_field_index("content_scrubbed")
+        masked, _ = mask_toxic(b["content_scrubbed"], tuple(cfg.toxicity_lexicon), cfg.toxicity_mask)
+        b = b.set_column(idx, "content_scrubbed", masked)
+    return b
+
+
 def featurize(ds, cfg: QualityFilterConfig):
     """Derive all score columns (stateless stats stage + one actor pool)."""
     text = cfg.text_col
@@ -205,6 +240,7 @@ def featurize(ds, cfg: QualityFilterConfig):
         b = add_sha256(b, text, "sha256")
         b = add_text_features(b, text, k=cfg.shingle_k)  # one tokenize
         b = add_scrubbed(b, text, "content_scrubbed")
+        b = _toxicity_block(b, cfg)
         # stable dedup tiebreak key from the row identity columns
         uid = None
         for col in cfg.key_cols:
@@ -276,6 +312,7 @@ class FusedLabelStage:
             )
         b = add_text_features(b, text, k=cfg.shingle_k)  # one tokenize
         b = add_scrubbed(b, text, "content_scrubbed")
+        b = _toxicity_block(b, cfg)
         uid = None
         for col in cfg.key_cols:
             part = pc.cast(b[col], pa.string())

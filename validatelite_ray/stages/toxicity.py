@@ -1,0 +1,230 @@
+"""Toxicity scoring + masking (lexicon word-fraction, C4-style).
+
+The north rule names a "PII/**toxicity**-scrub" stage; the published
+web-pipeline shape (C4's bad-word filter, Dolma/RefinedWeb toxic-word
+fractions) is a LEXICON match: a document's toxicity evidence is the
+count of its word tokens found in a blocklist, thresholded as a
+fraction of all tokens. This module implements that shape:
+
+* :func:`add_toxicity_signals` / :func:`toxicity_signals` — per-doc
+  ``toxic_hits`` (lexicon-token count), ``toxic_frac`` (hits per
+  token) and ``toxic_gate`` (passes the threshold), fully vectorized:
+  one pass of the shared byte-LUT tokenizer (stages/text.py), Arrow
+  ``utf8_lower`` + ``is_in`` over the flat token array, a bincount
+  back to documents. Zero shuffle, zero per-row Python.
+* :func:`mask_toxic` / :func:`scrub_toxic` — replace every lexicon
+  word (word-boundary, case-insensitive) with a mask token via RE2
+  ``replace_substring_regex`` — the same compiled-regex scrub contract
+  as the PII stage (stages/scrub.py).
+
+Both are oracle-exact against DuckDB: tokenization is the shared ASCII
+``\\w+`` split, and the mask pattern is plain RE2 (DuckDB's regex
+engine) built by :func:`lexicon_pattern_body` so the SQL oracle embeds
+the IDENTICAL alternation.
+
+Reference parity: the reference has no toxicity stage (its closest is
+the ENUM rule, core/executors/validity_executor.py); this stage exists
+for the north-rule pipeline and follows the public C4/Dolma recipe.
+
+Scale notes: the lexicon is broadcast-by-closure (a few KB — shipped
+once per task spec, held as one Arrow array per worker process via the
+module-level cache); for very large lexicons pass a ``ray.put`` handle
+to :class:`ToxicityStage`, which resolves it once per actor in
+``__init__``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from validatelite_ray.stages.text import _tokenize_ascii
+
+#: small built-in demo blocklist (mild terms only). Production use
+#: supplies a real list (e.g. the public LDNOOBW lists) — every entry
+#: point takes ``lexicon`` explicitly.
+DEFAULT_LEXICON: tuple[str, ...] = (
+    "damn", "hell", "crap", "stupid", "idiot", "moron",
+    "kill", "hate", "nude", "porn", "sexy", "xxx",
+)
+
+#: per-process cache of lowered lexicon value sets (one Arrow array per
+#: distinct lexicon per worker, like the compiled-regex module cache in
+#: stages/scrub.py)
+_LEXICON_CACHE: dict[tuple[str, ...], pa.Array] = {}
+
+
+def _lexicon_set(lexicon: tuple[str, ...]) -> pa.Array:
+    arr = _LEXICON_CACHE.get(lexicon)
+    if arr is None:
+        lowered = sorted({w.lower() for w in lexicon if w})
+        arr = _LEXICON_CACHE[lexicon] = pa.array(lowered, pa.large_string())
+    return arr
+
+
+def lexicon_pattern_body(lexicon) -> str:
+    """RE2 alternation matching any lexicon word at word boundaries,
+    case-sensitivity NOT included (callers prepend ``(?i)`` on the Ray
+    side and pass the ``i`` flag on the DuckDB side — both RE2, so the
+    semantics are identical). Longest-first so leftmost-first
+    alternation picks the same branch in both engines when one entry
+    prefixes another (``slow`` / ``slowly``)."""
+    words = sorted({w.lower() for w in lexicon if w}, key=lambda w: (-len(w), w))
+    if not words:
+        raise ValueError("empty toxicity lexicon")
+    return r"\b(?:" + "|".join(re.escape(w) for w in words) + r")\b"
+
+
+def toxicity_counts(
+    arr: pa.ChunkedArray | pa.Array, lexicon: tuple[str, ...]
+) -> tuple[np.ndarray, np.ndarray]:
+    """(toxic_hits, n_tokens) int64 per string — case-insensitive
+    lexicon membership over the exact ASCII ``\\w+`` token split."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    tokens, doc_of, per_doc = _tokenize_ascii(arr)
+    hits = np.zeros(len(arr), dtype=np.int64)
+    if len(tokens):
+        member = pc.is_in(
+            pc.utf8_lower(tokens), value_set=_lexicon_set(tuple(lexicon))
+        )
+        hit_mask = np.asarray(member)
+        if hit_mask.any():
+            hits = np.bincount(doc_of[hit_mask], minlength=len(arr)).astype(np.int64)
+    return hits, per_doc
+
+
+def add_toxicity_signals(
+    batch: pa.Table,
+    column: str = "text",
+    lexicon: tuple[str, ...] = DEFAULT_LEXICON,
+    max_frac: float = 0.05,
+    max_hits: int | None = None,
+    prefix: str = "toxic",
+) -> pa.Table:
+    """Append ``<prefix>_hits`` / ``<prefix>_frac`` / ``<prefix>_gate``.
+
+    NULL text → NULL signals (rule semantics: NOT_NULL owns nulls).
+    ``frac`` divides by ``max(n_tokens, 1)`` so token-free docs score
+    0.0 and pass the gate — matching the DuckDB oracle's
+    ``greatest(len(t), 1)`` exactly (IEEE double division both sides).
+    """
+    arr = batch[column]
+    hits, per_doc = toxicity_counts(arr, lexicon)
+    frac = hits / np.maximum(per_doc, 1)
+    gate = frac <= max_frac
+    if max_hits is not None:
+        gate &= hits <= max_hits
+    null_mask = np.asarray(pc.is_null(arr))
+    batch = batch.append_column(
+        f"{prefix}_hits", pa.array(hits, pa.int64(), mask=null_mask)
+    )
+    batch = batch.append_column(
+        f"{prefix}_frac", pa.array(frac, pa.float64(), mask=null_mask)
+    )
+    return batch.append_column(f"{prefix}_gate", pa.array(gate, mask=null_mask))
+
+
+def toxicity_signals(
+    ds,
+    text_col: str = "text",
+    lexicon: tuple[str, ...] = DEFAULT_LEXICON,
+    max_frac: float = 0.05,
+    max_hits: int | None = None,
+):
+    """Dataset wrapper: stateless zero-shuffle ``map_batches``."""
+    lexicon = tuple(lexicon)
+    return ds.map_batches(
+        lambda b: add_toxicity_signals(
+            b, text_col, lexicon, max_frac=max_frac, max_hits=max_hits
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def mask_toxic(
+    arr: pa.ChunkedArray | pa.Array,
+    lexicon: tuple[str, ...],
+    mask: str = "[TOXIC]",
+) -> tuple[pa.Array, pa.Array]:
+    """(masked_strings, per-row replaced counts) — every lexicon word
+    (word-boundary, any case) replaced with ``mask`` via RE2."""
+    pattern = "(?i)" + lexicon_pattern_body(lexicon)
+    counts = pc.cast(pc.count_substring_regex(arr, pattern=pattern), pa.int64())
+    masked = pc.replace_substring_regex(arr, pattern=pattern, replacement=mask)
+    return masked, counts
+
+
+def scrub_toxic(
+    ds,
+    text_col: str = "text",
+    lexicon: tuple[str, ...] = DEFAULT_LEXICON,
+    mask: str = "[TOXIC]",
+    out: str | None = None,
+    with_counts: bool = True,
+):
+    """Dataset wrapper for :func:`mask_toxic` (stateless map_batches)."""
+    lexicon = tuple(lexicon)
+    out_col = out or f"{text_col}_detoxed"
+
+    def apply(b: pa.Table) -> pa.Table:
+        masked, counts = mask_toxic(b[text_col], lexicon, mask)
+        b = b.append_column(out_col, masked)
+        if with_counts:
+            b = b.append_column("toxic_masked", counts)
+        return b
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class ToxicityStage:
+    """Actor-pool form for LARGE lexicons: pass ``lexicon_ref`` (a
+    ``ray.put`` object ref holding a list/tuple of words) and the
+    lexicon ships to each actor ONCE via the object store instead of
+    riding in every task spec.
+
+    ``map_batches(ToxicityStage, fn_constructor_kwargs={...},
+    concurrency=N)``.
+    """
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        lexicon_ref=None,
+        lexicon: tuple[str, ...] | None = None,
+        max_frac: float = 0.05,
+        max_hits: int | None = None,
+        mask: str | None = None,
+    ):
+        import ray
+
+        words = tuple(ray.get(lexicon_ref)) if lexicon_ref is not None else tuple(
+            lexicon or DEFAULT_LEXICON
+        )
+        self.text_col = text_col
+        self.lexicon = words
+        self.max_frac = max_frac
+        self.max_hits = max_hits
+        self.mask = mask
+        # resolve the value-set Arrow array + mask pattern once per actor
+        _lexicon_set(words)
+        self._pattern = ("(?i)" + lexicon_pattern_body(words)) if mask else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = add_toxicity_signals(
+            batch,
+            self.text_col,
+            self.lexicon,
+            max_frac=self.max_frac,
+            max_hits=self.max_hits,
+        )
+        if self.mask is not None:
+            masked = pc.replace_substring_regex(
+                batch[self.text_col], pattern=self._pattern, replacement=self.mask
+            )
+            batch = batch.append_column(f"{self.text_col}_detoxed", masked)
+        return batch
