@@ -544,6 +544,44 @@ def _toxic_body() -> str:
     return lexicon_pattern_body(_TOXICITY_LEXICON)
 
 
+def _codeq_oracle_sql() -> str:
+    """DuckDB oracle for code_quality_documents, built from the SAME
+    module RE2 constants the Ray stage compiles (both engines are RE2;
+    DuckDB standard strings keep backslashes literal)."""
+    from validatelite_ray.stages.codequality import (
+        BLANK_LINE_PATTERN,
+        COMMENT_LINE_PATTERN,
+        marker_pattern_body,
+    )
+
+    marker = marker_pattern_body(("merge batch", "spark line"))
+    assert ("merge batch", "spark line") == _CODEQ_MARKERS
+    blob = f"[0-9A-Za-z+/=]{{{_CODEQ_BLOB_MIN_RUN},}}"
+    return (
+        "WITH l AS ("
+        "  SELECT doc_id, text,"
+        "    string_split(coalesce(text, ''), chr(10)) AS ls"
+        "  FROM documents"
+        ") SELECT doc_id,"
+        "  CASE WHEN text IS NULL THEN NULL ELSE"
+        f"    regexp_matches(substring(text, 1, 1000), '{marker}', 'i')"
+        "    END AS autogen,"
+        "  CASE WHEN text IS NULL THEN NULL ELSE CAST(len(ls) AS BIGINT) END"
+        "    AS n_lines,"
+        "  CASE WHEN text IS NULL THEN NULL ELSE"
+        f"    CAST(len(list_filter(ls, x -> regexp_matches(x, '{COMMENT_LINE_PATTERN}')))"
+        "    AS DOUBLE) / greatest(len(ls), 1) END AS comment_line_frac,"
+        "  CASE WHEN text IS NULL THEN NULL ELSE"
+        f"    CAST(len(list_filter(ls, x -> regexp_matches(x, '{BLANK_LINE_PATTERN}')))"
+        "    AS DOUBLE) / greatest(len(ls), 1) END AS blank_line_frac,"
+        "  CASE WHEN text IS NULL THEN NULL ELSE"
+        "    CAST(coalesce(list_sum(list_transform("
+        f"    regexp_extract_all(text, '{blob}'), x -> length(x))), 0)"
+        "    AS DOUBLE) / greatest(length(text), 1) END AS blob_frac"
+        " FROM l"
+    )
+
+
 def _q_toxicity(sf_dir: str):
     """C4/Dolma-style lexicon toxicity signals per document
     (stages/toxicity.py::toxicity_signals): toxic_hits = case-
@@ -571,6 +609,39 @@ def _q_scrub_toxic(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = scrub_toxic(ds, "text", _TOXICITY_LEXICON, mask="[TOXIC]", out="detoxed")
     return out.select_columns(["doc_id", "detoxed", "toxic_masked"])
+
+
+#: code-quality demo parameters over the synthetic corpus: the marker
+#: phrases occur in ~60/500 docs' heads and blob_min_run=8 makes the
+#: base64-run detector fire on long vocabulary words (394/500), so the
+#: oracle exercises both outcomes of every signal
+_CODEQ_MARKERS = ("merge batch", "spark line")
+_CODEQ_BLOB_MIN_RUN = 8
+
+
+def _q_code_quality(sf_dir: str):
+    """StarCoder-style source-code quality signals per document
+    (stages/codequality.py): autogen marker flag (head-of-file RE2
+    search), n_lines, comment/blank line fractions (one newline split
+    + RE2 over the flat line array), and the base64/hex data-blob
+    character fraction (byte-LUT run detection). The DuckDB oracle
+    embeds the IDENTICAL RE2 patterns (module constants) and rebuilds
+    the run detector with regexp_extract_all lengths."""
+    from validatelite_ray.stages.codequality import code_quality_signals
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return code_quality_signals(
+        ds, "text", _CODEQ_MARKERS, blob_min_run=_CODEQ_BLOB_MIN_RUN
+    ).select_columns(
+        [
+            "doc_id",
+            "autogen",
+            "n_lines",
+            "comment_line_frac",
+            "blank_line_frac",
+            "blob_frac",
+        ]
+    )
 
 
 def _q_dedup_substrings(sf_dir: str):
@@ -1728,6 +1799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_signals_documents": _q_gopher_signals,
         "toxicity_documents": _q_toxicity,
         "scrub_toxic_documents": _q_scrub_toxic,
+        "code_quality_documents": _q_code_quality,
     }
 
 
@@ -2340,6 +2412,7 @@ def oracle_sql() -> dict[str, str]:
             " AS BIGINT) AS toxic_masked"
             " FROM documents"
         ),
+        "code_quality_documents": _codeq_oracle_sql(),
         "substring_dedup_documents": (
             "WITH toks AS ("
             "  SELECT doc_id, list_filter("

@@ -170,6 +170,17 @@ class QualityFilterConfig:
     #: word-boundary replace — same contract as the PII scrub), so the
     #: kept output is detoxed, not just gated.
     toxicity_mask: str | None = None
+    #: opt-in StarCoder-style code-quality gates
+    #: (stages/codequality.py): when True, every row gets ``autogen``
+    #: / ``comment_line_frac`` / ``blank_line_frac`` / ``blob_frac``
+    #: signals (one extra newline split + two RE2 line matches + a
+    #: byte-LUT run scan, zero shuffle) and four rules gate them:
+    #: autogenerated files dropped (ENUM over the bool), the three
+    #: fractions capped below. False disables (the default).
+    code_signals: bool = False
+    max_comment_line_frac: float = 0.8
+    max_blank_line_frac: float = 0.9
+    max_blob_frac: float = 0.5
 
     def rules(self) -> list[RuleSpec]:
         """Quality thresholds expressed as ordinary ValidateLite rules
@@ -190,6 +201,21 @@ class QualityFilterConfig:
         ] + (
             [S.value_range("toxic_frac", 0.0, self.max_toxic_frac, name="toxicity")]
             if self.toxicity_lexicon
+            else []
+        ) + (
+            [
+                S.enum("autogen", [False], name="autogenerated"),
+                S.value_range(
+                    "comment_line_frac", 0.0, self.max_comment_line_frac,
+                    name="comment_lines",
+                ),
+                S.value_range(
+                    "blank_line_frac", 0.0, self.max_blank_line_frac,
+                    name="blank_lines",
+                ),
+                S.value_range("blob_frac", 0.0, self.max_blob_frac, name="data_blob"),
+            ]
+            if self.code_signals
             else []
         )
 
@@ -212,6 +238,17 @@ class ModelScorer:
         confident = pc.greater_equal(batch["langid_score"], self.min_score)
         gate = pc.if_else(confident, batch["lang_pred"], pa.scalar("und"))
         return batch.append_column("lang_gate", gate)
+
+
+def _code_signals_block(b: pa.Table, cfg: QualityFilterConfig) -> pa.Table:
+    """Opt-in StarCoder-style code-quality signals (scored on the RAW
+    text column; ``n_lines`` skipped — add_text_features already adds
+    one)."""
+    if not cfg.code_signals:
+        return b
+    from validatelite_ray.stages.codequality import add_code_quality_signals
+
+    return add_code_quality_signals(b, cfg.text_col, with_n_lines=False)
 
 
 def _toxicity_block(b: pa.Table, cfg: QualityFilterConfig) -> pa.Table:
@@ -241,6 +278,7 @@ def featurize(ds, cfg: QualityFilterConfig):
         b = add_text_features(b, text, k=cfg.shingle_k)  # one tokenize
         b = add_scrubbed(b, text, "content_scrubbed")
         b = _toxicity_block(b, cfg)
+        b = _code_signals_block(b, cfg)
         # stable dedup tiebreak key from the row identity columns
         uid = None
         for col in cfg.key_cols:
@@ -313,6 +351,7 @@ class FusedLabelStage:
         b = add_text_features(b, text, k=cfg.shingle_k)  # one tokenize
         b = add_scrubbed(b, text, "content_scrubbed")
         b = _toxicity_block(b, cfg)
+        b = _code_signals_block(b, cfg)
         uid = None
         for col in cfg.key_cols:
             part = pc.cast(b[col], pa.string())
