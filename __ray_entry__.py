@@ -644,6 +644,100 @@ def _q_code_quality(sf_dir: str):
     )
 
 
+#: domain blocklist for the URL front-end query (2 of the 20 derived
+#: hosts → 50/500 rows blocked)
+_URL_BLOCKLIST = ("src3.example.com", "src7.example.com")
+
+
+def _derive_urls(b):
+    """Deterministic messy URLs from (doc_id, source): uppercase
+    scheme + mixed-case host, utm params on doc_id%3==0, fragment on
+    doc_id%5==0 — byte-identical to the SQL derivation."""
+    import numpy as np
+
+    did = np.asarray(b["doc_id"], dtype=np.int64)
+    ds = pa.array(did.astype("U"))  # decimal int64→string, same as CAST
+    host = pa.compute.if_else(
+        pa.array(did % 2 == 0),
+        pa.compute.utf8_upper(b["source"]),
+        pa.compute.cast(b["source"], pa.string()),
+    )
+    q = pa.compute.if_else(
+        pa.array(did % 3 == 0),
+        pa.scalar("?utm_source=feed&x="),
+        pa.scalar("?x="),
+    )
+    frag = pa.compute.if_else(
+        pa.array(did % 5 == 0), pa.scalar("#frag"), pa.scalar("")
+    )
+    return pa.compute.binary_join_element_wise(
+        pa.scalar("HTTPS://"), host, pa.scalar(".Example.COM/p/"), ds, q, ds, frag, ""
+    )
+
+
+_URL_DERIVE_SQL = (
+    "'HTTPS://' || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END"
+    " || '.Example.COM/p/' || doc_id"
+    " || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&x=' ELSE '?x=' END"
+    " || doc_id || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END"
+)
+
+
+def _q_canonicalize_urls(sf_dir: str):
+    """Crawl URL front end (stages/urls.py): canonicalize messy derived
+    URLs (lowercase scheme://host, strip fragment + utm/fbclid/gclid
+    tracking params, clean dangling separators), extract the host, and
+    flag blocklisted domains (suffix alternation — equals or
+    subdomain). All RE2 kernels; the DuckDB oracle runs the IDENTICAL
+    replace chain from the module constants."""
+    from validatelite_ray.stages.urls import add_url_columns
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], "url": _derive_urls(b)})
+
+    return ds.map_batches(
+        lambda b: add_url_columns(derive(b), "url", _URL_BLOCKLIST),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _url_oracle_sql() -> str:
+    from validatelite_ray.stages.urls import (
+        DANGLING_SEP_PATTERN,
+        FRAGMENT_PATTERN,
+        HOST_PATTERN,
+        ORPHAN_AMP_PATTERN,
+        SCHEME_HOST_PATTERN,
+        TRACKING_PARAM_PATTERN,
+        blocklist_pattern_body,
+    )
+
+    block = blocklist_pattern_body(_URL_BLOCKLIST)
+    return (
+        f"WITH u AS (SELECT doc_id, {_URL_DERIVE_SQL} AS url FROM documents),"
+        " c AS (SELECT doc_id, url,"
+        "  regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"   coalesce(lower(regexp_extract(url, '{SCHEME_HOST_PATTERN}')), '')"
+        f"    || regexp_replace(url, '{SCHEME_HOST_PATTERN}', ''),"
+        f"   '{FRAGMENT_PATTERN}', '', 'g'),"
+        f"   '{TRACKING_PARAM_PATTERN}', '', 'g'),"
+        f"   '{ORPHAN_AMP_PATTERN}', '?', 'g'),"
+        f"   '{DANGLING_SEP_PATTERN}', '', 'g') AS url_canon"
+        " FROM u),"
+        " h AS (SELECT doc_id, url, url_canon,"
+        f"  CASE WHEN regexp_matches(url_canon, '{HOST_PATTERN}')"
+        f"   THEN regexp_extract(url_canon, '{HOST_PATTERN}', 2) ELSE NULL END AS host"
+        " FROM c)"
+        " SELECT doc_id, url, url_canon, host,"
+        f" CASE WHEN host IS NULL THEN NULL ELSE regexp_matches(host, '{block}')"
+        "  END AS blocked"
+        " FROM h"
+    )
+
+
 def _q_dedup_substrings(sf_dir: str):
     """Exact substring (k-token-run) dedup flags, Lee et al. 2022
     style: per doc the token count, tokens covered by a verbatim
@@ -1800,6 +1894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "toxicity_documents": _q_toxicity,
         "scrub_toxic_documents": _q_scrub_toxic,
         "code_quality_documents": _q_code_quality,
+        "canonicalize_urls_documents": _q_canonicalize_urls,
     }
 
 
@@ -2413,6 +2508,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents"
         ),
         "code_quality_documents": _codeq_oracle_sql(),
+        "canonicalize_urls_documents": _url_oracle_sql(),
         "substring_dedup_documents": (
             "WITH toks AS ("
             "  SELECT doc_id, list_filter("

@@ -1,0 +1,143 @@
+"""URL canonicalization + domain blocklist (stages/urls.py): DuckDB
+parity of the full RE2 chain on planted tricky URLs, blocklist suffix
+semantics, and the filter stages."""
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from validatelite_ray.stages.urls import (
+    DANGLING_SEP_PATTERN,
+    FRAGMENT_PATTERN,
+    HOST_PATTERN,
+    ORPHAN_AMP_PATTERN,
+    SCHEME_HOST_PATTERN,
+    TRACKING_PARAM_PATTERN,
+    UrlFilterStage,
+    blocked_mask,
+    blocklist_pattern_body,
+    canonicalize_url_array,
+    canonicalize_urls,
+    extract_hosts,
+    filter_blocked_domains,
+)
+
+TRICKY = [
+    "HTTPS://WWW.Example.COM/Path/X?utm_source=a&q=1#frag",
+    "http://a.b.c/?utm_a=1",
+    "http://Host:8080/P?x=1&utm_b=2&y=3",
+    "ftp://X.Y/file",
+    "not a url",
+    None,
+    "http://user:pw@Host.COM/p",
+    "https://example.com?fbclid=abc&gclid=x&msclkid=y",
+    "HTTP://E.com/#only-frag",
+    "http://plain.com/a@b?utm_x=1&utm_y=2&keep=3",
+    "https://sub.dom.example.com/",
+    "",
+    "//protocol-relative.com/x",
+    "http://T.io/p?a=1&utm_term=x",
+]
+
+
+def _duck_canon():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(i BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", list(zip(range(len(TRICKY)), TRICKY)))
+    sql = (
+        "SELECT i,"
+        " regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"  coalesce(lower(regexp_extract(url, '{SCHEME_HOST_PATTERN}')), '')"
+        f"   || regexp_replace(url, '{SCHEME_HOST_PATTERN}', ''),"
+        f"  '{FRAGMENT_PATTERN}', '', 'g'),"
+        f"  '{TRACKING_PARAM_PATTERN}', '', 'g'),"
+        f"  '{ORPHAN_AMP_PATTERN}', '?', 'g'),"
+        f"  '{DANGLING_SEP_PATTERN}', '', 'g') AS c,"
+        f" CASE WHEN regexp_matches(regexp_replace(regexp_replace(regexp_replace("
+        "  regexp_replace("
+        f"  coalesce(lower(regexp_extract(url, '{SCHEME_HOST_PATTERN}')), '')"
+        f"   || regexp_replace(url, '{SCHEME_HOST_PATTERN}', ''),"
+        f"  '{FRAGMENT_PATTERN}', '', 'g'),"
+        f"  '{TRACKING_PARAM_PATTERN}', '', 'g'),"
+        f"  '{ORPHAN_AMP_PATTERN}', '?', 'g'),"
+        f"  '{DANGLING_SEP_PATTERN}', '', 'g'), '{HOST_PATTERN}')"
+        " THEN regexp_extract(regexp_replace(regexp_replace(regexp_replace("
+        "  regexp_replace("
+        f"  coalesce(lower(regexp_extract(url, '{SCHEME_HOST_PATTERN}')), '')"
+        f"   || regexp_replace(url, '{SCHEME_HOST_PATTERN}', ''),"
+        f"  '{FRAGMENT_PATTERN}', '', 'g'),"
+        f"  '{TRACKING_PARAM_PATTERN}', '', 'g'),"
+        f"  '{ORPHAN_AMP_PATTERN}', '?', 'g'),"
+        f"  '{DANGLING_SEP_PATTERN}', '', 'g'), '{HOST_PATTERN}', 2)"
+        " ELSE NULL END AS host"
+        " FROM u ORDER BY i"
+    )
+    return con.execute(sql).fetchall()
+
+
+def test_canonicalization_matches_duckdb_chain():
+    arr = pa.array(TRICKY)
+    got_c = canonicalize_url_array(arr)
+    got_h = extract_hosts(got_c)
+    for i, c, h in _duck_canon():
+        assert got_c[i].as_py() == c, (i, TRICKY[i])
+        assert got_h[i].as_py() == h, (i, TRICKY[i])
+
+
+def test_known_canonical_forms():
+    c = canonicalize_url_array(
+        pa.array(["HTTPS://WWW.Example.COM/Path/X?utm_source=a&q=1#frag"])
+    )
+    assert c[0].as_py() == "https://www.example.com/Path/X?q=1"
+    c = canonicalize_url_array(pa.array(["https://e.com?fbclid=a"]))
+    assert c[0].as_py() == "https://e.com"
+
+
+def test_blocklist_suffix_semantics():
+    hosts = pa.array(
+        ["example.com", "sub.example.com", "notexample.com", "example.com.evil", None]
+    )
+    m = blocked_mask(hosts, ("example.com",))
+    assert m.to_pylist() == [True, True, False, False, None]
+    with pytest.raises(ValueError):
+        blocklist_pattern_body(())
+
+
+def test_filter_stage_drops_blocked_and_unparseable(ray_session):
+    import ray
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "i": list(range(5)),
+            "url": [
+                "http://ok.net/a",
+                "http://Bad.ORG/x",          # blocked (case-folded)
+                "http://sub.bad.org/y",      # blocked subdomain
+                "junk",                      # unparseable → dropped
+                None,                        # NULL → dropped
+            ],
+        }
+    )
+    out = filter_blocked_domains(rd.from_arrow(t), "url", ("bad.org",))
+    assert sorted(r["i"] for r in out.take_all()) == [0]
+    # actor form with a ray.put blocklist behaves identically
+    ref = ray.put(["bad.org"])
+    out2 = rd.from_arrow(t).map_batches(
+        UrlFilterStage,
+        fn_constructor_kwargs={"url_col": "url", "blocklist_ref": ref},
+        batch_format="pyarrow",
+        concurrency=1,
+    )
+    assert sorted(r["i"] for r in out2.take_all()) == [0]
+
+
+def test_canonicalize_urls_dataset_columns(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"url": ["HTTP://A.io/p?utm_a=1&z=2"]})
+    out = canonicalize_urls(rd.from_arrow(t), "url", ("a.io",)).take_all()
+    assert out[0]["url_canon"] == "http://a.io/p?z=2"
+    assert out[0]["host"] == "a.io"
+    assert out[0]["blocked"] is True

@@ -1,0 +1,180 @@
+"""URL canonicalization + domain-blocklist filtering (crawl front end).
+
+Every published crawl pipeline (CCNet, RefinedWeb §3.1, Dolma) starts
+by canonicalizing record URLs (so dedup keys agree) and dropping
+blocklisted domains. This module implements the well-defined RE2
+subset of that, fully vectorized over Arrow batches — and therefore
+oracle-exact against DuckDB (also RE2), with the patterns shared as
+module constants:
+
+* :func:`canonicalize_urls` — lowercase the ``scheme://host`` prefix,
+  strip the ``#fragment``, strip tracking query params
+  (``utm_*`` / ``fbclid`` / ``gclid`` / ``msclkid``), and clean
+  dangling ``?`` / ``&`` separators. Path/query case and ordering are
+  deliberately preserved (they are semantically significant); default
+  ports and trailing slashes are out of scope and documented so.
+* :func:`extract_hosts` — the host part of a canonical URL.
+* :func:`filter_blocked_domains` — drop rows whose host equals (or is
+  a subdomain of) a blocklisted domain. The blocklist compiles to ONE
+  RE2 suffix alternation per worker (module-level cache), broadcast by
+  closure — for very large blocklists pass a ``ray.put`` handle to
+  :class:`UrlFilterStage` (ships once per actor).
+
+Reference parity: the reference has no URL stage (closest are the
+REGEX rule and extract_domain ENUM mode, validity_executor.py); this
+exists for the crawl front end (sources/warc.py + stages/html.py).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: scheme://host prefix (host stops at /, ?, # — ports stay attached)
+SCHEME_HOST_PATTERN = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+#: fragment (first # to end)
+FRAGMENT_PATTERN = r"#.*"
+#: tracking params, with a trailing & when mid-query
+TRACKING_PARAM_PATTERN = r"(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid)=[^&#]*&?"
+#: dangling separators left by param removal
+DANGLING_SEP_PATTERN = r"[?&]+$"
+#: "?&rest" left when the FIRST param was removed mid-query
+ORPHAN_AMP_PATTERN = r"\?&"
+#: host capture out of a canonical (lowercased-prefix) URL
+HOST_PATTERN = r"^[a-z][a-z0-9+.-]*://(?P<ui>[^/?#@]*@)?(?P<host>[^/?#:]*)"
+
+
+def canonicalize_url_array(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized canonicalization (see module docstring for the exact
+    steps). NULL → NULL."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    # 1. lowercase the scheme://host prefix, keep the rest verbatim
+    m = pc.extract_regex(arr, pattern=r"^(?P<sh>[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)")
+    prefix = pc.utf8_lower(pc.struct_field(m, "sh"))
+    rest = pc.replace_substring_regex(arr, pattern=SCHEME_HOST_PATTERN, replacement="")
+    out = pc.binary_join_element_wise(
+        pc.coalesce(prefix, pa.scalar("", pa.string())), rest, ""
+    )
+    # keep NULL inputs NULL (coalesce above would have made them "")
+    out = pc.if_else(pc.is_valid(arr), out, arr)
+    # 2. strip fragment
+    out = pc.replace_substring_regex(out, pattern=FRAGMENT_PATTERN, replacement="")
+    # 3. strip tracking params (+ separator cleanup)
+    out = pc.replace_substring_regex(
+        out, pattern=TRACKING_PARAM_PATTERN, replacement=""
+    )
+    out = pc.replace_substring_regex(out, pattern=ORPHAN_AMP_PATTERN, replacement="?")
+    out = pc.replace_substring_regex(out, pattern=DANGLING_SEP_PATTERN, replacement="")
+    return out
+
+
+def extract_hosts(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Host of each canonical URL (after userinfo, before port/path);
+    NULL when the string has no ``scheme://host`` shape."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    m = pc.extract_regex(arr, pattern=HOST_PATTERN)
+    return pc.struct_field(m, "host")
+
+
+def blocklist_pattern_body(domains) -> str:
+    """RE2 alternation matching a host that equals or is a subdomain
+    of any blocklisted domain: ``(?:^|\\.)(?:d1|d2)$``. Longest-first,
+    escaped; lowercase (canonical hosts are lowercase)."""
+    doms = sorted(
+        {d.lower().lstrip(".") for d in domains if d}, key=lambda d: (-len(d), d)
+    )
+    if not doms:
+        raise ValueError("empty domain blocklist")
+    return r"(?:^|\.)(?:" + "|".join(re.escape(d) for d in doms) + r")$"
+
+
+#: per-process compiled blocklist patterns (one per distinct blocklist)
+_BLOCK_CACHE: dict[tuple[str, ...], str] = {}
+
+
+def _block_pattern(domains: tuple[str, ...]) -> str:
+    pat = _BLOCK_CACHE.get(domains)
+    if pat is None:
+        pat = _BLOCK_CACHE[domains] = blocklist_pattern_body(domains)
+    return pat
+
+
+def blocked_mask(
+    hosts: pa.ChunkedArray | pa.Array, domains: tuple[str, ...]
+) -> pa.Array:
+    """Bool per host: equals / is a subdomain of a blocklisted domain.
+    NULL host → NULL (callers decide; the filter stage DROPS them —
+    a crawl record without a parseable host is junk)."""
+    return pc.match_substring_regex(hosts, pattern=_block_pattern(tuple(domains)))
+
+
+def add_url_columns(
+    batch: pa.Table,
+    url_col: str,
+    blocklist: tuple[str, ...] | None = None,
+    canon_col: str = "url_canon",
+    host_col: str = "host",
+) -> pa.Table:
+    """Append the canonical URL + host (+ ``blocked`` when a blocklist
+    is given)."""
+    canon = canonicalize_url_array(batch[url_col])
+    hosts = extract_hosts(canon)
+    batch = batch.append_column(canon_col, canon)
+    batch = batch.append_column(host_col, hosts)
+    if blocklist:
+        batch = batch.append_column("blocked", blocked_mask(hosts, tuple(blocklist)))
+    return batch
+
+
+def canonicalize_urls(
+    ds, url_col: str = "url", blocklist: tuple[str, ...] | None = None
+):
+    """Dataset wrapper: stateless zero-shuffle ``map_batches``."""
+    blocklist = tuple(blocklist) if blocklist else None
+    return ds.map_batches(
+        lambda b: add_url_columns(b, url_col, blocklist),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def filter_blocked_domains(ds, url_col: str = "url", blocklist: tuple[str, ...] = ()):
+    """Keep only rows whose canonical host exists and is NOT
+    blocklisted (stateless filter — the blocklist compiles once per
+    worker process)."""
+    blocklist = tuple(blocklist)
+    _block_pattern(blocklist)  # validate eagerly on the driver
+
+    def apply(b: pa.Table) -> pa.Table:
+        hosts = extract_hosts(canonicalize_url_array(b[url_col]))
+        bad = pc.fill_null(blocked_mask(hosts, blocklist), True)
+        bad = pc.or_(bad, pc.is_null(hosts))
+        return b.filter(pc.invert(bad))
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class UrlFilterStage:
+    """Actor-pool form for LARGE blocklists: pass ``blocklist_ref``
+    (``ray.put`` of a list of domains) — resolved and compiled ONCE
+    per actor in ``__init__``."""
+
+    def __init__(self, url_col: str = "url", blocklist_ref=None, blocklist=None):
+        import ray
+
+        domains = tuple(
+            ray.get(blocklist_ref) if blocklist_ref is not None else (blocklist or ())
+        )
+        self.url_col = url_col
+        self.domains = domains
+        _block_pattern(domains)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hosts = extract_hosts(canonicalize_url_array(batch[self.url_col]))
+        bad = pc.fill_null(blocked_mask(hosts, self.domains), True)
+        bad = pc.or_(bad, pc.is_null(hosts))
+        return batch.filter(pc.invert(bad))
