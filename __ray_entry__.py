@@ -738,6 +738,71 @@ def _url_oracle_sql() -> str:
     )
 
 
+def _derive_pii_text(b):
+    """Deterministic PII-laden text from (doc_id, source): an email, a
+    phone number, an IPv4, an SSN and a credit card — byte-identical
+    to the SQL derivation."""
+    import numpy as np
+
+    did = np.asarray(b["doc_id"], dtype=np.int64)
+    return pa.compute.binary_join_element_wise(
+        pa.scalar("Contact u"),
+        pa.array(did.astype("U")),
+        pa.scalar("@ex-"),
+        pa.compute.cast(b["source"], pa.string()),
+        pa.scalar(".org or call 415-867-"),
+        pa.compute.utf8_lpad(pa.array((did % 10000).astype("U")), 4, "0"),
+        pa.scalar(" ip 10.0."),
+        pa.array((did % 256).astype("U")),
+        pa.scalar("."),
+        pa.array((did * 7 % 256).astype("U")),
+        pa.scalar(" ssn 123-45-6789 card 4111 1111 1111 1111"),
+        "",
+    )
+
+
+_PII_DERIVE_SQL = (
+    "'Contact u' || doc_id || '@ex-' || source || '.org or call 415-867-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ip 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)"
+    " || ' ssn 123-45-6789 card 4111 1111 1111 1111'"
+)
+
+
+def _q_scrub_pii_full(sf_dir: str):
+    """The FULL PII scrub chain (stages/scrub.py: key/token/email
+    defaults + the opt-in phone/IPv4/SSN/credit-card extras) over
+    derived PII-laden text — sequential RE2 replaces, order exactly as
+    shipped; the DuckDB oracle nests the identical regexp_replace
+    chain from the module constants."""
+    from validatelite_ray.stages.scrub import (
+        EXTRA_PII_RULES,
+        SCRUB_RULES,
+        scrub_text,
+    )
+
+    rules = SCRUB_RULES + EXTRA_PII_RULES
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def apply(b: pa.Table) -> pa.Table:
+        scrubbed, _ = scrub_text(_derive_pii_text(b), rules)
+        return pa.table({"doc_id": b["doc_id"], "scrubbed": scrubbed})
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pii_oracle_sql() -> str:
+    from validatelite_ray.stages.scrub import EXTRA_PII_RULES, SCRUB_RULES
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = "(" + _PII_DERIVE_SQL + ")"
+    for _, pattern, repl in SCRUB_RULES + EXTRA_PII_RULES:
+        expr = f"regexp_replace({expr}, '{esc(pattern)}', '{esc(repl)}', 'g')"
+    return f"SELECT doc_id, {expr} AS scrubbed FROM documents"
+
+
 def _q_dedup_substrings(sf_dir: str):
     """Exact substring (k-token-run) dedup flags, Lee et al. 2022
     style: per doc the token count, tokens covered by a verbatim
@@ -1895,6 +1960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_toxic_documents": _q_scrub_toxic,
         "code_quality_documents": _q_code_quality,
         "canonicalize_urls_documents": _q_canonicalize_urls,
+        "scrub_pii_full_documents": _q_scrub_pii_full,
     }
 
 
@@ -2509,6 +2575,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "code_quality_documents": _codeq_oracle_sql(),
         "canonicalize_urls_documents": _url_oracle_sql(),
+        "scrub_pii_full_documents": _pii_oracle_sql(),
         "substring_dedup_documents": (
             "WITH toks AS ("
             "  SELECT doc_id, list_filter("

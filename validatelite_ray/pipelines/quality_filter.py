@@ -170,6 +170,11 @@ class QualityFilterConfig:
     #: word-boundary replace — same contract as the PII scrub), so the
     #: kept output is detoxed, not just gated.
     toxicity_mask: str | None = None
+    #: opt-in extended PII scrub set (phone / IPv4 / SSN / credit
+    #: card — stages/scrub.py::EXTRA_PII_RULES) appended after the
+    #: default key/token/email rules. False keeps the reference-parity
+    #: default chain (the golden harness's contract).
+    extra_pii: bool = False
     #: opt-in StarCoder-style code-quality gates
     #: (stages/codequality.py): when True, every row gets ``autogen``
     #: / ``comment_line_frac`` / ``blank_line_frac`` / ``blob_frac``
@@ -276,7 +281,7 @@ def featurize(ds, cfg: QualityFilterConfig):
     def stats(b: pa.Table) -> pa.Table:
         b = add_sha256(b, text, "sha256")
         b = add_text_features(b, text, k=cfg.shingle_k)  # one tokenize
-        b = add_scrubbed(b, text, "content_scrubbed")
+        b = add_scrubbed(b, text, "content_scrubbed", extra_pii=cfg.extra_pii)
         b = _toxicity_block(b, cfg)
         b = _code_signals_block(b, cfg)
         # stable dedup tiebreak key from the row identity columns
@@ -349,7 +354,7 @@ class FusedLabelStage:
                 normalize_text_array(b[text], form=cfg.normalize_form),
             )
         b = add_text_features(b, text, k=cfg.shingle_k)  # one tokenize
-        b = add_scrubbed(b, text, "content_scrubbed")
+        b = add_scrubbed(b, text, "content_scrubbed", extra_pii=cfg.extra_pii)
         b = _toxicity_block(b, cfg)
         b = _code_signals_block(b, cfg)
         uid = None

@@ -31,12 +31,36 @@ SCRUB_RULES: list[tuple[str, str, str]] = [
     ("email", EMAIL_PATTERN, "<EMAIL>"),
 ]
 
+# ---- opt-in extended PII set (phone / IP / SSN / credit card) ----
+# Kept OUT of SCRUB_RULES so the default flagship contract (and the
+# golden labeler) is unchanged; enable via add_scrubbed(extra_pii=True)
+# or QualityFilterConfig.extra_pii. RE2-compatible AND python-`re`-
+# compatible (no lookaround) so the golden harness could replicate
+# them verbatim. Order matters: dotted (IP) before dashed-grouped
+# (card → SSN → phone) so the more specific shapes win.
+IPV4_PATTERN = (
+    r"\b(?:(?:25[0-5]|2[0-4]\d|1?\d?\d)\.){3}(?:25[0-5]|2[0-4]\d|1?\d?\d)\b"
+)
+CREDIT_CARD_PATTERN = r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b"
+SSN_PATTERN = r"\b\d{3}-\d{2}-\d{4}\b"
+PHONE_PATTERN = r"\(?\b\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b"
 
-def scrub_text(arr: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, dict[str, pa.Array]]:
+EXTRA_PII_RULES: list[tuple[str, str, str]] = [
+    ("ipv4", IPV4_PATTERN, "<IP>"),
+    ("credit_card", CREDIT_CARD_PATTERN, "<CC>"),
+    ("ssn", SSN_PATTERN, "<SSN>"),
+    ("phone", PHONE_PATTERN, "<PHONE>"),
+]
+
+
+def scrub_text(
+    arr: pa.ChunkedArray | pa.Array,
+    rules: list[tuple[str, str, str]] | None = None,
+) -> tuple[pa.Array, dict[str, pa.Array]]:
     """(scrubbed_strings, {rule_name: per-row match counts})."""
     counts: dict[str, pa.Array] = {}
     out = arr
-    for name, pattern, replacement in SCRUB_RULES:
+    for name, pattern, replacement in SCRUB_RULES if rules is None else rules:
         counts[name] = pc.cast(
             pc.count_substring_regex(out, pattern=pattern), pa.int64()
         )
@@ -46,9 +70,10 @@ def scrub_text(arr: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, dict[str, pa.
 
 def add_scrubbed(
     batch: pa.Table, column: str = "content", out: str = "content_scrubbed",
-    with_counts: bool = True,
+    with_counts: bool = True, extra_pii: bool = False,
 ) -> pa.Table:
-    scrubbed, counts = scrub_text(batch[column])
+    rules = SCRUB_RULES + EXTRA_PII_RULES if extra_pii else SCRUB_RULES
+    scrubbed, counts = scrub_text(batch[column], rules)
     batch = batch.append_column(out, scrubbed)
     if with_counts:
         for name, arr in counts.items():
