@@ -803,6 +803,41 @@ def _pii_oracle_sql() -> str:
     return f"SELECT doc_id, {expr} AS scrubbed FROM documents"
 
 
+_CHUNK_SIZE, _CHUNK_STRIDE = 120, 80
+
+
+def _q_chunk_documents(sf_dir: str):
+    """Context-length chunking (stages/pack.py::chunk_documents):
+    every document exploded into 120-char windows at stride 80
+    (overlapping), one utf8_slice kernel per chunk ordinal, zero
+    shuffle. DuckDB oracle: unnest(generate_series(0, last_k)) +
+    substring — character-identical window boundaries."""
+    from validatelite_ray.stages.pack import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(
+        ds, "text", size=_CHUNK_SIZE, stride=_CHUNK_STRIDE, keep_cols=["doc_id"]
+    )
+
+
+def _chunk_oracle_sql() -> str:
+    s, t = _CHUNK_SIZE, _CHUNK_STRIDE
+    return (
+        "WITH k AS (SELECT doc_id, text,"
+        f" CASE WHEN coalesce(length(text), 0) > {s}"
+        f"  THEN least((coalesce(length(text), 0) - {s} + {t} - 1) // {t},"
+        f"   greatest(coalesce(length(text), 0) - 1, 0) // {t})"
+        "  ELSE 0 END AS last_k"
+        " FROM documents),"
+        " e AS (SELECT doc_id, text,"
+        "  unnest(generate_series(0, last_k)) AS kk FROM k)"
+        " SELECT doc_id, CAST(kk AS BIGINT) AS chunk_id,"
+        f" CAST(kk * {t} AS BIGINT) AS chunk_start,"
+        f" substring(text, kk * {t} + 1, {s}) AS chunk_text"
+        " FROM e"
+    )
+
+
 def _q_dedup_substrings(sf_dir: str):
     """Exact substring (k-token-run) dedup flags, Lee et al. 2022
     style: per doc the token count, tokens covered by a verbatim
@@ -1961,6 +1996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_quality_documents": _q_code_quality,
         "canonicalize_urls_documents": _q_canonicalize_urls,
         "scrub_pii_full_documents": _q_scrub_pii_full,
+        "chunk_documents": _q_chunk_documents,
     }
 
 
@@ -2576,6 +2612,7 @@ def oracle_sql() -> dict[str, str]:
         "code_quality_documents": _codeq_oracle_sql(),
         "canonicalize_urls_documents": _url_oracle_sql(),
         "scrub_pii_full_documents": _pii_oracle_sql(),
+        "chunk_documents": _chunk_oracle_sql(),
         "substring_dedup_documents": (
             "WITH toks AS ("
             "  SELECT doc_id, list_filter("

@@ -1,0 +1,114 @@
+"""Context-length chunking (stages/pack.py::chunk_documents): DuckDB
+parity on tricky inputs, coverage/overlap invariants, and multibyte
+safety."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from validatelite_ray.stages.pack import chunk_batch, chunk_documents
+
+TRICKY = [
+    "a" * 10,
+    "ab",
+    "",
+    None,
+    "é" * 7 + "x" * 6,          # multibyte: char windows, not byte
+    "x" * 120,                   # exactly one window at size 120
+    "x" * 121,
+    "line\nline\nline\n" * 20,
+]
+
+
+def _oracle(size, stride):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(zip(range(len(TRICKY)), TRICKY))
+    )
+    sql = (
+        "WITH k AS (SELECT doc_id, text,"
+        f" CASE WHEN coalesce(length(text), 0) > {size}"
+        f"  THEN least((coalesce(length(text), 0) - {size} + {stride} - 1) // {stride},"
+        f"   greatest(coalesce(length(text), 0) - 1, 0) // {stride})"
+        "  ELSE 0 END AS last_k FROM documents),"
+        " e AS (SELECT doc_id, text, unnest(generate_series(0, last_k)) AS kk FROM k)"
+        f" SELECT doc_id, kk, substring(text, kk * {stride} + 1, {size}) AS c FROM e"
+        " ORDER BY doc_id, kk"
+    )
+    return con.execute(sql).fetchall()
+
+
+@pytest.mark.parametrize("size,stride", [(4, 3), (120, 80), (5, 5), (3, 7)])
+def test_matches_duckdb(size, stride):
+    t = pa.table({"doc_id": list(range(len(TRICKY))), "text": TRICKY})
+    out = chunk_batch(t, "text", size, stride, ["doc_id"]).to_pylist()
+    got = sorted((r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in out)
+    want = [(d, k, c) for d, k, c in _oracle(size, stride)]
+    assert got == want
+
+
+def test_full_coverage_when_overlapping():
+    text = "abcdefghijklmnopqrstuvwxyz"
+    t = pa.table({"doc_id": [0], "text": [text]})
+    out = chunk_batch(t, "text", 8, 5, ["doc_id"]).to_pylist()
+    covered = set()
+    for r in out:
+        covered.update(range(r["chunk_start"], r["chunk_start"] + len(r["chunk_text"])))
+        # consecutive chunks overlap by size - stride chars
+    assert covered == set(range(len(text)))
+    # reconstruction: stitching at stride offsets reproduces the text
+    rebuilt = list(text)
+    for r in out:
+        for i, ch in enumerate(r["chunk_text"]):
+            assert rebuilt[r["chunk_start"] + i] == ch
+
+
+def test_every_doc_emits_at_least_one_chunk():
+    t = pa.table({"doc_id": [0, 1], "text": [None, ""]})
+    out = chunk_batch(t, "text", 100, 50, ["doc_id"]).to_pylist()
+    assert len(out) == 2
+    assert {r["chunk_text"] for r in out} == {None, ""}
+
+
+def test_rejects_bad_params(ray_session):
+    import ray.data as rd
+
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_items([{"text": "x"}]), size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_items([{"text": "x"}]), size=4, stride=0)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(0, 300),
+    size=st.integers(1, 50),
+    stride=st.integers(1, 50),
+)
+def test_property_windows_reach_the_end(n, size, stride):
+    text = "abcdefghij" * 30
+    doc = text[:n]
+    t = pa.table({"doc_id": [0], "text": [doc]})
+    out = chunk_batch(t, "text", size, stride, ["doc_id"]).to_pylist()
+    assert out[0]["chunk_id"] == 0
+    last = max(out, key=lambda r: r["chunk_id"])
+    if stride <= size:
+        # overlapping/contiguous grids: the final window reaches the end
+        assert last["chunk_start"] + len(last["chunk_text"]) == len(doc)
+    # no window ever starts at/after the end (except the k=0 one),
+    # so gapped grids (stride > size) never emit empty tails
+    for r in out:
+        assert r["chunk_id"] == 0 or r["chunk_start"] < len(doc)
+        assert r["chunk_id"] == 0 or len(r["chunk_text"]) > 0
+
+
+def test_dataset_wrapper_keeps_columns(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"doc_id": 1, "lang": "en", "text": "x" * 10}])
+    out = chunk_documents(ds, "text", size=4, stride=4).take_all()
+    assert len(out) == 3
+    assert all(r["lang"] == "en" and r["doc_id"] == 1 for r in out)

@@ -258,3 +258,96 @@ def sample_mixture(
         return b.filter(pa.array(h <= thr))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_batch(
+    b: pa.Table,
+    text_col: str,
+    size: int,
+    stride: int,
+    keep_cols: list[str],
+    out_text: str = "chunk_text",
+) -> pa.Table:
+    """Explode one Arrow batch into character windows (see
+    :func:`chunk_documents`). Vectorized: one ``utf8_slice_codeunits``
+    kernel per chunk ORDINAL (bounded by ``longest_doc/stride``), each
+    over every doc still long enough — never a per-row Python loop."""
+    arr = b[text_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = pc.fill_null(pc.utf8_length(arr), 0).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    # last chunk ordinal per doc: 0 when the doc fits, else enough
+    # stride steps that the final window reaches the end — capped at
+    # the last stride step that still STARTS inside the doc, so gapped
+    # grids (stride > size) never emit empty past-the-end windows
+    last_k = np.where(
+        n > size,
+        np.minimum(
+            (np.maximum(n - size, 0) + stride - 1) // stride,
+            np.maximum(n - 1, 0) // stride,
+        ),
+        0,
+    )
+    pieces: list[pa.Table] = []
+    max_k = int(last_k.max()) if len(last_k) else 0
+    for k in range(max_k + 1):
+        mask = last_k >= k
+        if not mask.any():
+            break
+        idx = np.flatnonzero(mask)
+        sub = b.take(pa.array(idx)) if idx.size < len(b) else b
+        chunk = pc.utf8_slice_codeunits(
+            sub[text_col], start=k * stride, stop=k * stride + size
+        )
+        cols = {c: sub[c] for c in keep_cols}
+        cols["chunk_id"] = pa.array(np.full(idx.size, k, np.int64))
+        cols["chunk_start"] = pa.array(np.full(idx.size, k * stride, np.int64))
+        cols[out_text] = chunk
+        pieces.append(pa.table(cols))
+    if not pieces:
+        cols = {c: b[c].slice(0, 0) for c in keep_cols}
+        cols["chunk_id"] = pa.array([], pa.int64())
+        cols["chunk_start"] = pa.array([], pa.int64())
+        cols[out_text] = pa.array([], pa.string())
+        return pa.table(cols)
+    return pa.concat_tables(pieces)
+
+
+def chunk_documents(
+    ds,
+    text_col: str = "text",
+    size: int = 2048,
+    stride: int | None = None,
+    keep_cols: list[str] | None = None,
+    out_text: str = "chunk_text",
+):
+    """Split every document into fixed-size CHARACTER windows with
+    overlap — the context-length chunking step between a filtered
+    corpus and tokenization (every published pretraining pipeline
+    windows long documents so no text is lost at the context
+    boundary).
+
+    ``stride`` defaults to ``size`` (disjoint windows); ``stride <
+    size`` overlaps them. Every document emits ≥ 1 chunk (NULL text →
+    one NULL chunk) so corpus accounting is preserved; the final
+    window is shorter when the length is not a multiple of the stride.
+    Chunk boundaries are character-based (UTF-8-safe) and match SQL
+    ``substring(text, k*stride+1, size)`` exactly, so the op is
+    DuckDB-oracle-verifiable via ``unnest(generate_series(...))``.
+
+    Stateless per-block ``map_batches`` (zero shuffle); output rows =
+    ``keep_cols + (chunk_id, chunk_start, chunk_text)``.
+    """
+    if stride is None:
+        stride = size
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    names = keep_cols
+
+    def apply(b: pa.Table) -> pa.Table:
+        keep = [c for c in (names or b.schema.names) if c != text_col]
+        return chunk_batch(b, text_col, size, stride, keep, out_text)
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
