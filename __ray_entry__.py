@@ -838,6 +838,35 @@ def _chunk_oracle_sql() -> str:
     )
 
 
+def _q_sample_weighted(sf_dir: str):
+    """Quality-proportional subsampling (stages/pack.py::
+    sample_weighted): keep each doc with probability = a derived
+    weight (doc_id%100)/100 via the md5-u64 seam; BOTH engines compare
+    CAST(hash AS DOUBLE) <= clamp(w,0,1) * 2^64 in IEEE doubles, so the
+    DuckDB WHERE reproduces the subset bit-exactly."""
+    import numpy as np
+
+    from validatelite_ray.stages.pack import sample_weighted
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def add_w(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"], dtype=np.int64)
+        return b.append_column("w", pa.array((did % 100) / 100.0))
+
+    ds = ds.map_batches(add_w, batch_format="pyarrow", zero_copy_batch=True)
+    return sample_weighted(ds, "w", id_col="doc_id", seed=0)
+
+
+_SAMPLE_WEIGHTED_SQL = (
+    "SELECT doc_id, (doc_id % 100) / 100.0 AS w FROM documents"
+    " WHERE CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || chr(31) || 'wt0')"
+    "  AS DOUBLE)"
+    " <= least(greatest((doc_id % 100) / 100.0, 0.0), 1.0)"
+    "  * 18446744073709551616.0"
+)
+
+
 def _q_dedup_substrings(sf_dir: str):
     """Exact substring (k-token-run) dedup flags, Lee et al. 2022
     style: per doc the token count, tokens covered by a verbatim
@@ -1997,6 +2026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonicalize_urls_documents": _q_canonicalize_urls,
         "scrub_pii_full_documents": _q_scrub_pii_full,
         "chunk_documents": _q_chunk_documents,
+        "sample_weighted_documents": _q_sample_weighted,
     }
 
 
@@ -2613,6 +2643,7 @@ def oracle_sql() -> dict[str, str]:
         "canonicalize_urls_documents": _url_oracle_sql(),
         "scrub_pii_full_documents": _pii_oracle_sql(),
         "chunk_documents": _chunk_oracle_sql(),
+        "sample_weighted_documents": _SAMPLE_WEIGHTED_SQL,
         "substring_dedup_documents": (
             "WITH toks AS ("
             "  SELECT doc_id, list_filter("

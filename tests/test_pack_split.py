@@ -242,3 +242,40 @@ def test_sample_mixture_null_group_and_validation(ray_session):
         sample_mixture(rd.from_arrow(t), "source", {"a": 1.5})
     with pytest.raises(ValueError):
         sample_mixture(rd.from_arrow(t), "source", {}, default=-0.1)
+
+
+# ---- sample_weighted (quality-proportional subsampling) ----
+
+
+def test_sample_weighted_edges_and_determinism(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from validatelite_ray.stages.pack import sample_weighted
+
+    t = pa.table(
+        {
+            "doc_id": list(range(200)),
+            "w": [1.0] * 50 + [0.0] * 50 + [None] * 50 + [2.5] * 50,
+        }
+    )
+    out = sample_weighted(rd.from_arrow(t), "w").take_all()
+    kept = {r["doc_id"] for r in out}
+    assert set(range(50)) <= kept            # w=1 keeps all
+    assert not kept & set(range(50, 150))    # w=0 and NULL drop all
+    assert set(range(150, 200)) <= kept      # w>1 clamps to keep-all
+    # determinism under a different block layout
+    out2 = sample_weighted(rd.from_arrow(t).repartition(7), "w").take_all()
+    assert {r["doc_id"] for r in out2} == kept
+
+
+def test_sample_weighted_rate_tracks_weight(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from validatelite_ray.stages.pack import sample_weighted
+
+    n = 4000
+    t = pa.table({"doc_id": list(range(n)), "w": [0.25] * n})
+    kept = sample_weighted(rd.from_arrow(t), "w").count()
+    assert abs(kept / n - 0.25) < 0.03

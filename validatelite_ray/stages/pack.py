@@ -351,3 +351,44 @@ def chunk_documents(
         return chunk_batch(b, text_col, size, stride, keep, out_text)
 
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_weighted(
+    ds,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+):
+    """Keep each row independently with probability equal to its
+    ``weight_col`` (clamped to [0, 1]; NULL → 0 → dropped) — the
+    quality-proportional subsampling primitive (keep high-scoring docs
+    with high probability, down-weight the tail, as in DCLM-style
+    score-based mixing). Like :func:`sample_fraction` the decision is
+    a pure function of (id, seed): stable across reruns, block layouts
+    and cluster sizes. Zero shuffle, stateless.
+
+    SQL-oracle parity: kept ⇔
+    ``CAST(md5_number_lower(id || chr(31) || 'wt<seed>') AS DOUBLE)
+    <= clamp(w, 0, 1) * 18446744073709551616.0`` — BOTH sides compare
+    in IEEE doubles (the hash is lossily but deterministically rounded
+    the same way), so a DuckDB WHERE over the same expression
+    reproduces the subset bit-exactly.
+    """
+    two64 = 18446744073709551616.0  # 2^64 as an exact double
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = md5_u64(
+            pc.binary_join_element_wise(
+                pc.cast(ids, pa.string()), f"wt{seed}", "\x1f"
+            )
+        ).astype(np.float64)
+        w = pc.fill_null(pc.cast(b[weight_col], pa.float64()), 0.0).to_numpy(
+            zero_copy_only=False
+        )
+        thr = np.clip(w, 0.0, 1.0) * two64
+        return b.filter(pa.array(h <= thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
