@@ -867,6 +867,54 @@ _SAMPLE_WEIGHTED_SQL = (
 )
 
 
+def _q_dedup_intra_lines(sf_dir: str):
+    """INTRA-document line dedup (RefinedWeb repetition removal,
+    stages/text.py::dedup_lines_within): keep the first occurrence of
+    every exact line within each doc; trimmed-length < 3 lines always
+    survive. Docs are made multi-line by folding spaces to newlines —
+    identically in both engines — so the word-salad corpus produces
+    real removals. Vectorized: dictionary-encode for exact identity,
+    one np.unique first-occurrence pass, list rebuild + binary_join;
+    zero shuffle. DuckDB oracle: unnest + row_number + filtered
+    ordered string_agg."""
+    from validatelite_ray.stages.text import add_dedup_lines_within
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def apply(b: pa.Table) -> pa.Table:
+        folded = pa.compute.replace_substring(b["text"], pattern=" ", replacement="\n")
+        out = add_dedup_lines_within(
+            pa.table({"doc_id": b["doc_id"], "text": folded}), "text", min_chars=3
+        )
+        return out.drop_columns(["text"])
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_DEDUP_INTRA_SQL = (
+    "WITH u AS (SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents),"
+    " l AS (SELECT doc_id, text,"
+    "   string_split(coalesce(text, ''), chr(10)) AS ls FROM u),"
+    " e AS (SELECT doc_id, text, ls,"
+    "   unnest(generate_series(1, len(ls))) AS k FROM l),"
+    " x AS (SELECT doc_id, text, k, ls[k] AS line, len(ls) AS nl FROM e),"
+    " r AS (SELECT doc_id, text, k, line, nl, row_number() OVER ("
+    "   PARTITION BY doc_id, line ORDER BY k) AS rn FROM x),"
+    " g AS (SELECT doc_id, any_value(text) AS text, any_value(nl) AS nl,"
+    "   string_agg(line, chr(10) ORDER BY k)"
+    "    FILTER (WHERE rn = 1 OR length(trim(line, ' ' || chr(9))) < 3) AS agg,"
+    "   count(*) FILTER (WHERE NOT (rn = 1"
+    "    OR length(trim(line, ' ' || chr(9))) < 3)) AS removed"
+    "  FROM r GROUP BY doc_id)"
+    " SELECT doc_id,"
+    "  CASE WHEN text IS NULL THEN NULL ELSE coalesce(agg, '') END AS text_dedup,"
+    "  CASE WHEN text IS NULL THEN NULL ELSE CAST(nl AS BIGINT) END AS lines_total,"
+    "  CASE WHEN text IS NULL THEN NULL ELSE CAST(removed AS BIGINT) END"
+    "   AS lines_removed"
+    " FROM g"
+)
+
+
 def _q_dedup_substrings(sf_dir: str):
     """Exact substring (k-token-run) dedup flags, Lee et al. 2022
     style: per doc the token count, tokens covered by a verbatim
@@ -2027,6 +2075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii_full_documents": _q_scrub_pii_full,
         "chunk_documents": _q_chunk_documents,
         "sample_weighted_documents": _q_sample_weighted,
+        "dedup_intra_lines_documents": _q_dedup_intra_lines,
     }
 
 
@@ -2644,6 +2693,7 @@ def oracle_sql() -> dict[str, str]:
         "scrub_pii_full_documents": _pii_oracle_sql(),
         "chunk_documents": _chunk_oracle_sql(),
         "sample_weighted_documents": _SAMPLE_WEIGHTED_SQL,
+        "dedup_intra_lines_documents": _DEDUP_INTRA_SQL,
         "substring_dedup_documents": (
             "WITH toks AS ("
             "  SELECT doc_id, list_filter("

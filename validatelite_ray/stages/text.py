@@ -1347,3 +1347,81 @@ def bm25_search(
     )
     top = summed.take(order.slice(0, k))
     return top.rename_columns([id_col, "score"])
+
+
+def dedup_lines_within(
+    arr: pa.ChunkedArray | pa.Array, min_chars: int = 0
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """INTRA-document line dedup (the RefinedWeb repetition-REMOVAL
+    step, complement of the cross-document boilerplate stage in
+    stages/dedup.py::dedup_lines): within each document, keep only the
+    FIRST occurrence of every exact line; lines whose trimmed (space/
+    tab) length is < ``min_chars`` are always kept (blank lines and
+    short idiomatic lines survive formatting-intact).
+
+    → (rebuilt_strings, lines_total, lines_removed). Fully vectorized:
+    one newline split, Arrow dictionary-encode for exact string
+    identity (no hash collisions), one np.unique first-occurrence pass
+    over (doc, code) keys, list rebuild + ``binary_join``. Zero
+    shuffle, NULL → NULL.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    lines = pc.split_pattern(pc.fill_null(arr, ""), pattern="\n")
+    nl = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lines)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), nl)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    codes = np.asarray(pc.dictionary_encode(flat).indices, dtype=np.int64)
+    keep = np.zeros(len(codes), dtype=bool)
+    if len(codes):
+        key = doc_of << np.int64(32) | codes  # codes < 2^32 per batch
+        _, first_idx = np.unique(key, return_index=True)
+        keep[first_idx] = True
+        if min_chars > 0:
+            trimmed = pc.utf8_length(pc.utf8_trim(flat, " \t")).to_numpy(
+                zero_copy_only=False
+            )
+            keep |= trimmed < min_chars
+    kept_counts = (
+        np.bincount(doc_of[keep], minlength=n).astype(np.int64)
+        if len(codes)
+        else np.zeros(n, np.int64)
+    )
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    offsets[1:] = np.cumsum(kept_counts, dtype=np.int64).astype(np.int32)
+    kept_flat = flat.filter(pa.array(keep))
+    list_arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_flat)
+    joined = pc.binary_join(list_arr, "\n")
+    null_mask = np.asarray(pc.is_null(arr))
+    rebuilt = pc.if_else(pa.array(~null_mask), joined, pa.scalar(None, pa.string()))
+    removed = nl - kept_counts
+    return rebuilt, np.where(null_mask, 0, nl), np.where(null_mask, 0, removed)
+
+
+def add_dedup_lines_within(
+    batch: pa.Table,
+    column: str = "text",
+    min_chars: int = 0,
+    out: str = "text_dedup",
+) -> pa.Table:
+    rebuilt, total, removed = dedup_lines_within(batch[column], min_chars)
+    null_mask = np.asarray(pc.is_null(batch[column]))
+    batch = batch.append_column(out, rebuilt)
+    batch = batch.append_column(
+        "lines_total", pa.array(total, pa.int64(), mask=null_mask)
+    )
+    return batch.append_column(
+        "lines_removed", pa.array(removed, pa.int64(), mask=null_mask)
+    )
+
+
+def dedup_intra_doc_lines(ds, text_col: str = "text", min_chars: int = 0):
+    """Dataset wrapper: stateless zero-shuffle ``map_batches``."""
+    return ds.map_batches(
+        lambda b: add_dedup_lines_within(b, text_col, min_chars),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
