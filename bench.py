@@ -363,7 +363,21 @@ def controls() -> dict:
         "both": QualityFilterConfig(
             **base, line_dedup_min_docs=3, substring_dedup_k=8
         ),
+        # round-5 opt-ins: toxicity gate+mask, StarCoder code gates,
+        # extended PII — all stateless label-stage additions (no new
+        # shuffle), so their cost should be a few % of the label pass
+        "quality_gates": QualityFilterConfig(
+            **base,
+            toxicity_lexicon=("none", "todo", "fixme", "hack"),
+            toxicity_mask="[TOXIC]",
+            code_signals=True,
+            extra_pii=True,
+        ),
     }
+    only = os.environ.get("VLRAY_CONTROLS_VARIANTS")
+    if only:
+        names = [n.strip() for n in only.split(",")]
+        variants = {k: v for k, v in variants.items() if k in names}
     rounds = int(os.environ.get("VLRAY_CONTROLS_ROUNDS", "2"))
     best: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -386,9 +400,11 @@ def controls() -> dict:
         "files_per_sec": {
             k: round(rows[k] / v, 1) for k, v in best.items()
         },
-        "overhead_vs_baseline": {
-            k: round(v / best["baseline"], 3) for k, v in best.items()
-        },
+        "overhead_vs_baseline": (
+            {k: round(v / best["baseline"], 3) for k, v in best.items()}
+            if "baseline" in best
+            else None
+        ),
     }
 
 
