@@ -1918,6 +1918,154 @@ def _q_schema_check(sf_dir: str) -> pa.Table:
     )
 
 
+def _with_cents(ds):
+    """Append ``cents = CAST(round(value*100) AS BIGINT)`` — integer
+    running sums are bit-exact under the distributed prefix-scan
+    (float addition is non-associative across bucket partials)."""
+    return ds.map_batches(
+        lambda b: b.append_column(
+            "cents",
+            pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q_window_rank_events(sf_dir: str):
+    """Exact GLOBAL window functions — ROW_NUMBER / running SUM /
+    PERCENT_RANK / NTILE(7) over ``ORDER BY value DESC, event_id`` —
+    via the distributed prefix-scan (stages/rank.py:global_scan):
+    equi-depth range partition from a streaming quantile pass, driver
+    prefix over #bucket totals, ONE coarse int32-bucket exchange. The
+    reference's only ordering surface is SQL ORDER BY/LIMIT pushdown
+    (ref core/executors/base_executor.py:292-347); this is its
+    Ray-native generalization."""
+    from validatelite_ray.stages.rank import global_scan
+
+    ds = _with_cents(_read(sf_dir, "events", ["event_id", "value"]))
+    return global_scan(
+        ds,
+        "value",
+        "event_id",
+        descending=True,
+        cum_cols={"cents": "cum_cents"},
+        row_number="rn",
+        percent_rank="pct",
+        ntile=(7, "tile"),
+        keep_cols=["event_id"],
+    )
+
+
+_WINDOW_RANK_SQL = """
+SELECT event_id,
+       ROW_NUMBER() OVER w AS rn,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS cum_cents,
+       PERCENT_RANK() OVER w AS pct,
+       NTILE(7) OVER w AS tile
+FROM events
+WINDOW w AS (ORDER BY value DESC, event_id)
+"""
+
+
+def _q_token_budget(sf_dir: str):
+    """Quality-ordered token-budget selection: keep documents while the
+    running char count over ``ORDER BY n_chars DESC, doc_id`` stays ≤
+    250k (stages/rank.py:select_token_budget). Scale shape: only the
+    ONE straddling range bucket pays a sort — buckets inside the budget
+    stream through a stateless filter, buckets beyond it are dropped at
+    the map stage (a 1 % budget touches ~1 % of a 100-TB corpus)."""
+    from validatelite_ray.stages.rank import select_token_budget
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return select_token_budget(
+        ds,
+        "n_chars",
+        "doc_id",
+        "n_chars",
+        250_000,
+        descending=True,
+        keep_cols=["doc_id", "n_chars"],
+    )
+
+
+_TOKEN_BUDGET_SQL = """
+WITH r AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id) AS cum
+  FROM documents
+)
+SELECT doc_id, n_chars FROM r WHERE cum <= 250000
+"""
+
+
+def _q_shuffle_positions(sf_dir: str):
+    """Deterministic global training shuffle: every document gets its
+    1-based position in ``ORDER BY md5_u64(doc_id ∥ 0x1f ∥ 'shuf3')``
+    (stages/rank.py:shuffle_positions) — reproducible across runs,
+    block layouts and cluster sizes; the md5-u64 oracle seam makes the
+    full rank DuckDB-checkable bit-for-bit."""
+    from validatelite_ray.stages.rank import shuffle_positions
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return shuffle_positions(ds, "doc_id", seed=3, out_col="shuffle_pos")
+
+
+_SHUFFLE_POS_SQL = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+         ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR) || chr(31)
+                                   || 'shuf3'),
+                  doc_id
+       ) AS shuffle_pos
+FROM documents
+"""
+
+
+def _q_keyed_windows_events(sf_dir: str):
+    """Per-key window functions — ROW_NUMBER / running skip-NULL SUM /
+    LAG / LEAD over ``PARTITION BY user_id ORDER BY ts, event_id``
+    (stages/rank.py:keyed_windows): ONE hash(key)%NB coarse-bucket
+    exchange, every bucket sorts once and finishes ALL of its keys
+    with segment-aware numpy kernels — zero per-key Python, built for
+    millions of keys."""
+    from validatelite_ray.stages.rank import keyed_windows
+
+    ds = _with_cents(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    )
+    out = keyed_windows(
+        ds,
+        "user_id",
+        "ts",
+        "event_id",
+        row_number="rn_user",
+        cum_sum=("cents", "cum_cents"),
+        lag=("value", "prev_value"),
+        lead=("value", "next_value"),
+    )
+    return out.map_batches(
+        lambda b: b.select(
+            ["event_id", "rn_user", "cum_cents", "prev_value", "next_value"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+_KEYED_WINDOWS_SQL = """
+SELECT event_id,
+       ROW_NUMBER() OVER w AS rn_user,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS cum_cents,
+       LAG(value) OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2076,6 +2224,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "sample_weighted_documents": _q_sample_weighted,
         "dedup_intra_lines_documents": _q_dedup_intra_lines,
+        "window_rank_events": _q_window_rank_events,
+        "token_budget_documents": _q_token_budget,
+        "shuffle_positions_documents": _q_shuffle_positions,
+        "keyed_windows_events": _q_keyed_windows_events,
     }
 
 
@@ -2694,6 +2846,10 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _chunk_oracle_sql(),
         "sample_weighted_documents": _SAMPLE_WEIGHTED_SQL,
         "dedup_intra_lines_documents": _DEDUP_INTRA_SQL,
+        "window_rank_events": _WINDOW_RANK_SQL,
+        "token_budget_documents": _TOKEN_BUDGET_SQL,
+        "shuffle_positions_documents": _SHUFFLE_POS_SQL,
+        "keyed_windows_events": _KEYED_WINDOWS_SQL,
         "substring_dedup_documents": (
             "WITH toks AS ("
             "  SELECT doc_id, list_filter("

@@ -1,0 +1,256 @@
+"""Order-based analytics (stages/rank.py): exact global window
+functions, token-budget selection, deterministic shuffle positions and
+per-key windows — brute-force / DuckDB oracles, null handling, tie
+handling, determinism under repartitioning, and edge budgets."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from validatelite_ray.stages.rank import (
+    global_scan,
+    keyed_windows,
+    select_token_budget,
+    shuffle_positions,
+)
+
+
+def _ds(df: pd.DataFrame, parallelism: int = 4):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(parallelism)
+
+
+@pytest.fixture(scope="module")
+def frame() -> pd.DataFrame:
+    rng = np.random.default_rng(7)
+    n = 500
+    v = rng.integers(0, 40, n).astype(float)  # heavy ties across buckets
+    v[::50] = np.nan  # NULL order values
+    return pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "v": v,
+            "w": rng.integers(1, 100, n).astype(np.int64),
+        }
+    )
+
+
+def _oracle(df: pd.DataFrame, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("t", df)
+    return con.execute(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_global_scan_matches_sql(ray_session, frame, descending):
+    direction = "DESC" if descending else "ASC"
+    out = global_scan(
+        _ds(frame),
+        "v",
+        "id",
+        descending=descending,
+        cum_cols={"w": "cum_w"},
+        row_number="rn",
+        percent_rank="pct",
+        ntile=(7, "tile"),
+        keep_cols=["id"],
+        nb=9,
+    ).to_pandas()
+    exp = _oracle(
+        frame,
+        f"""
+        SELECT id, ROW_NUMBER() OVER win AS rn,
+               CAST(SUM(w) OVER win AS BIGINT) AS cum_w,
+               PERCENT_RANK() OVER win AS pct,
+               NTILE(7) OVER win AS tile
+        FROM t WINDOW win AS (ORDER BY v {direction} NULLS LAST, id)
+        """,
+    )
+    pd.testing.assert_frame_equal(_canon(out), _canon(exp), check_dtype=False)
+
+
+def test_global_scan_null_cum_prefix(ray_session):
+    """Running SUM is NULL until the first non-null value (SQL frame
+    semantics), even when the all-null prefix spans buckets."""
+    df = pd.DataFrame(
+        {
+            "id": np.arange(40, dtype=np.int64),
+            "w": [None] * 10 + list(range(30)),
+        }
+    )
+    df["w"] = df["w"].astype("Int64").astype(object)
+    tbl = pa.table(
+        {
+            "id": pa.array(df["id"]),
+            "w": pa.array(
+                [None] * 10 + list(range(30)), pa.int64()
+            ),
+        }
+    )
+    import ray.data as rd
+
+    ds = rd.from_arrow(tbl).repartition(5)
+    out = (
+        global_scan(
+            ds, "id", "id", cum_cols={"w": "cum_w"}, row_number="rn", nb=4
+        )
+        .to_pandas()
+        .sort_values("rn")
+        .reset_index(drop=True)
+    )
+    assert out["cum_w"][:10].isna().all()
+    expect = np.cumsum(np.arange(30))
+    assert (out["cum_w"][10:].to_numpy() == expect).all()
+
+
+def test_token_budget_edges_and_straddle(ray_session, frame):
+    clean = frame.dropna(subset=["v"]).reset_index(drop=True)
+    total = int(clean["w"].sum())
+    for budget in (0, 137, total // 3, total - 1, total, total + 10):
+        res = select_token_budget(
+            _ds(clean),
+            "v",
+            "id",
+            "w",
+            budget,
+            descending=True,
+            keep_cols=["id", "w"],
+            nb=6,
+        )
+        exp = _oracle(
+            clean,
+            f"""
+            WITH r AS (SELECT id, w,
+                       SUM(w) OVER (ORDER BY v DESC, id) AS cum FROM t)
+            SELECT id, w FROM r WHERE cum <= {budget}
+            """,
+        )
+        if exp.empty:
+            # Ray 2.49: to_pandas() on a fully-empty Dataset drops the
+            # schema (generic — a plain empty filter does the same), so
+            # compare emptiness, not frames
+            assert res.count() == 0
+            continue
+        pd.testing.assert_frame_equal(
+            _canon(res.to_pandas()), _canon(exp), check_dtype=False
+        )
+
+
+def test_shuffle_positions_deterministic_under_repartition(ray_session):
+    df = pd.DataFrame({"id": np.arange(300, dtype=np.int64)})
+    a = (
+        shuffle_positions(_ds(df, 3), "id", seed=11, nb=5)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    b = (
+        shuffle_positions(_ds(df, 9), "id", seed=11, nb=8)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # a permutation of 1..n, and seed changes it
+    assert sorted(a["shuffle_pos"]) == list(range(1, 301))
+    c = shuffle_positions(_ds(df, 3), "id", seed=12, nb=5).to_pandas()
+    merged = a.merge(c, on="id", suffixes=("_a", "_c"))
+    assert (merged["shuffle_pos_a"] != merged["shuffle_pos_c"]).any()
+
+
+def test_keyed_windows_matches_sql(ray_session):
+    rng = np.random.default_rng(3)
+    n = 600
+    key = rng.integers(0, 25, n).astype(object)
+    key[::40] = None  # NULL keys form one partition
+    val = rng.normal(size=n)
+    val[::7] = np.nan
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": pd.array(
+                [None if x is None else int(x) for x in key], dtype="Int64"
+            ),
+            "ts": rng.integers(0, 50, n).astype(np.int64),
+            "val": val,
+            "wi": rng.integers(-5, 5, n).astype(np.int64),
+        }
+    )
+    out = keyed_windows(
+        _ds(df, 5),
+        "k",
+        "ts",
+        "id",
+        row_number="rn",
+        cum_sum=("wi", "cum_wi"),
+        lag=("val", "prev"),
+        lead=("val", "nxt"),
+        nb=6,
+    ).to_pandas()
+    exp = _oracle(
+        df,
+        """
+        SELECT id, k, ts, val, wi,
+               ROW_NUMBER() OVER w AS rn,
+               CAST(SUM(wi) OVER w AS BIGINT) AS cum_wi,
+               LAG(val) OVER w AS prev,
+               LEAD(val) OVER w AS nxt
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY ts, id)
+        """,
+    )
+    pd.testing.assert_frame_equal(_canon(out), _canon(exp), check_dtype=False)
+
+
+def test_keyed_windows_null_value_cum_is_skip_null(ray_session):
+    df = pd.DataFrame(
+        {
+            "id": np.arange(6, dtype=np.int64),
+            "k": [1, 1, 1, 2, 2, 2],
+            "ts": [0, 1, 2, 0, 1, 2],
+        }
+    )
+    tbl = pa.table(
+        {
+            "id": pa.array(df["id"]),
+            "k": pa.array(df["k"], pa.int64()),
+            "ts": pa.array(df["ts"], pa.int64()),
+            "x": pa.array([None, 2, None, None, None, 7], pa.int64()),
+        }
+    )
+    import ray.data as rd
+
+    out = (
+        keyed_windows(
+            rd.from_arrow(tbl), "k", "ts", "id", cum_sum=("x", "cum"), nb=3
+        )
+        .to_pandas()
+        .sort_values("id")["cum"]
+        .tolist()
+    )
+    def nan_eq(a, b):
+        return (pd.isna(a) and b is None) or a == b
+
+    assert all(
+        nan_eq(got, want)
+        for got, want in zip(out, [None, 2, 2, None, None, 7])
+    )
+
+
+def test_global_scan_empty_input(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table({"id": pa.array([], pa.int64()), "w": pa.array([], pa.int64())})
+    out = global_scan(
+        rd.from_arrow(tbl), "w", "id", cum_cols={"w": "cw"}, nb=4
+    )
+    assert out.count() == 0

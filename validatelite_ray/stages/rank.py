@@ -1,0 +1,457 @@
+"""Order-based analytics: exact global window functions (ROW_NUMBER,
+cumulative sums, PERCENT_RANK, NTILE), token-budget selection,
+deterministic shuffle positions, and per-key windows (PARTITION BY …
+ORDER BY …) — each built on a distributed prefix-scan, never a
+driver-side sort.
+
+The global family shares ONE physical plan (the textbook distributed
+scan):
+
+1. an equi-depth RANGE PARTITION of the order column from a streaming
+   quantile pass (``approx_quantiles`` — mergeable summaries, no
+   shuffle; quantile error only unbalances buckets, never breaks
+   correctness because every row with the same order value lands in
+   the same bucket);
+2. a per-batch PARTIAL pass (count / sum / non-null count per bucket,
+   one Arrow ``group_by`` per batch) whose output is ≤ NB × #blocks
+   tiny rows — the driver reduces them and takes the EXCLUSIVE PREFIX
+   over the NB bucket totals (NB ≈ 2×CPUs, grows with input bytes);
+3. one ``groupby(__rb)`` coarse-bucket exchange where each bucket sorts
+   locally and finishes its rows with the broadcast offsets: global
+   row_number = bucket offset + local arange, cumulative sum = bucket
+   running sum + local cumsum.
+
+So the only all-to-all ships each row once, keyed on a small int32 —
+the same coarse-bucket idiom as ``stages/dedup.py`` — and driver state
+is O(NB), independent of row count.  Exactness notes: integer
+cumulative columns are bit-exact (addition is associative); float
+cumulative columns are NOT guaranteed bit-identical to a sequential
+scan (bucket partials use pairwise summation) — oracle-checked queries
+use integer cum columns.  Ties in the order column all land in one
+bucket (exact rank semantics serialize ties — pass a unique
+``tiebreak`` so the order is total).  NULL order values sort LAST in
+both directions (DuckDB's default null order).
+
+Reference parity: the reference engine's only ordering surface is SQL
+``ORDER BY``/``LIMIT`` pushed to the database (ref
+``core/executors/base_executor.py:292-347`` caps failure samples with
+``LIMIT``); the window/rank family here is the Ray-native
+generalization a training-data pipeline needs (quality-ordered token
+budgets, reproducible corpus shuffles, per-key sequence features).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "global_scan",
+    "select_token_budget",
+    "shuffle_positions",
+    "keyed_windows",
+]
+
+
+def _combine(col):
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+def _order_cuts(ds, order_col: str, nb: int | None):
+    """(sorted unique float64 cut points, total bucket count incl. the
+    trailing NULL bucket). ``nb`` buckets need ``nb-1`` interior
+    quantiles; duplicates collapse (heavy ties → fewer, fuller
+    buckets — still exact, just less parallel)."""
+    from validatelite_ray.stages.dedup import coarse_bucket_count
+    from validatelite_ray.stages.sample import approx_quantiles
+
+    if nb is None:
+        nb = coarse_bucket_count(ds)
+    nb = max(2, int(nb))
+    qs = (np.arange(1, nb) / nb).tolist()
+    eps = max(1e-4, 0.25 / nb)
+    qt = approx_quantiles(ds, [order_col], qs, eps=eps)
+    vals = np.asarray(_combine(qt["value"]).drop_null(), dtype=np.float64)
+    cuts = np.unique(vals)
+    return cuts, len(cuts) + 2  # buckets 0..len(cuts) + NULL bucket
+
+
+def _make_assign(order_col: str, cuts: np.ndarray, descending: bool,
+                 null_bucket: int, col: str = "__rb"):
+    """Batch fn appending the rank-order bucket id (int32): monotone in
+    the order direction, equal values always share a bucket, NULLs take
+    the dedicated last bucket."""
+    m = len(cuts)
+
+    def assign(b: pa.Table) -> pa.Table:
+        # safe=False: int64 beyond 2^53 maps to a non-strictly-monotone
+        # float64 image — fine for bucketing (equal images share a
+        # bucket; the in-bucket sort uses the original column)
+        v = _combine(pc.cast(b[order_col], pa.float64(), safe=False))
+        nulls = np.asarray(pc.is_null(v))
+        vals = np.asarray(pc.fill_null(v, 0.0), dtype=np.float64)
+        idx = np.searchsorted(cuts, vals, side="left").astype(np.int32)
+        if descending:
+            idx = (m - idx).astype(np.int32)
+        idx[nulls] = null_bucket
+        return b.append_column(col, pa.array(idx, pa.int32()))
+
+    return assign
+
+
+def _prefix_offsets(ds_assigned, nb_total: int, cum_cols: tuple[str, ...]):
+    """Pass 2 of the scan: per-batch bucket partials → driver reduce →
+    exclusive prefixes. Returns (N, off_n, {col: (off_sum, off_cnt,
+    is_int, bucket_totals)}). Driver state is O(nb_total)."""
+    cols = ["__rb", *cum_cols]
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = b.select(cols).append_column(
+            "__one", pa.array(np.ones(b.num_rows, np.int64))
+        )
+        aggs = [("__one", "sum")]
+        for c in cum_cols:
+            aggs += [(c, "sum"), (c, "count")]
+        return t.group_by("__rb").aggregate(aggs)
+
+    parts = [
+        t
+        for t in ds_assigned.map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not parts:
+        z = np.zeros(nb_total, np.int64)
+        return 0, z, {c: (z, z, True, z) for c in cum_cols}
+    merged = (
+        pa.concat_tables(parts, promote_options="permissive")
+        .group_by("__rb")
+        .aggregate(
+            [("__one_sum", "sum")]
+            + [a for c in cum_cols for a in ((f"{c}_sum", "sum"), (f"{c}_count", "sum"))]
+        )
+    )
+    rb = np.asarray(merged["__rb"])
+
+    def scatter(name, dtype):
+        out = np.zeros(nb_total, dtype)
+        out[rb] = np.asarray(
+            _combine(pc.fill_null(pc.cast(merged[name], pa.float64()
+                                          if dtype is np.float64 else pa.int64()), 0))
+        )
+        return out
+
+    n_b = scatter("__one_sum_sum", np.int64)
+    total = int(n_b.sum())
+    off_n = np.concatenate(([0], np.cumsum(n_b)[:-1]))
+    offs = {}
+    for c in cum_cols:
+        is_int = True
+        try:
+            is_int = pa.types.is_integer(merged.schema.field(f"{c}_sum_sum").type)
+        except KeyError:
+            pass
+        s_b = scatter(f"{c}_sum_sum", np.int64 if is_int else np.float64)
+        k_b = scatter(f"{c}_count_sum", np.int64)
+        offs[c] = (
+            np.concatenate(([s_b.dtype.type(0)], np.cumsum(s_b)[:-1])),
+            np.concatenate(([0], np.cumsum(k_b)[:-1])),
+            is_int,
+            s_b,
+        )
+    return total, off_n, offs
+
+
+def _bucket_cumsum(g: pa.Table, c: str, off_sum, off_cnt, is_int):
+    """Skip-NULL running sum of sorted-bucket column ``c`` plus the
+    bucket's carried-in offsets; NULL until the first non-null value
+    (SQL ``SUM(x) OVER (ORDER BY …)`` semantics)."""
+    v = _combine(g[c])
+    valid = ~np.asarray(pc.is_null(v))
+    filled = np.asarray(
+        pc.fill_null(pc.cast(v, pa.int64() if is_int else pa.float64()), 0)
+    )
+    cs = np.cumsum(filled) + off_sum
+    nn = np.cumsum(valid.astype(np.int64)) + off_cnt
+    return pa.array(cs, mask=(nn == 0))
+
+
+def _ntile(rn: np.ndarray, n_total: int, k: int) -> np.ndarray:
+    """DuckDB/ANSI NTILE(k): the first ``n % k`` tiles get
+    ``ceil(n/k)`` rows, the rest ``floor(n/k)``."""
+    big = n_total // k + 1
+    nbig = n_total % k
+    cut = nbig * big
+    small = max(n_total // k, 1)
+    return np.where(
+        rn <= cut, (rn - 1) // big + 1, nbig + (rn - cut - 1) // small + 1
+    ).astype(np.int64)
+
+
+def global_scan(
+    ds,
+    order_col: str,
+    tiebreak: str,
+    *,
+    descending: bool = False,
+    cum_cols: dict[str, str] | None = None,
+    row_number: str | None = "row_number",
+    percent_rank: str | None = None,
+    ntile: tuple[int, str] | None = None,
+    keep_cols: list[str] | None = None,
+    nb: int | None = None,
+):
+    """Exact global window functions over ``ORDER BY order_col
+    [DESC NULLS LAST], tiebreak``: ROW_NUMBER (``row_number``),
+    running sums (``cum_cols`` = {src: out}), PERCENT_RANK
+    (``percent_rank``), NTILE(k) (``ntile`` = (k, out)).
+
+    One coarse int32-bucket exchange; driver state O(#buckets); integer
+    running sums bit-match SQL, float ones are documented approximate
+    (non-associative addition across partials)."""
+    cum_cols = dict(cum_cols or {})
+    cuts, nb_total = _order_cuts(ds, order_col, nb)
+    assign = _make_assign(order_col, cuts, descending, nb_total - 1)
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    n_total, off_n, offs = _prefix_offsets(assigned, nb_total, tuple(cum_cols))
+
+    order_spec = [
+        (order_col, "descending" if descending else "ascending"),
+        (tiebreak, "ascending"),
+    ]
+    denom = max(n_total - 1, 1)
+
+    def finish(g: pa.Table) -> pa.Table:
+        b = int(g["__rb"][0].as_py())
+        srt = g.sort_by(order_spec)
+        n = srt.num_rows
+        rn = off_n[b] + np.arange(1, n + 1, dtype=np.int64)
+        out = srt.drop_columns(["__rb"])
+        if keep_cols is not None:
+            out = out.select(keep_cols)
+        if row_number:
+            out = out.append_column(row_number, pa.array(rn))
+        for src, dst in cum_cols.items():
+            off_sum, off_cnt, is_int, _ = offs[src]
+            out = out.append_column(
+                dst, _bucket_cumsum(srt, src, off_sum[b], off_cnt[b], is_int)
+            )
+        if percent_rank:
+            out = out.append_column(
+                percent_rank, pa.array((rn - 1) / denom, pa.float64())
+            )
+        if ntile:
+            k, dst = ntile
+            out = out.append_column(dst, pa.array(_ntile(rn, n_total, int(k))))
+        return out
+
+    return assigned.groupby("__rb").map_groups(finish, batch_format="pyarrow")
+
+
+def select_token_budget(
+    ds,
+    order_col: str,
+    tiebreak: str,
+    token_col: str,
+    budget: int,
+    *,
+    descending: bool = True,
+    keep_cols: list[str] | None = None,
+    nb: int | None = None,
+):
+    """Quality-ordered token-budget selection: keep rows while the
+    running ``SUM(token_col) OVER (ORDER BY order_col [DESC],
+    tiebreak)`` stays ≤ ``budget`` (SQL-equivalent, bit-exact for
+    integer token counts).
+
+    Scale shape: only the ONE bucket that straddles the budget pays a
+    sort+exchange; buckets wholly inside the budget stream through a
+    stateless filter and buckets wholly beyond it are dropped at the
+    map stage — at 100 TB with a 1 % budget this touches ~1 % of rows
+    plus one bucket, instead of ranking the world."""
+    cuts, nb_total = _order_cuts(ds, order_col, nb)
+    assign = _make_assign(order_col, cuts, descending, nb_total - 1)
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    _, _, offs = _prefix_offsets(assigned, nb_total, (token_col,))
+    off_sum, off_cnt, is_int, tot = offs[token_col]
+    ends = off_sum + tot  # inclusive end of each bucket's running sum
+    full = ends <= budget  # keep whole bucket, no sort needed
+    # exactly one bucket can straddle: the first non-full one whose
+    # carried-in offset still fits (ends are nondecreasing)
+    straddle = -1
+    cand = np.flatnonzero(~full & (off_sum <= budget))
+    if cand.size:
+        straddle = int(cand[0])
+
+    order_spec = [
+        (order_col, "descending" if descending else "ascending"),
+        (tiebreak, "ascending"),
+    ]
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__rb"])
+        return t.select(keep_cols) if keep_cols is not None else t
+
+    def keep_full(b: pa.Table) -> pa.Table:
+        rb = np.asarray(_combine(b["__rb"]))
+        return project(b.filter(pa.array(full[rb])))
+
+    out = assigned.map_batches(keep_full, batch_format="pyarrow", zero_copy_batch=True)
+    if straddle < 0:
+        return out
+    sb = int(straddle)
+
+    def finish_straddle(g: pa.Table) -> pa.Table:
+        srt = g.sort_by(order_spec)
+        cum = _bucket_cumsum(srt, token_col, off_sum[sb], off_cnt[sb], is_int)
+        keep = pc.fill_null(pc.less_equal(cum, budget), True)
+        return project(srt.filter(keep))
+
+    part = (
+        assigned.map_batches(
+            lambda b: b.filter(
+                pc.equal(b["__rb"], pa.scalar(sb, pa.int32()))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("__rb")
+        .map_groups(finish_straddle, batch_format="pyarrow")
+    )
+    return out.union(part)
+
+
+def shuffle_positions(
+    ds,
+    id_col: str,
+    seed: int = 0,
+    out_col: str = "shuffle_pos",
+    *,
+    keep_cols: list[str] | None = None,
+    nb: int | None = None,
+):
+    """Deterministic global training shuffle: every row gets its
+    1-based position in the order of ``md5_u64(id ∥ 0x1f ∥
+    'shuf<seed>')`` — reproducible across runs, block layouts and
+    cluster sizes, and DuckDB-checkable as ``ROW_NUMBER() OVER (ORDER
+    BY md5_number_lower(id || chr(31) || 'shuf<seed>'), id)``. Built on
+    :func:`global_scan`, so the only exchange is the coarse-bucket one
+    (a hash order is uniform — no tie skew by construction)."""
+    from validatelite_ray.stages.pack import md5_u64
+
+    tag = f"shuf{int(seed)}"
+
+    def add_h(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(b[id_col], pa.string()), tag, "\x1f"
+        )
+        # signed reinterpretation h ^ 2^63: an order-isomorphic int64
+        # image of the u64 hash (uint64 can't range-partition through
+        # a float64 quantile pass without precision checks)
+        h = md5_u64(key).astype(np.uint64) ^ np.uint64(1 << 63)
+        return b.append_column("__h", pa.array(h.view(np.int64)))
+
+    hds = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+    keep = keep_cols if keep_cols is not None else [
+        c for c in ds.schema().names
+    ]
+    return global_scan(
+        hds,
+        "__h",
+        id_col,
+        descending=False,
+        row_number=out_col,
+        keep_cols=keep,
+        nb=nb,
+    )
+
+
+def keyed_windows(
+    ds,
+    key: str,
+    order_col: str,
+    tiebreak: str,
+    *,
+    row_number: str | None = None,
+    cum_sum: tuple[str, str] | None = None,
+    lag: tuple[str, str] | None = None,
+    lead: tuple[str, str] | None = None,
+    nb: int | None = None,
+):
+    """Per-key ordered window functions — SQL ``… OVER (PARTITION BY
+    key ORDER BY order_col, tiebreak)`` for ROW_NUMBER
+    (``row_number``), running skip-NULL SUM (``cum_sum=(src, out)``),
+    LAG / LEAD of any column (``lag`` / ``lead`` = (src, out)``).
+
+    Physical plan is the repo's coarse-bucket cogroup: ONE
+    ``hash(key) % NB`` int32 exchange colocates each key's rows, then
+    every bucket sorts ONCE by (key, order, tiebreak) and computes all
+    requested functions for ALL of its keys with segment-aware numpy
+    kernels (boundary mask → repeat/arange/cumsum) — zero per-key
+    Python, built for millions of keys. NULL keys form one partition
+    (SQL PARTITION BY parity)."""
+    from validatelite_ray.stages.dedup import add_key_bucket, coarse_bucket_count
+
+    if nb is None:
+        nb = coarse_bucket_count(ds)
+    order_spec = [
+        (key, "ascending"),
+        (order_col, "ascending"),
+        (tiebreak, "ascending"),
+    ]
+
+    def finish(g: pa.Table) -> pa.Table:
+        srt = g.sort_by(order_spec)
+        n = srt.num_rows
+        karr = _combine(srt[key])
+        isn = np.asarray(pc.is_null(karr))
+        if n > 1:
+            ne = np.asarray(
+                pc.fill_null(
+                    pc.not_equal(karr.slice(1), karr.slice(0, n - 1)), False
+                )
+            )
+            boundary = ne | (isn[1:] != isn[:-1])
+        else:
+            boundary = np.zeros(0, bool)
+        starts = np.flatnonzero(np.r_[True, boundary]) if n else np.empty(0, np.int64)
+        seg_len = np.diff(np.append(starts, n))
+        start_rep = np.repeat(starts, seg_len)
+        rn = np.arange(n, dtype=np.int64) - start_rep + 1
+        out = srt.drop_columns(["__kb"])
+        if row_number:
+            out = out.append_column(row_number, pa.array(rn))
+        if cum_sum:
+            src, dst = cum_sum
+            v = _combine(srt[src])
+            valid = ~np.asarray(pc.is_null(v))
+            is_int = pa.types.is_integer(v.type)
+            filled = np.asarray(
+                pc.fill_null(pc.cast(v, pa.int64() if is_int else pa.float64()), 0)
+            )
+            cs = np.cumsum(filled)
+            seg_cs = cs - (cs[start_rep] - filled[start_rep])
+            nn = np.cumsum(valid.astype(np.int64))
+            cnt = nn - (nn[start_rep] - valid[start_rep].astype(np.int64))
+            out = out.append_column(dst, pa.array(seg_cs, mask=(cnt == 0)))
+        if lag:
+            src, dst = lag
+            idx = pa.array(np.arange(n, dtype=np.int64) - 1, mask=(rn == 1))
+            out = out.append_column(dst, pc.take(_combine(srt[src]), idx))
+        if lead:
+            src, dst = lead
+            last = np.r_[boundary, True] if n else np.zeros(0, bool)
+            idx = pa.array(np.arange(n, dtype=np.int64) + 1, mask=last)
+            out = out.append_column(dst, pc.take(_combine(srt[src]), idx))
+        return out
+
+    pre = ds.map_batches(
+        lambda b: add_key_bucket(b, key, nb, col="__kb"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pre.groupby("__kb").map_groups(finish, batch_format="pyarrow")

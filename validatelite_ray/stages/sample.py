@@ -326,7 +326,9 @@ def approx_quantiles(
     def partials(b: pa.Table) -> pa.Table:
         out_c, out_v, out_w = [], [], []
         for c in cols:
-            col = pc.cast(b[c], pa.float64()).drop_null()
+            # safe=False: ints beyond 2^53 are welcome — the summary is
+            # float64-lossy by contract (rank error, not value identity)
+            col = pc.cast(b[c], pa.float64(), safe=False).drop_null()
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             vals = np.asarray(col)
