@@ -2066,6 +2066,58 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def _q_rolling_windows_events(sf_dir: str):
+    """Rolling-frame aggregates per key — 4-row trailing SUM / AVG /
+    MIN / MAX / COUNT of integer cents over ``PARTITION BY user_id
+    ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW``
+    (stages/rank.py:keyed_windows rolling=): cumsum differences for
+    sum/mean/count, a vectorized sparse-table RMQ for min/max — all
+    keys of a bucket in one numpy pass."""
+    from validatelite_ray.stages.rank import keyed_windows
+
+    ds = _with_cents(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    )
+    out = keyed_windows(
+        ds,
+        "user_id",
+        "ts",
+        "event_id",
+        rolling=[
+            ("cents", "roll_sum", "sum", 4),
+            ("cents", "roll_avg", "mean", 4),
+            ("cents", "roll_min", "min", 4),
+            ("cents", "roll_max", "max", 4),
+            ("cents", "roll_cnt", "count", 4),
+        ],
+    )
+    return out.map_batches(
+        lambda b: b.select(
+            ["event_id", "roll_sum", "roll_avg", "roll_min", "roll_max", "roll_cnt"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+_ROLLING_WINDOWS_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id,
+       CAST(SUM(cents) OVER w AS BIGINT) AS roll_sum,
+       AVG(cents) OVER w AS roll_avg,
+       MIN(cents) OVER w AS roll_min,
+       MAX(cents) OVER w AS roll_max,
+       COUNT(cents) OVER w AS roll_cnt
+FROM c
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2228,6 +2280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_documents": _q_token_budget,
         "shuffle_positions_documents": _q_shuffle_positions,
         "keyed_windows_events": _q_keyed_windows_events,
+        "rolling_windows_events": _q_rolling_windows_events,
     }
 
 
@@ -2850,6 +2903,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_documents": _TOKEN_BUDGET_SQL,
         "shuffle_positions_documents": _SHUFFLE_POS_SQL,
         "keyed_windows_events": _KEYED_WINDOWS_SQL,
+        "rolling_windows_events": _ROLLING_WINDOWS_SQL,
         "substring_dedup_documents": (
             "WITH toks AS ("
             "  SELECT doc_id, list_filter("

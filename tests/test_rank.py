@@ -211,6 +211,64 @@ def test_keyed_windows_matches_sql(ray_session):
     pd.testing.assert_frame_equal(_canon(out), _canon(exp), check_dtype=False)
 
 
+@pytest.mark.parametrize("w", [1, 3, 17])
+def test_rolling_frames_match_sql(ray_session, w):
+    """Rolling sum/mean/min/max/count vs DuckDB ROWS BETWEEN frames,
+    with NULL values (skip-NULL, NULL for all-null frames) and NULL
+    keys, across window sizes spanning the RMQ level range."""
+    rng = np.random.default_rng(w)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": pd.array(rng.integers(0, 12, n), dtype="Int64"),
+            "ts": rng.integers(0, 30, n).astype(np.int64),
+        }
+    )
+    x = rng.integers(-50, 50, n).astype(object)
+    x[::5] = None
+    tbl = pa.table(
+        {
+            "id": pa.array(df["id"]),
+            "k": pa.array(df["k"], pa.int64()),
+            "ts": pa.array(df["ts"], pa.int64()),
+            "x": pa.array(list(x), pa.int64()),
+        }
+    )
+    import ray.data as rd
+
+    ds = rd.from_arrow(tbl).repartition(4)
+    out = keyed_windows(
+        ds,
+        "k",
+        "ts",
+        "id",
+        rolling=[
+            ("x", "s", "sum", w),
+            ("x", "m", "mean", w),
+            ("x", "lo", "min", w),
+            ("x", "hi", "max", w),
+            ("x", "c", "count", w),
+        ],
+        nb=5,
+    ).to_pandas()
+    pdf = tbl.to_pandas()
+    exp = _oracle(
+        pdf,
+        f"""
+        SELECT id, k, ts, x,
+               CAST(SUM(x) OVER w AS BIGINT) AS s,
+               AVG(x) OVER w AS m,
+               MIN(x) OVER w AS lo,
+               MAX(x) OVER w AS hi,
+               COUNT(x) OVER w AS c
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY ts, id
+                            ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+        """,
+    )
+    pd.testing.assert_frame_equal(_canon(out), _canon(exp), check_dtype=False)
+
+
 def test_keyed_windows_null_value_cum_is_skip_null(ray_session):
     df = pd.DataFrame(
         {

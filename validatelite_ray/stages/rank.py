@@ -370,6 +370,34 @@ def shuffle_positions(
     )
 
 
+def _range_minmax(vals: np.ndarray, a: np.ndarray, op) -> np.ndarray:
+    """Per-row ``op`` (np.minimum / np.maximum) over ``vals[a_i .. i]``
+    — the sparse-table RMQ built with log2(max window) doubling passes,
+    answering each row from the level matching its window length while
+    the levels are built, so memory stays at two n-arrays regardless of
+    window size. Fully vectorized (one boolean gather per level)."""
+    n = vals.size
+    out = np.empty(n, vals.dtype)
+    if n == 0:
+        return out
+    idx = np.arange(n, dtype=np.int64)
+    length = idx - a + 1
+    kk = np.floor(np.log2(length)).astype(np.int64)
+    max_k = int(kk.max())
+    lev = vals
+    for k in range(max_k + 1):
+        if k:
+            step = 1 << (k - 1)
+            nxt = lev.copy()
+            nxt[step:] = op(lev[step:], lev[:-step])
+            lev = nxt
+        m = kk == k
+        if m.any():
+            span = (1 << k) - 1
+            out[m] = op(lev[idx[m]], lev[a[m] + span])
+    return out
+
+
 def keyed_windows(
     ds,
     key: str,
@@ -380,12 +408,21 @@ def keyed_windows(
     cum_sum: tuple[str, str] | None = None,
     lag: tuple[str, str] | None = None,
     lead: tuple[str, str] | None = None,
+    rolling: list[tuple[str, str, str, int]] | None = None,
     nb: int | None = None,
 ):
     """Per-key ordered window functions — SQL ``… OVER (PARTITION BY
     key ORDER BY order_col, tiebreak)`` for ROW_NUMBER
     (``row_number``), running skip-NULL SUM (``cum_sum=(src, out)``),
-    LAG / LEAD of any column (``lag`` / ``lead`` = (src, out)``).
+    LAG / LEAD of any column (``lag`` / ``lead`` = (src, out)``), and
+    ROLLING FRAMES ``rolling=[(src, out, agg, window)]`` = ``agg(src)
+    OVER (… ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)`` with
+    agg ∈ sum/mean/count/min/max (skip-NULL; sum/mean are bit-exact
+    for integer sources — float rolling sums are association-order
+    approximate, same caveat as the global scan). Rolling sums/counts
+    are cumsum differences; rolling min/max is a vectorized
+    sparse-table RMQ (log2(window) doubling passes, two n-arrays of
+    state — no per-row loop, no window× blowup).
 
     Physical plan is the repo's coarse-bucket cogroup: ONE
     ``hash(key) % NB`` int32 exchange colocates each key's rows, then
@@ -447,6 +484,39 @@ def keyed_windows(
             last = np.r_[boundary, True] if n else np.zeros(0, bool)
             idx = pa.array(np.arange(n, dtype=np.int64) + 1, mask=last)
             out = out.append_column(dst, pc.take(_combine(srt[src]), idx))
+        for src, dst, agg, w in rolling or ():
+            pos = np.arange(n, dtype=np.int64)
+            ws = np.maximum(pos - (int(w) - 1), start_rep)
+            v = _combine(srt[src])
+            valid = ~np.asarray(pc.is_null(v))
+            is_int = pa.types.is_integer(v.type)
+            dt = pa.int64() if is_int else pa.float64()
+            filled = np.asarray(pc.fill_null(pc.cast(v, dt), 0))
+            cn = np.cumsum(valid.astype(np.int64))
+            cnt = cn - (cn[ws] - valid[ws].astype(np.int64))
+            if agg == "count":
+                col = pa.array(cnt)
+            elif agg in ("sum", "mean"):
+                cs = np.cumsum(filled)
+                s = cs - (cs[ws] - filled[ws])
+                if agg == "sum":
+                    col = pa.array(s, mask=(cnt == 0))
+                else:
+                    col = pa.array(
+                        s / np.maximum(cnt, 1), pa.float64(), mask=(cnt == 0)
+                    )
+            elif agg in ("min", "max"):
+                op = np.minimum if agg == "min" else np.maximum
+                if is_int:
+                    info = np.iinfo(np.int64)
+                    sent = info.max if agg == "min" else info.min
+                else:
+                    sent = np.inf if agg == "min" else -np.inf
+                sv = np.where(valid, filled, sent)
+                col = pa.array(_range_minmax(sv, ws, op), mask=(cnt == 0))
+            else:
+                raise ValueError(f"unknown rolling agg {agg!r}")
+            out = out.append_column(dst, col)
         return out
 
     pre = ds.map_batches(
