@@ -2118,6 +2118,58 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+#: language → epochs for the repeat-mixture query: >1 (multi-epoch),
+#: =1, fractional, 0 (dropped) and >2 all exercised
+_MIX_LANGS = ("en", "de", "es", "fr", "zh")
+_MIX_EPOCHS = (2.4, 1.0, 0.5, 0.0, 3.0)
+
+
+def _q_repeat_mixture(sf_dir: str):
+    """Repeat-factor upsampling (training-mix epochs): each document is
+    emitted floor(w) times plus a deterministic frac(w) chance of one
+    more, w chosen by language (stages/pack.py:repeat_mixture — zero
+    shuffle, md5-u64 oracle seam, layout-independent multiset)."""
+    from validatelite_ray.stages.pack import repeat_mixture
+
+    langs = pa.array(list(_MIX_LANGS), pa.string())
+    wts = pa.array(list(_MIX_EPOCHS), pa.float64())
+
+    def add_w(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b["lang"], value_set=langs)
+        return b.append_column("w", pc.take(wts, idx))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        add_w, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = repeat_mixture(ds, "w", id_col="doc_id", seed=5, out_col="epoch")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "lang", "epoch"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+_REPEAT_MIXTURE_SQL = """
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 2.4 WHEN 'de' THEN 1.0
+                   WHEN 'es' THEN 0.5 WHEN 'fr' THEN 0.0
+                   WHEN 'zh' THEN 3.0 ELSE 0.0 END AS wt
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         CAST(FLOOR(wt) AS BIGINT)
+         + CASE WHEN CAST(md5_number_lower(CAST(doc_id AS VARCHAR)
+                          || chr(31) || 'mix5') AS DOUBLE)
+                     <= (wt - FLOOR(wt)) * 18446744073709551616.0
+                THEN 1 ELSE 0 END AS reps
+  FROM w
+)
+SELECT doc_id, lang, UNNEST(generate_series(1, reps)) AS epoch FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2281,6 +2333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_positions_documents": _q_shuffle_positions,
         "keyed_windows_events": _q_keyed_windows_events,
         "rolling_windows_events": _q_rolling_windows_events,
+        "repeat_mixture_documents": _q_repeat_mixture,
     }
 
 
@@ -2904,6 +2957,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_positions_documents": _SHUFFLE_POS_SQL,
         "keyed_windows_events": _KEYED_WINDOWS_SQL,
         "rolling_windows_events": _ROLLING_WINDOWS_SQL,
+        "repeat_mixture_documents": _REPEAT_MIXTURE_SQL,
         "substring_dedup_documents": (
             "WITH toks AS ("
             "  SELECT doc_id, list_filter("

@@ -279,3 +279,54 @@ def test_sample_weighted_rate_tracks_weight(ray_session):
     t = pa.table({"doc_id": list(range(n)), "w": [0.25] * n})
     kept = sample_weighted(rd.from_arrow(t), "w").count()
     assert abs(kept / n - 0.25) < 0.03
+
+
+def test_repeat_mixture_semantics_and_determinism(ray_session):
+    """repeat_mixture: floor(w) guaranteed copies + frac(w) chance of
+    one more; 1-based epoch indices; NULL/negative weights drop; the
+    multiset is a pure function of (id, seed) — layout-independent."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.pack import repeat_mixture
+
+    n = 2000
+    w = np.full(n, 2.4)
+    w[::4] = 1.0      # exactly one copy
+    w[1::4] = 0.25    # sub-epoch
+    w[2::4] = -3.0    # dropped
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "w": pa.array(w, pa.float64()),
+        }
+    )
+
+    def run(parallelism, seed=9):
+        out = repeat_mixture(
+            rd.from_arrow(tbl).repartition(parallelism), "w", seed=seed
+        ).to_pandas()
+        return out.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+
+    a, b = run(3), run(8)
+    assert a.equals(b)
+
+    per = a.groupby("doc_id").agg(reps=("epoch", "max"), n=("epoch", "size"))
+    # epoch is a contiguous 1..reps index
+    assert (per["reps"] == per["n"]).all()
+    ids = per.index.to_numpy()
+    reps = per["reps"].to_numpy()
+    full = np.isin(ids % 4, [0])
+    assert (reps[full] == 1).all()                      # w=1.0 → exactly 1
+    assert set(ids[np.isin(ids % 4, [2])]) == set()     # w<0 → absent
+    frac24 = reps[ids % 4 == 3]
+    assert set(frac24) <= {2, 3}
+    rate = (frac24 == 3).mean()
+    assert 0.3 <= rate <= 0.5                           # ≈ 0.4
+    q = reps[ids % 4 == 1]
+    assert set(q) <= {1}
+    # w=0.25 rows appear for ~25% of ids: count appearing / eligible
+    eligible = (np.arange(n) % 4 == 1).sum()
+    assert 0.15 <= len(q) / eligible <= 0.35
+    # different seed → different extra-copy subset
+    c = run(3, seed=10)
+    assert not a.equals(c)

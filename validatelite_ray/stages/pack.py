@@ -353,6 +353,64 @@ def chunk_documents(
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def repeat_mixture(
+    ds,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out_col: str = "epoch",
+):
+    """Repeat-factor upsampling — the "epochs per source" primitive a
+    training-mix assembly applies AFTER choosing domain weights: a row
+    with weight ``w`` is emitted ``floor(w)`` times plus once more with
+    probability ``frac(w)`` (e.g. w=2.4 → every row twice, a
+    deterministic 40 % of rows a third time), with ``out_col`` carrying
+    the 1-based epoch index so downstream shuffles can separate copies.
+    Weights < 0 and NULL mean 0 (dropped).
+
+    Deterministic and layout-independent like the rest of the sampling
+    family: the extra-copy decision is a pure function of (id, seed)
+    through the md5-u64 oracle seam, so reruns, repartitions and
+    cluster sizes all emit the identical multiset. Zero shuffle — the
+    expansion is a per-batch vectorized repeat (output volume is the
+    mix's token budget, intentionally proportional to Σw).
+
+    SQL-oracle parity: reps = ``CAST(FLOOR(w) AS BIGINT) + (CAST(
+    md5_number_lower(id || chr(31) || 'mix<seed>') AS DOUBLE) <=
+    (w - FLOOR(w)) * 2^64)`` and the epoch index is
+    ``UNNEST(generate_series(1, reps))`` — both sides compare in IEEE
+    doubles, bit-identical."""
+    two64 = 18446744073709551616.0  # 2^64 as an exact double
+
+    def expand(b: pa.Table) -> pa.Table:
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = md5_u64(
+            pc.binary_join_element_wise(
+                pc.cast(ids, pa.string()), f"mix{seed}", "\x1f"
+            )
+        ).astype(np.float64)
+        w = pc.fill_null(pc.cast(b[weight_col], pa.float64()), 0.0).to_numpy(
+            zero_copy_only=False
+        )
+        w = np.maximum(w, 0.0)
+        base = np.floor(w)
+        reps = (base + (h <= (w - base) * two64)).astype(np.int64)
+        total = int(reps.sum())
+        idx = np.repeat(np.arange(len(reps), dtype=np.int64), reps)
+        epoch = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(reps) - reps, reps)
+            + 1
+        )
+        return b.take(pa.array(idx)).append_column(
+            out_col, pa.array(epoch, pa.int64())
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def sample_weighted(
     ds,
     weight_col: str,
