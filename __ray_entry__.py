@@ -2170,6 +2170,43 @@ SELECT doc_id, lang, UNNEST(generate_series(1, reps)) AS epoch FROM r
 """
 
 
+def _q_pivot_events(sf_dir: str):
+    """Pivot / one-hot aggregation: per-user event-type counts plus
+    per-type cents sums (stages/sample.py:pivot_counts — per-batch
+    indicator group_by partials, then the coarse-bucket reduce; ONE
+    int32 exchange for all users)."""
+    from validatelite_ray.stages.sample import pivot_counts
+
+    ds = _with_cents(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    )
+    return pivot_counts(
+        ds,
+        "user_id",
+        "event_type",
+        ["click", "view", "purchase"],
+        names=["n_click", "n_view", "n_purchase"],
+        sum_specs=[
+            ("purchase", "purchase_cents", "cents"),
+            ("error", "error_cents", "cents"),
+        ],
+    )
+
+
+_PIVOT_EVENTS_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COALESCE(SUM(CAST(round(value * 100) AS BIGINT))
+                FILTER (WHERE event_type = 'purchase'), 0) AS purchase_cents,
+       COALESCE(SUM(CAST(round(value * 100) AS BIGINT))
+                FILTER (WHERE event_type = 'error'), 0)    AS error_cents
+FROM events
+GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2334,6 +2371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyed_windows_events": _q_keyed_windows_events,
         "rolling_windows_events": _q_rolling_windows_events,
         "repeat_mixture_documents": _q_repeat_mixture,
+        "pivot_counts_events": _q_pivot_events,
     }
 
 
@@ -2958,6 +2996,7 @@ def oracle_sql() -> dict[str, str]:
         "keyed_windows_events": _KEYED_WINDOWS_SQL,
         "rolling_windows_events": _ROLLING_WINDOWS_SQL,
         "repeat_mixture_documents": _REPEAT_MIXTURE_SQL,
+        "pivot_counts_events": _PIVOT_EVENTS_SQL,
         "substring_dedup_documents": (
             "WITH toks AS ("
             "  SELECT doc_id, list_filter("

@@ -1,0 +1,74 @@
+"""pivot_counts (stages/sample.py): wide conditional aggregation —
+DuckDB FILTER-clause oracle, NULL keys/values, mixed count+sum specs,
+and validation."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from validatelite_ray.stages.sample import pivot_counts
+
+
+def test_pivot_counts_matches_sql(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    n = 800
+    types = np.array(["a", "b", "c", None], dtype=object)
+    tbl = pa.table(
+        {
+            "k": pa.array(
+                [None if i % 97 == 0 else int(x) for i, x in
+                 enumerate(rng.integers(0, 30, n))],
+                pa.int64(),
+            ),
+            "t": pa.array(list(types[rng.integers(0, 4, n)]), pa.string()),
+            "x": pa.array(rng.integers(-20, 20, n), pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(5)
+    out = (
+        pivot_counts(
+            ds,
+            "k",
+            "t",
+            ["a", "b"],
+            names=["n_a", "n_b"],
+            sum_specs=[("a", "sum_a", "x"), ("c", "sum_c", "x")],
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    exp = (
+        con.execute(
+            """
+            SELECT k,
+                   COUNT(*) FILTER (WHERE t = 'a') AS n_a,
+                   COUNT(*) FILTER (WHERE t = 'b') AS n_b,
+                   COALESCE(SUM(x) FILTER (WHERE t = 'a'), 0) AS sum_a,
+                   COALESCE(SUM(x) FILTER (WHERE t = 'c'), 0) AS sum_c
+            FROM t GROUP BY k
+            """
+        )
+        .df()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_pivot_counts_duplicate_names_rejected(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table({"k": pa.array([1]), "t": pa.array(["a"])})
+    with pytest.raises(ValueError, match="duplicate"):
+        pivot_counts(
+            rd.from_arrow(tbl), "k", "t", ["a"], names=["n"],
+            sum_specs=[("a", "n", "k")],
+        )

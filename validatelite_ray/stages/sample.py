@@ -861,3 +861,75 @@ def normalize_column(
         return b.append_column(out, z)
 
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pivot_counts(
+    ds,
+    key: str,
+    col: str,
+    values: list,
+    names: list[str] | None = None,
+    value_col: str | None = None,
+    sum_specs: list[tuple] | None = None,
+):
+    """Wide conditional aggregation (pivot): one row per ``key`` with a
+    column per pivot value — ``COUNT(*) FILTER (WHERE col = v)``, or
+    ``SUM(value_col) FILTER (WHERE col = v)`` when ``value_col`` is
+    given (use an integer value column for bit-exact SQL parity; float
+    pivot sums carry the usual association-order caveat). The
+    one-hot / per-category feature matrix step of a behavioral or
+    source-mix profile.
+
+    Physical plan: every batch reduces to ≤ (#keys-in-batch) partial
+    rows with one Arrow ``group_by`` over int64 indicator columns
+    (NULL ``col`` matches no pivot value, SQL FILTER semantics), then
+    the repo's coarse-bucket reduce sums partials — ONE int32-keyed
+    exchange, zero per-key Python, safe at millions of keys."""
+    from validatelite_ray.stages.dedup import (
+        add_key_bucket,
+        bucketed_group_agg,
+        coarse_bucket_count,
+    )
+
+    if names is None:
+        names = [f"cnt_{v}" for v in values]
+    if len(names) != len(values):
+        raise ValueError("names must parallel values")
+    specs = [(v, n, value_col) for v, n in zip(values, names)]
+    specs += [tuple(t) for t in (sum_specs or [])]
+    out_names = [n for _, n, _ in specs]
+    if len(set(out_names)) != len(out_names):
+        raise ValueError("duplicate output column names")
+    nb = coarse_bucket_count(ds)
+
+    def pre(b: pa.Table) -> pa.Table:
+        cols = {key: b[key]}
+        for v, n, vc in specs:
+            ind = pc.cast(
+                pc.fill_null(pc.equal(b[col], v), False), pa.int64()
+            )
+            if vc is not None:
+                ind = pc.multiply(
+                    ind, pc.fill_null(pc.cast(b[vc], pa.int64()), 0)
+                )
+            cols[n] = ind
+        t = pa.table(cols)
+        names_ = out_names
+        p = t.group_by(key).aggregate([(n, "sum") for n in names_])
+        p = p.rename_columns(
+            [c[:-4] if c.endswith("_sum") else c for c in p.column_names]
+        )
+        return add_key_bucket(p, key, nb)
+
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    out = bucketed_group_agg(
+        pre_ds,
+        key,
+        [(n, "sum") for n in out_names],
+        rename={f"{n}_sum": n for n in out_names},
+    )
+    return out.map_batches(
+        lambda b: b.drop_columns(["__bucket"]) if "__bucket" in b.column_names else b,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
