@@ -2207,6 +2207,60 @@ GROUP BY user_id
 """
 
 
+def _rename_to(ds, names: list[str]):
+    return ds.map_batches(
+        lambda b: b.rename_columns(names),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q_set_intersect(sf_dir: str):
+    """SQL INTERSECT (distinct, NULL-safe) — customers that placed
+    orders, as a set op over two Datasets
+    (stages/setops.py:intersect_distinct: per-batch distinct partials
+    with presence flags, ONE coarse-bucket exchange, per-bucket Arrow
+    group_by max-merge)."""
+    from validatelite_ray.stages.setops import intersect_distinct
+
+    cust = _rename_to(_read(sf_dir, "customer", ["c_custkey"]), ["custkey"])
+    ordc = _read(sf_dir, "orders", ["o_custkey"])
+    return intersect_distinct(cust, ordc)
+
+
+_SET_INTERSECT_SQL = """
+SELECT c_custkey AS custkey FROM customer
+INTERSECT
+SELECT o_custkey FROM orders
+"""
+
+
+def _q_set_except(sf_dir: str):
+    """SQL EXCEPT (distinct) — the documents NOT in the train split
+    (complement of ``hash_split``): corpus minus the train subset via
+    stages/setops.py:except_distinct, composed with the md5-u64 split
+    seam so the whole thing stays DuckDB-exact."""
+    from validatelite_ray.stages.pack import hash_split
+    from validatelite_ray.stages.setops import except_distinct
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    train = hash_split(docs, id_col="doc_id").map_batches(
+        lambda b: b.filter(pc.equal(b["split"], "train")).select(["doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return except_distinct(docs, train)
+
+
+_SET_EXCEPT_SQL = """
+SELECT doc_id FROM documents
+EXCEPT
+SELECT doc_id FROM documents
+WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || chr(31) || '0')
+      < 18077809192235360256
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2372,6 +2426,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_windows_events": _q_rolling_windows_events,
         "repeat_mixture_documents": _q_repeat_mixture,
         "pivot_counts_events": _q_pivot_events,
+        "set_intersect_customers": _q_set_intersect,
+        "set_except_customers": _q_set_except,
     }
 
 
@@ -2997,6 +3053,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_windows_events": _ROLLING_WINDOWS_SQL,
         "repeat_mixture_documents": _REPEAT_MIXTURE_SQL,
         "pivot_counts_events": _PIVOT_EVENTS_SQL,
+        "set_intersect_customers": _SET_INTERSECT_SQL,
+        "set_except_customers": _SET_EXCEPT_SQL,
         "substring_dedup_documents": (
             "WITH toks AS ("
             "  SELECT doc_id, list_filter("

@@ -1,0 +1,77 @@
+"""Set operations (stages/setops.py) vs DuckDB INTERSECT / EXCEPT /
+UNION — multi-column tuples, NULL-safe equality, positional rename,
+and validation."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from validatelite_ray.stages.setops import (
+    except_distinct,
+    intersect_distinct,
+    union_distinct,
+)
+
+
+def _mk(seed: int, n: int) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    a = [None if i % 13 == 0 else int(x) for i, x in
+         enumerate(rng.integers(0, 12, n))]
+    b = [None if i % 17 == 0 else s for i, s in
+         enumerate(np.array(["x", "y", "z"])[rng.integers(0, 3, n)])]
+    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.string())})
+
+
+@pytest.mark.parametrize(
+    "fn,sql_op",
+    [
+        (intersect_distinct, "INTERSECT"),
+        (except_distinct, "EXCEPT"),
+        (union_distinct, "UNION"),
+    ],
+)
+def test_set_ops_match_sql(ray_session, fn, sql_op):
+    import ray.data as rd
+
+    lt, rt = _mk(1, 300), _mk(2, 260)
+    out = (
+        fn(
+            rd.from_arrow(lt).repartition(4),
+            rd.from_arrow(rt).repartition(3),
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("lt", lt.to_pandas())
+    con.register("rt", rt.to_pandas())
+    exp = (
+        con.execute(f"SELECT a, b FROM lt {sql_op} SELECT a, b FROM rt")
+        .df()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # NULL tuples compare equal: at most one (NULL, NULL) row survives
+    nulls = out[(out["a"].isna()) & (out["b"].isna())]
+    assert len(nulls) <= 1
+
+
+def test_set_ops_positional_rename_and_validation(ray_session):
+    import ray.data as rd
+
+    lt = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    rt = pa.table({"other_name": pa.array([2, 3, 4], pa.int64())})
+    out = intersect_distinct(
+        rd.from_arrow(lt), rd.from_arrow(rt)
+    ).to_pandas()
+    assert sorted(out["k"]) == [2, 3]
+
+    wide = pa.table(
+        {"x": pa.array([1], pa.int64()), "y": pa.array([1], pa.int64())}
+    )
+    with pytest.raises(ValueError, match="columns"):
+        intersect_distinct(rd.from_arrow(lt), rd.from_arrow(wide))
