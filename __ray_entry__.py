@@ -2261,6 +2261,52 @@ WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || chr(31) || '0')
 """
 
 
+def _q_funnel_events(sf_dir: str):
+    """Behavioral funnel signup → view → purchase per user, each step
+    strictly after the previous and within 2 days of it
+    (stages/windows.py:funnel): coarse-bucket cogroup, then ONE masked
+    ``minimum.reduceat`` pass per step resolves every user's step time
+    simultaneously — greedy-earliest chain semantics, the same thing
+    the SQL MIN-FILTER + self-join chain computes."""
+    from validatelite_ray.stages.windows import funnel
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel(
+        ds,
+        "user_id",
+        "ts",
+        "event_type",
+        ["signup", "view", "purchase"],
+        within_us=2 * 24 * 3600 * 1_000_000,
+    )
+
+
+_FUNNEL_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+       WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > s1.t1
+         AND e.ts <= s1.t1 + INTERVAL 2 DAY
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+         AND e.ts <= s2.t2 + INTERVAL 2 DAY
+       GROUP BY e.user_id)
+SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+       CASE WHEN t3 IS NOT NULL THEN 3
+            WHEN t2 IS NOT NULL THEN 2
+            WHEN t1 IS NOT NULL THEN 1
+            ELSE 0 END AS steps_completed
+FROM u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2428,6 +2474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_counts_events": _q_pivot_events,
         "set_intersect_customers": _q_set_intersect,
         "set_except_customers": _q_set_except,
+        "funnel_events": _q_funnel_events,
     }
 
 
@@ -3055,6 +3102,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_counts_events": _PIVOT_EVENTS_SQL,
         "set_intersect_customers": _SET_INTERSECT_SQL,
         "set_except_customers": _SET_EXCEPT_SQL,
+        "funnel_events": _FUNNEL_SQL,
         "substring_dedup_documents": (
             "WITH toks AS ("
             "  SELECT doc_id, list_filter("

@@ -206,3 +206,83 @@ def test_sliding_pre_epoch_floor_semantics(ray_session):
     )
     out = sliding_window_agg(rd.from_arrow(t), window_us=hour, step_us=hour).take_all()
     assert len(out) == 1 and out[0]["window"] == -1
+
+
+def test_funnel_matches_duckdb_chain(ray_session):
+    """funnel(): greedy-earliest step chain with a within bound vs the
+    DuckDB MIN-FILTER self-join chain; NULL keys form one group, NULL
+    timestamps are ignored, step order must be strict."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from validatelite_ray.stages.windows import funnel
+
+    rng = np.random.default_rng(21)
+    n = 900
+    tbl = pa.table(
+        {
+            "k": pa.array(
+                [None if i % 101 == 0 else int(v) for i, v in
+                 enumerate(rng.integers(0, 40, n))],
+                pa.int64(),
+            ),
+            "ts": pa.array(
+                [None if i % 97 == 0 else int(v) for i, v in
+                 enumerate(rng.integers(0, 10_000, n))],
+                pa.int64(),
+            ),
+            "st": pa.array(
+                list(np.array(["a", "b", "c", "x"])[rng.integers(0, 4, n)]),
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        funnel(
+            rd.from_arrow(tbl).repartition(5),
+            "k",
+            "ts",
+            "st",
+            ["a", "b", "c"],
+            within_us=1500,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    exp = (
+        con.execute(
+            """
+            WITH u AS (SELECT DISTINCT k FROM t),
+            s1 AS (SELECT k, MIN(ts) AS t1 FROM t
+                   WHERE st = 'a' AND ts IS NOT NULL GROUP BY k),
+            s2 AS (SELECT t.k, MIN(t.ts) AS t2 FROM t JOIN s1 ON
+                   (t.k = s1.k OR (t.k IS NULL AND s1.k IS NULL))
+                   WHERE t.st = 'b' AND t.ts > s1.t1
+                     AND t.ts <= s1.t1 + 1500 GROUP BY t.k),
+            s3 AS (SELECT t.k, MIN(t.ts) AS t3 FROM t JOIN s2 ON
+                   (t.k = s2.k OR (t.k IS NULL AND s2.k IS NULL))
+                   WHERE t.st = 'c' AND t.ts > s2.t2
+                     AND t.ts <= s2.t2 + 1500 GROUP BY t.k)
+            SELECT u.k, s1.t1, s2.t2, s3.t3,
+                   CASE WHEN t3 IS NOT NULL THEN 3
+                        WHEN t2 IS NOT NULL THEN 2
+                        WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+                       AS steps_completed
+            FROM u
+            LEFT JOIN s1 ON (u.k = s1.k OR (u.k IS NULL AND s1.k IS NULL))
+            LEFT JOIN s2 ON (u.k = s2.k OR (u.k IS NULL AND s2.k IS NULL))
+            LEFT JOIN s3 ON (u.k = s3.k OR (u.k IS NULL AND s3.k IS NULL))
+            """
+        )
+        .df()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp.columns = ["k", "t1", "t2", "t3", "steps_completed"]
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)

@@ -207,3 +207,106 @@ def sliding_window_agg(
         [("n_part", "sum"), ("cents_part", "sum")],
         rename={"n_part_sum": "n", "cents_part_sum": "sum_cents"},
     )
+
+
+def funnel(
+    ds,
+    key: str,
+    ts_col: str,
+    step_col: str,
+    steps: list,
+    within_us: int | None = None,
+    out_prefix: str = "t",
+):
+    """Sequential funnel per key: the earliest greedy completion chain
+    ``steps[0] → steps[1] → …`` where each step happens STRICTLY after
+    the previous step's matched time (and, with ``within_us``, at most
+    that many microseconds after it). Output: one row per key with
+    ``t1..tk`` timestamps (NULL where the chain stops) and
+    ``steps_completed`` — the conversion table of behavioral
+    analytics, and the greedy-earliest semantics a SQL chain of
+    ``MIN(ts) FILTER`` + self-joins computes.
+
+    Physical plan: the coarse-bucket cogroup (ONE ``hash(key) % NB``
+    int32 exchange), then per bucket each step is ONE vectorized pass
+    over all keys: rows are sorted by key once, the step's candidate
+    mask combines ``step == steps[i]`` with ``ts > t_prev`` (broadcast
+    per segment via repeat), and a masked ``np.minimum.reduceat``
+    yields every key's step time simultaneously — k passes total, zero
+    per-key Python."""
+    from validatelite_ray.stages.dedup import add_key_bucket, coarse_bucket_count
+
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    nb = coarse_bucket_count(ds)
+    imax = np.iinfo(np.int64).max
+
+    def finish(g: pa.Table) -> pa.Table:
+        srt = g.sort_by([(key, "ascending")])
+        n = srt.num_rows
+        karr = srt[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        isn = np.asarray(pc.is_null(karr))
+        if n > 1:
+            ne = np.asarray(
+                pc.fill_null(pc.not_equal(karr.slice(1), karr.slice(0, n - 1)), False)
+            )
+            boundary = ne | (isn[1:] != isn[:-1])
+        else:
+            boundary = np.zeros(0, bool)
+        starts = np.flatnonzero(np.r_[True, boundary]) if n else np.empty(0, np.int64)
+        seg_len = np.diff(np.append(starts, n))
+        tarr = srt[ts_col]
+        if isinstance(tarr, pa.ChunkedArray):
+            tarr = tarr.combine_chunks()
+        ts_valid = ~np.asarray(pc.is_null(tarr))
+        ts = tarr.to_numpy(zero_copy_only=False)
+        if ts.dtype.kind == "M":
+            ts = ts.view(np.int64)
+        elif ts.dtype.kind == "f":  # nullable ints surface as float+NaN
+            ts = np.nan_to_num(ts, nan=0.0).astype(np.int64)
+        else:
+            ts = ts.astype(np.int64)
+        sarr = srt[step_col]
+        if isinstance(sarr, pa.ChunkedArray):
+            sarr = sarr.combine_chunks()
+        imin = np.iinfo(np.int64).min
+        tprev = np.full(starts.size, imin, np.int64)  # no lower bound yet
+        reached = np.ones(starts.size, bool)
+        cols: dict = {}
+        completed = np.zeros(starts.size, np.int64)
+        for i, s in enumerate(steps):
+            m = np.asarray(pc.fill_null(pc.equal(sarr, s), False)) & ts_valid
+            tprev_rep = np.repeat(tprev, seg_len)
+            reached_rep = np.repeat(reached, seg_len)
+            cand = m & reached_rep & (ts > tprev_rep)
+            if i and within_us is not None:
+                # subtraction form: no additive overflow on the imax
+                # sentinel rows (already gated by reached_rep)
+                cand &= (ts - tprev_rep) <= within_us
+            vals = np.where(cand, ts, imax)
+            t_i = (
+                np.minimum.reduceat(vals, starts)
+                if n
+                else np.empty(0, np.int64)
+            )
+            hit = t_i != imax
+            completed += hit
+            cols[f"{out_prefix}{i + 1}"] = pa.array(t_i, mask=~hit)
+            tprev, reached = t_i, hit
+        keys_out = pc.take(karr, pa.array(starts, pa.int64()))
+        out = {key: keys_out}
+        for name, arr in cols.items():
+            out[name] = pc.cast(arr, tarr.type)
+        out["steps_completed"] = pa.array(completed)
+        return pa.table(out)
+
+    pre = ds.map_batches(
+        lambda b: add_key_bucket(
+            b.select([key, ts_col, step_col]), key, nb, col="__fb"
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pre.groupby("__fb").map_groups(finish, batch_format="pyarrow")
