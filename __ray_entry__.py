@@ -2307,6 +2307,33 @@ LEFT JOIN s3 USING (user_id)
 """
 
 
+def _q_pagerank(sf_dir: str):
+    """PageRank over the supplier→customer fulfillment graph (edges =
+    lineitem ⋈ orders pairs, customers offset into their own id space)
+    — stages/graph.py:pagerank, 5 damped power-iteration rounds with
+    dangling redistribution; two coarse-bucket exchanges per round,
+    payloads are (int64, float64) pairs only. Rows-only driver check
+    (iterative float algorithm); the numpy power-iteration oracle and
+    layout-independence live in tests/test_graph.py."""
+    from validatelite_ray.stages.graph import pagerank
+    from validatelite_ray.stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    edges = joined.map_batches(
+        lambda b: pa.table(
+            {
+                "src": pc.cast(b["l_suppkey"], pa.int64()),
+                "dst": pc.add(pc.cast(b["o_custkey"], pa.int64()), 10_000_000),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pagerank(edges, iters=5)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2475,6 +2502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_intersect_customers": _q_set_intersect,
         "set_except_customers": _q_set_except,
         "funnel_events": _q_funnel_events,
+        "pagerank_fulfillment": _q_pagerank,
     }
 
 

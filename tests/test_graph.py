@@ -1,0 +1,98 @@
+"""PageRank (stages/graph.py) vs a dense numpy power-iteration oracle
+— damping, dangling-mass redistribution, multigraph multiplicity,
+self-loops, determinism across layouts."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from validatelite_ray.stages.graph import pagerank
+
+
+def _numpy_pagerank(src, dst, iters, d):
+    nodes = np.unique(np.concatenate([src, dst]))
+    nid = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s in src:
+        deg[nid[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dang = r[deg == 0].sum()
+        inflow = np.zeros(n)
+        for s, t in zip(src, dst):
+            inflow[nid[t]] += r[nid[s]] / deg[nid[s]]
+        r = (1 - d) / n + d * dang / n + d * inflow
+    return nodes, r
+
+
+@pytest.mark.parametrize("seed,iters", [(4, 3)])
+def test_pagerank_matches_power_iteration(ray_session, seed, iters):
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    V, E = 50, 420
+    src = rng.integers(0, V, E).astype(np.int64)
+    dst = rng.integers(0, V, E).astype(np.int64)
+    # dangling tail: the top ids appear only as destinations; keep a
+    # few self-loops and parallel edges in (multiplicity counts)
+    keep = src < V - 6
+    src, dst = src[keep], dst[keep]
+    edges = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    out = (
+        pagerank(
+            rd.from_arrow(edges).repartition(5), iters=iters, nb=4
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    nodes, r = _numpy_pagerank(src, dst, iters, 0.85)
+    assert list(out["node"]) == list(nodes)
+    got = out["rank"].to_numpy()
+    assert abs(got.sum() - 1.0) < 1e-9
+    assert np.allclose(got, r, rtol=1e-9, atol=1e-12)
+
+    # layout independence: different partitioning/bucket count, same
+    # ranks bit-for-bit up to float tolerance
+    out2 = (
+        pagerank(rd.from_arrow(edges).repartition(2), iters=iters, nb=7)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert np.allclose(out2["rank"].to_numpy(), r, rtol=1e-9, atol=1e-12)
+
+
+def test_pagerank_self_loops_and_dangling_only(ray_session):
+    import ray.data as rd
+
+    # node 1 self-loops, node 2 dangles: closed-form check
+    edges = pa.table(
+        {
+            "src": pa.array([1, 1], pa.int64()),
+            "dst": pa.array([1, 2], pa.int64()),
+        }
+    )
+    out = (
+        pagerank(rd.from_arrow(edges), iters=2, nb=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    nodes, r = _numpy_pagerank(
+        np.array([1, 1], np.int64), np.array([1, 2], np.int64), 2, 0.85
+    )
+    assert list(out["node"]) == [1, 2]
+    assert np.allclose(out["rank"].to_numpy(), r, rtol=1e-12)
+
+
+def test_pagerank_validation(ray_session):
+    import ray.data as rd
+
+    edges = pa.table({"src": pa.array([1], pa.int64()), "dst": pa.array([2], pa.int64())})
+    ds = rd.from_arrow(edges)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(ds, damping=1.5)
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(ds, iters=0)

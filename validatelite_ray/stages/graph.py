@@ -1,0 +1,295 @@
+"""Link-graph analytics: PageRank over an edge Dataset — the
+domain/host ranking step of a crawl-corpus pipeline (CommonCrawl-style
+host ranks feed URL-level quality priors in CCNet/RefinedWeb-shaped
+recipes; the public power-iteration formulation with damping and
+dangling-mass redistribution, Page et al. 1999).
+
+Scale shape (per iteration, for E edges and V nodes, V ≪ corpus):
+
+* contribution pass — ONE ``hash(src) % NB`` coarse-bucket cogroup of
+  the edge list with the (node, rank/outdeg) state; each bucket
+  resolves ALL of its sources with one Arrow ``index_in``/``take`` and
+  pre-sums contributions per destination before anything is shuffled
+  again;
+* update pass — the per-bucket partials and the state are cogrouped on
+  ``hash(node) % NB`` (the SAME one-int32-key exchange), each bucket
+  sums inflows and applies ``rank' = (1-d)/V + d·(dangling/V +
+  inflow)`` for all of its nodes at once.
+
+So each iteration is exactly two bucketed exchanges whose payloads are
+(int64, float64) pairs — never the corpus — plus one scalar
+dangling-mass aggregate. State is materialized per iteration to keep
+the lineage bounded (V rows ≈ #domains, far below the corpus; the
+iteration count is fixed, convergence is the caller's budget).
+Node ids are int64 — hash or dictionary-encode string hosts first
+(``stages/dedup._token_hashes`` is the usual seam).
+
+Reference parity: no counterpart (the reference has no graph surface);
+this is part of the beyond-reference crawl toolkit like stages/urls.py
+and stages/html.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["pagerank"]
+
+
+def _slim_edges(edges, src: str, dst: str, nb: int):
+    from validatelite_ray.stages.dedup import add_key_bucket
+
+    def pre(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "s": pc.cast(b[src], pa.int64()),
+                "d": pc.cast(b[dst], pa.int64()),
+            }
+        ).drop_null()
+        return add_key_bucket(t, "s", nb, col="__gb")
+
+    return edges.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pagerank(
+    edges,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+    nb: int | None = None,
+):
+    """``iters`` power-iteration rounds of damped PageRank with
+    dangling-mass redistribution over an int64 edge Dataset (parallel
+    edges count with multiplicity). Returns a Dataset of
+    (node, rank); ranks sum to 1 up to float roundoff."""
+    from validatelite_ray.stages.dedup import (
+        add_key_bucket,
+        bucketed_group_agg,
+        coarse_bucket_count,
+    )
+
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if nb is None:
+        nb = coarse_bucket_count(edges)
+
+    e = _slim_edges(edges, src, dst, nb).materialize()
+
+    # out-degree per source (coarse-bucket reduce)
+    def deg_pre(b: pa.Table) -> pa.Table:
+        p = (
+            b.select(["s", "__gb"])
+            .append_column("c", pa.array(np.ones(b.num_rows, np.int64)))
+            .group_by(["s", "__gb"])
+            .aggregate([("c", "sum")])
+        )
+        return pa.table(
+            {"s": p["s"], "c": p["c_sum"], "__bucket": p["__gb"]}
+        )
+
+    deg = bucketed_group_agg(
+        e.map_batches(deg_pre, batch_format="pyarrow", zero_copy_batch=True),
+        "s",
+        [("c", "sum")],
+        rename={"c_sum": "deg"},
+    )
+
+    # node universe: distinct src ∪ dst, bucketed on the node id
+    def node_pre(col):
+        def f(b: pa.Table) -> pa.Table:
+            t = pa.table({"node": pc.unique(b[col])})
+            return add_key_bucket(t, "node", nb)
+
+        return f
+
+    nodes = (
+        e.map_batches(node_pre("s"), batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            e.map_batches(
+                node_pre("d"), batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: pa.table({"node": pc.unique(g["node"])}),
+            batch_format="pyarrow",
+        )
+    )
+
+    # state0 = nodes left-joined with degrees (dangling → deg 0)
+    def tag_nodes(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "node": b["node"],
+                "deg": pa.nulls(b.num_rows, pa.int64()),
+                "is_state": pa.array(np.ones(b.num_rows, bool)),
+            }
+        )
+        return add_key_bucket(t, "node", nb)
+
+    def tag_deg(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "node": b["s"],
+                "deg": b["deg"],
+                "is_state": pa.array(np.zeros(b.num_rows, bool)),
+            }
+        )
+        return add_key_bucket(t, "node", nb)
+
+    def merge_deg(g: pa.Table) -> pa.Table:
+        st = g.filter(g["is_state"])
+        dg = g.filter(pc.invert(g["is_state"]))
+        idx = pc.index_in(st["node"], value_set=dg["node"].combine_chunks())
+        degv = pc.fill_null(pc.take(dg["deg"].combine_chunks(), idx), 0)
+        return pa.table({"node": st["node"], "deg": degv})
+
+    base_state = (
+        nodes.map_batches(tag_nodes, batch_format="pyarrow", zero_copy_batch=True)
+        .union(deg.map_batches(tag_deg, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("__bucket")
+        .map_groups(merge_deg, batch_format="pyarrow")
+        .materialize()
+    )
+    n_nodes = base_state.count()
+    if n_nodes == 0:
+        return base_state.map_batches(
+            lambda b: pa.table(
+                {"node": b["node"], "rank": pa.nulls(0, pa.float64())}
+            ),
+            batch_format="pyarrow",
+        )
+
+    state = base_state.map_batches(
+        lambda b: b.append_column(
+            "rank", pa.array(np.full(b.num_rows, 1.0 / n_nodes))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    for _ in range(iters):
+        # dangling mass: streamed off the materialized V-row state on
+        # the driver (a float per block — no extra Ray job per round)
+        dangling = sum(
+            float(
+                np.asarray(pc.fill_null(b["rank"], 0.0))[
+                    np.asarray(b["deg"]) == 0
+                ].sum()
+            )
+            for b in state.iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_rows
+        )
+
+        # contribution cogroup on hash(src): w = rank/deg shipped once
+        def tag_state_w(b: pa.Table) -> pa.Table:
+            deg_np = np.asarray(b["deg"]).astype(np.float64)
+            w = np.asarray(b["rank"]) / np.where(deg_np == 0, 1.0, deg_np)
+            t = pa.table(
+                {
+                    "s": b["node"],
+                    "d": pa.nulls(b.num_rows, pa.int64()),
+                    "w": pa.array(np.where(deg_np == 0, 0.0, w)),
+                }
+            )
+            return add_key_bucket(t, "s", nb, col="__gb")
+
+        def contrib(g: pa.Table) -> pa.Table:
+            is_edge = pc.is_valid(g["d"])
+            ed = g.filter(is_edge)
+            st = g.filter(pc.invert(is_edge))
+            idx = pc.index_in(ed["s"], value_set=st["s"].combine_chunks())
+            w = pc.take(st["w"].combine_chunks(), idx)
+            p = (
+                pa.table({"node": ed["d"], "w": w})
+                .group_by("node")
+                .aggregate([("w", "sum")])
+            )
+            p = pa.table({"node": p["node"], "w": p["w_sum"]})
+            return add_key_bucket(p, "node", nb)
+
+        inflow_partials = (
+            e.map_batches(
+                lambda b: pa.table(
+                    {"s": b["s"], "d": b["d"], "w": pa.nulls(b.num_rows, pa.float64())}
+                ).append_column("__gb", b["__gb"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .union(
+                state.map_batches(
+                    tag_state_w, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            .groupby("__gb")
+            .map_groups(contrib, batch_format="pyarrow")
+        )
+
+        # update cogroup on hash(node): sum partial inflows, apply rank'
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+
+        def tag_state_full(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "node": b["node"],
+                    "deg": b["deg"],
+                    "w": pa.nulls(b.num_rows, pa.float64()),
+                }
+            )
+            return add_key_bucket(t, "node", nb)
+
+        def update(g: pa.Table) -> pa.Table:
+            is_state = pc.is_valid(g["deg"])
+            st = g.filter(is_state)
+            fl = g.filter(pc.invert(is_state))
+            agg = (
+                pa.table({"node": fl["node"], "w": fl["w"]})
+                .group_by("node")
+                .aggregate([("w", "sum")])
+            )
+            nodes_in = agg["node"].combine_chunks()
+            idx = pc.index_in(st["node"], value_set=nodes_in)
+            inflow = pc.fill_null(
+                pc.take(agg["w_sum"].combine_chunks(), idx), 0.0
+            )
+            rank = pc.add(
+                pa.scalar(base),
+                pc.multiply(pa.scalar(damping), pc.fill_null(inflow, 0.0)),
+            )
+            return pa.table(
+                {"node": st["node"], "deg": st["deg"], "rank": rank}
+            )
+
+        state = (
+            inflow_partials.map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b["node"],
+                        "deg": pa.nulls(b.num_rows, pa.int64()),
+                        "w": b["w"],
+                        "__bucket": b["__bucket"],
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .union(
+                state.map_batches(
+                    tag_state_full, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            .groupby("__bucket")
+            .map_groups(update, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return state.map_batches(
+        lambda b: b.select(["node", "rank"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
