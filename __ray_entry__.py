@@ -2334,6 +2334,70 @@ def _q_pagerank(sf_dir: str):
     return pagerank(edges, iters=5)
 
 
+def _q_histogram_events(sf_dir: str):
+    """Equal-width histogram of event values over [0, 500) × 13 bins
+    plus below/above overflow rows (stages/sample.py:histogram):
+    per-batch ``np.bincount`` partials, driver merges #blocks small
+    vectors — ZERO shuffle; binning is plain IEEE double arithmetic so
+    the DuckDB floor-division oracle reproduces exact counts."""
+    from validatelite_ray.stages.sample import histogram
+
+    ds = _read(sf_dir, "events", ["value"])
+    return histogram(ds, "value", 0.0, 500.0, 13)
+
+
+_HISTOGRAM_SQL = """
+WITH p AS (SELECT CAST(0.0 AS DOUBLE) AS lo,
+                  (CAST(500.0 AS DOUBLE) - CAST(0.0 AS DOUBLE)) / 13 AS w),
+b AS (SELECT UNNEST(generate_series(-1, 13)) AS bin),
+c AS (SELECT GREATEST(-1, LEAST(13,
+             CAST(FLOOR((value - p.lo) / p.w) AS BIGINT))) AS bin,
+             COUNT(*) AS n
+      FROM events, p WHERE value IS NOT NULL GROUP BY 1)
+SELECT b.bin,
+       p.lo + b.bin * p.w AS bin_lo,
+       p.lo + (b.bin + 1) * p.w AS bin_hi,
+       COALESCE(c.n, 0) AS n
+FROM b CROSS JOIN p LEFT JOIN c USING (bin)
+"""
+
+
+def _q_spearman_events(sf_dir: str):
+    """Spearman rank correlation between event value and event time
+    (total-order variant, ties broken by event_id) — two distributed
+    prefix-scans joined on the id, then a zero-shuffle integer Σd²
+    reduce; ρ = 1 − 6Σd²/(n(n²−1)) is computed from exact integers on
+    both sides (stages/rank.py:spearman_corr)."""
+    from validatelite_ray.stages.rank import spearman_corr
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"]).map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"],
+                "value": b["value"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return spearman_corr(ds, "value", "ts_us", "event_id")
+
+
+_SPEARMAN_SQL = """
+WITH r AS (
+  SELECT event_id,
+         ROW_NUMBER() OVER (ORDER BY value, event_id) AS rx,
+         ROW_NUMBER() OVER (ORDER BY ts, event_id)    AS ry
+  FROM events
+)
+SELECT 1 - 6.0 * SUM((rx - ry) * (rx - ry))
+           / (COUNT(*) * (COUNT(*) * COUNT(*) - 1)) AS rho,
+       COUNT(*) AS n
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2503,6 +2567,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_except_customers": _q_set_except,
         "funnel_events": _q_funnel_events,
         "pagerank_fulfillment": _q_pagerank,
+        "histogram_events": _q_histogram_events,
+        "spearman_events": _q_spearman_events,
     }
 
 
@@ -3131,6 +3197,8 @@ def oracle_sql() -> dict[str, str]:
         "set_intersect_customers": _SET_INTERSECT_SQL,
         "set_except_customers": _SET_EXCEPT_SQL,
         "funnel_events": _FUNNEL_SQL,
+        "histogram_events": _HISTOGRAM_SQL,
+        "spearman_events": _SPEARMAN_SQL,
         "substring_dedup_documents": (
             "WITH toks AS ("
             "  SELECT doc_id, list_filter("

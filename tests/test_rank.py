@@ -312,3 +312,61 @@ def test_global_scan_empty_input(ray_session):
         rd.from_arrow(tbl), "w", "id", cum_cols={"w": "cw"}, nb=4
     )
     assert out.count() == 0
+
+
+def test_spearman_matches_scipy_free_formula(ray_session):
+    """spearman_corr vs the direct Σd² formula on exact ranks (numpy
+    argsort oracle) — monotone data gives ρ=1, reversed gives −1."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    n = 500
+    x = rng.normal(size=n)
+    y = 0.7 * x + rng.normal(scale=0.5, size=n)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {"id": pa.array(ids), "x": pa.array(x), "y": pa.array(y)}
+    )
+    from validatelite_ray.stages.rank import spearman_corr
+
+    out = spearman_corr(
+        rd.from_arrow(tbl).repartition(4), "x", "y", "id"
+    ).to_pandas()
+    rx = np.empty(n, np.int64); rx[np.lexsort((ids, x))] = np.arange(1, n + 1)
+    ry = np.empty(n, np.int64); ry[np.lexsort((ids, y))] = np.arange(1, n + 1)
+    d = rx - ry
+    rho = 1.0 - 6.0 * int((d * d).sum()) / (n * (n * n - 1))
+    assert out["n"][0] == n
+    assert out["rho"][0] == rho
+    assert 0.5 < rho < 1.0
+
+    out_rev = spearman_corr(
+        rd.from_arrow(
+            pa.table({"id": pa.array(ids), "x": pa.array(x), "y": pa.array(-x)})
+        ),
+        "x",
+        "y",
+        "id",
+    ).to_pandas()
+    assert abs(out_rev["rho"][0] + 1.0) < 1e-12
+
+
+def test_histogram_boundaries_and_overflow(ray_session):
+    """histogram: exact bin edges (x == lo, x == hi), NULLs excluded,
+    below/above overflow rows, empty bins present with n=0."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.sample import histogram
+
+    vals = [None, -5.0, 0.0, 0.999, 1.0, 2.5, 9.999, 10.0, 42.0]
+    tbl = pa.table({"v": pa.array(vals, pa.float64())})
+    out = histogram(rd.from_arrow(tbl).repartition(3), "v", 0.0, 10.0, 10)
+    df = out.to_pandas().set_index("bin")
+    assert df.loc[-1, "n"] == 1          # -5.0
+    assert df.loc[0, "n"] == 2           # 0.0, 0.999
+    assert df.loc[1, "n"] == 1           # 1.0
+    assert df.loc[2, "n"] == 1           # 2.5
+    assert df.loc[9, "n"] == 1           # 9.999
+    assert df.loc[10, "n"] == 2          # 10.0 and 42.0 (>= hi)
+    assert df.loc[5, "n"] == 0
+    assert int(df["n"].sum()) == 8       # NULL excluded

@@ -525,3 +525,65 @@ def keyed_windows(
         zero_copy_batch=True,
     )
     return pre.groupby("__kb").map_groups(finish, batch_format="pyarrow")
+
+
+def spearman_corr(ds, x_col: str, y_col: str, tiebreak: str) -> pa.Table:
+    """Spearman rank correlation of two numeric columns (total-order
+    variant: ties broken by ``tiebreak``, i.e. ranks are ROW_NUMBER
+    over ``(col, tiebreak)`` — with continuous data this equals the
+    classical average-rank ρ, and it keeps the statistic integer-exact:
+    ρ = 1 − 6·Σd²/(n(n²−1)) where Σd² is summed as int64 per batch and
+    arbitrary-precision on the driver, so a DuckDB window oracle
+    matches bit-for-bit). Returns a 1-row table (rho, n).
+
+    Physical plan: two :func:`global_scan` passes (one per column —
+    each is the quantile pass + one coarse-bucket exchange) joined on
+    ``tiebreak``, then a zero-shuffle per-batch Σd² reduce."""
+    from validatelite_ray.stages.joins import hash_join
+
+    rx = global_scan(
+        ds.select_columns([tiebreak, x_col]),
+        x_col,
+        tiebreak,
+        row_number="__rx",
+        keep_cols=[tiebreak],
+    )
+    ry = global_scan(
+        ds.select_columns([tiebreak, y_col]),
+        y_col,
+        tiebreak,
+        row_number="__ry",
+        keep_cols=[tiebreak],
+    ).map_batches(
+        lambda b: b.rename_columns(["__tb2", "__ry"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    both = hash_join(rx, ry, on=tiebreak, right_on="__tb2")
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = np.asarray(_combine(b["__rx"])) - np.asarray(_combine(b["__ry"]))
+        return pa.table(
+            {
+                "s": pa.array([int((d * d).sum())], pa.int64()),
+                "n": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    s_total, n_total = 0, 0
+    for t in both.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        if t.num_rows:
+            s_total += int(np.asarray(t["s"]).sum())
+            n_total += int(np.asarray(t["n"]).sum())
+    if n_total < 2:
+        rho = None
+    else:
+        rho = 1.0 - 6.0 * s_total / (n_total * (n_total * n_total - 1))
+    return pa.table(
+        {
+            "rho": pa.array([rho], pa.float64()),
+            "n": pa.array([n_total], pa.int64()),
+        }
+    )

@@ -933,3 +933,65 @@ def pivot_counts(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def histogram(
+    ds, col: str, lo: float, hi: float, nbins: int
+) -> pa.Table:
+    """Equal-width histogram of a numeric column → Arrow table
+    (bin, lo, hi, n) with ``bin = floor((x - lo) / width)`` clamped
+    edges excluded (x < lo or x >= hi fall outside and are counted in
+    the returned ``n_below`` / ``n_above`` metadata rows, bins -1 and
+    ``nbins``). NULLs are excluded, SQL-style.
+
+    Zero shuffle: every batch bincounts locally (one float64 subtract/
+    divide/floor + ``np.bincount``), the driver sums #blocks
+    (nbins+2)-vectors. The binning arithmetic is plain IEEE doubles, so
+    a DuckDB ``GROUP BY floor((x - lo)/width)`` oracle reproduces the
+    exact counts."""
+    if nbins < 1:
+        raise ValueError("nbins must be >= 1")
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    width = (hi - lo) / nbins
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.cast(b[col], pa.float64(), safe=False).drop_null()
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        x = np.asarray(v)
+        binf = np.floor((x - lo) / width)
+        idx = np.clip(binf, -1, nbins).astype(np.int64) + 1  # 0..nbins+1
+        cnt = np.bincount(idx, minlength=nbins + 2)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(-1, nbins + 1, dtype=np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    parts = [
+        t
+        for t in ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if parts:
+        merged = (
+            pa.concat_tables(parts).group_by("bin").aggregate([("n", "sum")])
+        )
+        bins = np.asarray(merged["bin"])
+        counts = np.zeros(nbins + 2, np.int64)
+        counts[bins + 1] = np.asarray(merged["n_sum"])
+    else:
+        counts = np.zeros(nbins + 2, np.int64)
+    b = np.arange(-1, nbins + 1, dtype=np.int64)
+    return pa.table(
+        {
+            "bin": pa.array(b),
+            "bin_lo": pa.array(lo + b * width, pa.float64()),
+            "bin_hi": pa.array(lo + (b + 1) * width, pa.float64()),
+            "n": pa.array(counts),
+        }
+    )
