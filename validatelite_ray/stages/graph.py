@@ -149,11 +149,18 @@ def pagerank(
         degv = pc.fill_null(pc.take(dg["deg"].combine_chunks(), idx), 0)
         return pa.table({"node": st["node"], "deg": degv})
 
+    # NOTE every iteration's state is coalesced back to <= nb blocks:
+    # each sort-shuffle union otherwise roughly doubles the block count
+    # (96 -> 224 -> 480 -> 992 measured on a 1M-edge graph) and Ray's
+    # sort cost is superlinear in block count (63 s round 3 vs 6 s
+    # round 1 for identical rows); the repartition is a cheap coalesce
+    # of a V-row table and keeps every round the same price.
     base_state = (
         nodes.map_batches(tag_nodes, batch_format="pyarrow", zero_copy_batch=True)
         .union(deg.map_batches(tag_deg, batch_format="pyarrow", zero_copy_batch=True))
         .groupby("__bucket")
         .map_groups(merge_deg, batch_format="pyarrow")
+        .repartition(nb)
         .materialize()
     )
     n_nodes = base_state.count()
@@ -285,6 +292,7 @@ def pagerank(
             )
             .groupby("__bucket")
             .map_groups(update, batch_format="pyarrow")
+            .repartition(nb)
             .materialize()
         )
 

@@ -536,30 +536,25 @@ def spearman_corr(ds, x_col: str, y_col: str, tiebreak: str) -> pa.Table:
     arbitrary-precision on the driver, so a DuckDB window oracle
     matches bit-for-bit). Returns a 1-row table (rho, n).
 
-    Physical plan: two :func:`global_scan` passes (one per column —
-    each is the quantile pass + one coarse-bucket exchange) joined on
-    ``tiebreak``, then a zero-shuffle per-batch Σd² reduce."""
-    from validatelite_ray.stages.joins import hash_join
-
+    Physical plan: two :func:`global_scan` passes COMPOSED (the second
+    ranks the first's output, carrying ``__rx`` through as a payload
+    column) — no join anywhere — then a zero-shuffle per-batch Σd²
+    reduce. Total: two quantile passes + two coarse-bucket
+    exchanges."""
     rx = global_scan(
-        ds.select_columns([tiebreak, x_col]),
+        ds.select_columns([tiebreak, x_col, y_col]),
         x_col,
         tiebreak,
         row_number="__rx",
-        keep_cols=[tiebreak],
+        keep_cols=[tiebreak, y_col],
     )
-    ry = global_scan(
-        ds.select_columns([tiebreak, y_col]),
+    both = global_scan(
+        rx,
         y_col,
         tiebreak,
         row_number="__ry",
-        keep_cols=[tiebreak],
-    ).map_batches(
-        lambda b: b.rename_columns(["__tb2", "__ry"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        keep_cols=["__rx"],
     )
-    both = hash_join(rx, ry, on=tiebreak, right_on="__tb2")
 
     def partial(b: pa.Table) -> pa.Table:
         d = np.asarray(_combine(b["__rx"])) - np.asarray(_combine(b["__ry"]))
