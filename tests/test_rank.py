@@ -370,3 +370,141 @@ def test_histogram_boundaries_and_overflow(ray_session):
     assert df.loc[10, "n"] == 2          # 10.0 and 42.0 (>= hi)
     assert df.loc[5, "n"] == 0
     assert int(df["n"].sum()) == 8       # NULL excluded
+
+
+def test_sum_sq_split_exact_beyond_int64(ray_session):
+    """_sum_sq_split: exact Σd² even when the total exceeds int64
+    (the review's silent-wrap scenario)."""
+    from validatelite_ray.stages.rank import _sum_sq_split
+
+    d = np.full(1_000_000, 3_000_000_000, np.int64)  # d² = 9e18 each
+    hi, lo = _sum_sq_split(d)
+    assert (hi << 32) + lo == 1_000_000 * 3_000_000_000**2  # 9e24 > 2^63
+    rng = np.random.default_rng(2)
+    r = rng.integers(-10**6, 10**6, 10_000).astype(np.int64)
+    hi, lo = _sum_sq_split(r)
+    assert (hi << 32) + lo == sum(int(x) * int(x) for x in r)
+
+
+def test_token_budget_null_prefix_dropped(ray_session):
+    """Rows whose SQL running sum is NULL (all-NULL token prefix in
+    order) are dropped, matching `WHERE cum <= budget`."""
+    import ray.data as rd
+
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(20, dtype=np.int64)),
+            "v": pa.array(np.arange(20, dtype=np.int64)),
+            # tokens NULL for the 8 highest-v rows (the order prefix
+            # when descending), then small ints
+            "w": pa.array(
+                [int(x) for x in range(12)] + [None] * 8, pa.int64()
+            ),
+        }
+    )
+    out = select_token_budget(
+        rd.from_arrow(tbl).repartition(3),
+        "v",
+        "id",
+        "w",
+        1_000_000,
+        descending=True,
+        keep_cols=["id", "w"],
+        nb=4,
+    ).to_pandas()
+    # SQL: the 8 null-token rows lead the DESC order -> cum NULL -> out
+    assert set(out["id"]) == set(range(12))
+
+    # an ENTIRELY null token column selects nothing
+    tbl2 = pa.table(
+        {
+            "id": pa.array(np.arange(5, dtype=np.int64)),
+            "v": pa.array(np.arange(5, dtype=np.int64)),
+            "w": pa.array([None] * 5, pa.int64()),
+        }
+    )
+    assert (
+        select_token_budget(
+            rd.from_arrow(tbl2), "v", "id", "w", 100, nb=3
+        ).count()
+        == 0
+    )
+
+
+def test_histogram_nan_counts_as_above(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.sample import histogram
+
+    tbl = pa.table(
+        {"v": pa.array([float("nan"), 1.0, None, 11.0], pa.float64())}
+    )
+    df = histogram(rd.from_arrow(tbl), "v", 0.0, 10.0, 5).to_pandas()
+    d = df.set_index("bin")["n"]
+    assert d[5] == 2      # NaN and 11.0 both 'above'
+    assert d[0] == 1
+    assert int(d.sum()) == 3  # NULL excluded
+
+
+def test_pivot_key_collision_and_sum_named_key(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.sample import pivot_counts
+
+    tbl = pa.table(
+        {
+            "total_sum": pa.array([1, 1, 2], pa.int64()),
+            "t": pa.array(["a", "b", "a"], pa.string()),
+        }
+    )
+    # a key literally named *_sum survives the aggregate rename
+    out = (
+        pivot_counts(rd.from_arrow(tbl), "total_sum", "t", ["a"])
+        .to_pandas()
+        .sort_values("total_sum")
+        .reset_index(drop=True)
+    )
+    assert list(out["total_sum"]) == [1, 2]
+    assert list(out["cnt_a"]) == [1, 1]
+    # output name colliding with the key is rejected
+    with pytest.raises(ValueError, match="collides"):
+        pivot_counts(rd.from_arrow(tbl), "total_sum", "t", ["a"], names=["total_sum"])
+
+
+def test_funnel_large_int64_ts_exact(ray_session):
+    """Nanosecond-scale int64 timestamps (beyond 2^53) survive exactly
+    — adjacent values one apart must still satisfy strict ordering."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.windows import funnel
+
+    base = 1_700_000_000_000_000_000  # ns epoch >> 2^53
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array([base, base + 1, base + 2], pa.int64()),
+            "st": pa.array(["a", "b", "c"], pa.string()),
+        }
+    )
+    out = funnel(
+        rd.from_arrow(tbl), "k", "ts", "st", ["a", "b", "c"]
+    ).to_pandas()
+    assert out["steps_completed"][0] == 3
+    assert int(out["t2"][0]) == base + 1  # not rounded to a double
+
+    with pytest.raises(Exception, match="integer or timestamp"):
+        funnel(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "k": pa.array([1], pa.int64()),
+                        "ts": pa.array([1.5], pa.float64()),
+                        "st": pa.array(["a"], pa.string()),
+                    }
+                )
+            ),
+            "k",
+            "ts",
+            "st",
+            ["a"],
+        ).to_pandas()

@@ -279,13 +279,24 @@ def select_token_budget(
     _, _, offs = _prefix_offsets(assigned, nb_total, (token_col,))
     off_sum, off_cnt, is_int, tot = offs[token_col]
     ends = off_sum + tot  # inclusive end of each bucket's running sum
-    full = ends <= budget  # keep whole bucket, no sort needed
-    # exactly one bucket can straddle: the first non-full one whose
-    # carried-in offset still fits (ends are nondecreasing)
+    # SQL semantics: rows BEFORE the first non-null token have a NULL
+    # running sum, and `cum <= budget` drops them — so a bucket may be
+    # kept wholesale only when every one of its rows has a defined cum,
+    # i.e. some non-null token arrived in an earlier bucket
+    # (off_cnt > 0). The null-prefix buckets (off_cnt == 0, a prefix by
+    # monotonicity) go through the exact per-row path with the
+    # straddling bucket.
+    full = (ends <= budget) & (off_cnt > 0)
     straddle = -1
-    cand = np.flatnonzero(~full & (off_sum <= budget))
+    cand = np.flatnonzero((ends > budget) & (off_sum <= budget))
     if cand.size:
         straddle = int(cand[0])
+    exact = np.zeros(nb_total, bool)
+    exact[(off_cnt == 0) & (off_sum <= budget)] = True
+    if straddle >= 0:
+        exact[straddle] = True
+    full &= ~exact
+    exact_ids = np.flatnonzero(exact)
 
     order_spec = [
         (order_col, "descending" if descending else "ascending"),
@@ -301,26 +312,32 @@ def select_token_budget(
         return project(b.filter(pa.array(full[rb])))
 
     out = assigned.map_batches(keep_full, batch_format="pyarrow", zero_copy_batch=True)
-    if straddle < 0:
+    if exact_ids.size == 0:
         return out
-    sb = int(straddle)
 
-    def finish_straddle(g: pa.Table) -> pa.Table:
+    def finish_exact(g: pa.Table) -> pa.Table:
+        b = int(g["__rb"][0].as_py())
         srt = g.sort_by(order_spec)
-        cum = _bucket_cumsum(srt, token_col, off_sum[sb], off_cnt[sb], is_int)
-        keep = pc.fill_null(pc.less_equal(cum, budget), True)
+        cum = _bucket_cumsum(srt, token_col, off_sum[b], off_cnt[b], is_int)
+        # NULL cum (all-null prefix) fails `cum <= budget`, SQL-style
+        keep = pc.fill_null(pc.less_equal(cum, budget), False)
         return project(srt.filter(keep))
 
+    exact_set = frozenset(int(b) for b in exact_ids)
     part = (
         assigned.map_batches(
             lambda b: b.filter(
-                pc.equal(b["__rb"], pa.scalar(sb, pa.int32()))
+                pa.array(
+                    np.isin(
+                        np.asarray(_combine(b["__rb"])), list(exact_set)
+                    )
+                )
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
         .groupby("__rb")
-        .map_groups(finish_straddle, batch_format="pyarrow")
+        .map_groups(finish_exact, batch_format="pyarrow")
     )
     return out.union(part)
 
@@ -527,6 +544,17 @@ def keyed_windows(
     return pre.groupby("__kb").map_groups(finish, batch_format="pyarrow")
 
 
+def _sum_sq_split(d: np.ndarray) -> tuple[int, int]:
+    """Exact Σd² of an int64 array as (hi, lo) with Σd² = (hi<<32)+lo —
+    each accumulator stays far below int64 range (terms < 2³¹ resp.
+    2³², n per block ≤ ~10⁶), so the per-batch numpy sum can't wrap
+    even when Σd² itself exceeds int64 (d up to ~3·10⁹ rows)."""
+    dd = d * d  # exact while |d| < 2^31.5 ≈ 3e9 rows
+    hi = int((dd >> np.int64(32)).sum())
+    lo = int((dd & np.int64(0xFFFFFFFF)).sum())
+    return hi, lo
+
+
 def spearman_corr(ds, x_col: str, y_col: str, tiebreak: str) -> pa.Table:
     """Spearman rank correlation of two numeric columns (total-order
     variant: ties broken by ``tiebreak``, i.e. ranks are ROW_NUMBER
@@ -541,13 +569,16 @@ def spearman_corr(ds, x_col: str, y_col: str, tiebreak: str) -> pa.Table:
     column) — no join anywhere — then a zero-shuffle per-batch Σd²
     reduce. Total: two quantile passes + two coarse-bucket
     exchanges."""
+    # materialize the first scan's 3-column output: global_scan reads
+    # its input three times (cuts, partials, finish), so a lazy rx
+    # would replay the whole first exchange once per pass
     rx = global_scan(
         ds.select_columns([tiebreak, x_col, y_col]),
         x_col,
         tiebreak,
         row_number="__rx",
         keep_cols=[tiebreak, y_col],
-    )
+    ).materialize()
     both = global_scan(
         rx,
         y_col,
@@ -558,9 +589,11 @@ def spearman_corr(ds, x_col: str, y_col: str, tiebreak: str) -> pa.Table:
 
     def partial(b: pa.Table) -> pa.Table:
         d = np.asarray(_combine(b["__rx"])) - np.asarray(_combine(b["__ry"]))
+        hi, lo = _sum_sq_split(d)
         return pa.table(
             {
-                "s": pa.array([int((d * d).sum())], pa.int64()),
+                "hi": pa.array([hi], pa.int64()),
+                "lo": pa.array([lo], pa.int64()),
                 "n": pa.array([b.num_rows], pa.int64()),
             }
         )
@@ -569,9 +602,9 @@ def spearman_corr(ds, x_col: str, y_col: str, tiebreak: str) -> pa.Table:
     for t in both.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).iter_batches(batch_format="pyarrow", batch_size=None):
-        if t.num_rows:
-            s_total += int(np.asarray(t["s"]).sum())
-            n_total += int(np.asarray(t["n"]).sum())
+        for i in range(t.num_rows):
+            s_total += (int(t["hi"][i].as_py()) << 32) + int(t["lo"][i].as_py())
+            n_total += int(t["n"][i].as_py())
     if n_total < 2:
         rho = None
     else:

@@ -900,6 +900,8 @@ def pivot_counts(
     out_names = [n for _, n, _ in specs]
     if len(set(out_names)) != len(out_names):
         raise ValueError("duplicate output column names")
+    if key in out_names:
+        raise ValueError(f"output name {key!r} collides with the key column")
     nb = coarse_bucket_count(ds)
 
     def pre(b: pa.Table) -> pa.Table:
@@ -916,9 +918,10 @@ def pivot_counts(
         t = pa.table(cols)
         names_ = out_names
         p = t.group_by(key).aggregate([(n, "sum") for n in names_])
-        p = p.rename_columns(
-            [c[:-4] if c.endswith("_sum") else c for c in p.column_names]
-        )
+        # rename only the aggregate outputs (a key literally named
+        # "*_sum" must keep its name)
+        agg_out = {f"{n}_sum": n for n in names_}
+        p = p.rename_columns([agg_out.get(c, c) for c in p.column_names])
         return add_key_bucket(p, key, nb)
 
     pre_ds = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
@@ -961,6 +964,10 @@ def histogram(
             v = v.combine_chunks()
         x = np.asarray(v)
         binf = np.floor((x - lo) / width)
+        # NaN is a float value, not an Arrow NULL: count it in the
+        # "above" overflow bin (NaN sorts above everything, DuckDB-
+        # style) instead of letting clip/astype poison bincount
+        binf = np.where(np.isnan(binf), float(nbins), binf)
         idx = np.clip(binf, -1, nbins).astype(np.int64) + 1  # 0..nbins+1
         cnt = np.bincount(idx, minlength=nbins + 2)
         return pa.table(

@@ -261,13 +261,17 @@ def funnel(
         if isinstance(tarr, pa.ChunkedArray):
             tarr = tarr.combine_chunks()
         ts_valid = ~np.asarray(pc.is_null(tarr))
-        ts = tarr.to_numpy(zero_copy_only=False)
-        if ts.dtype.kind == "M":
-            ts = ts.view(np.int64)
-        elif ts.dtype.kind == "f":  # nullable ints surface as float+NaN
-            ts = np.nan_to_num(ts, nan=0.0).astype(np.int64)
-        else:
-            ts = ts.astype(np.int64)
+        if pa.types.is_floating(tarr.type):
+            # float64 can't represent int64 microsecond epochs exactly
+            # and truncation would silently shift strict comparisons
+            raise ValueError(
+                "funnel needs an integer or timestamp ts column"
+            )
+        # Arrow-side cast + fill keeps int64 exact (a numpy round-trip
+        # of an int64-with-nulls column goes through float64 and
+        # corrupts values beyond 2^53); filled NULLs are masked out of
+        # every candidate set via ts_valid
+        ts = np.asarray(pc.fill_null(pc.cast(tarr, pa.int64()), 0))
         sarr = srt[step_col]
         if isinstance(sarr, pa.ChunkedArray):
             sarr = sarr.combine_chunks()
