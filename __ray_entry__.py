@@ -2398,6 +2398,48 @@ FROM r
 """
 
 
+def _q_sample_weighted_k(sf_dir: str):
+    """Weighted sampling WITHOUT replacement — exactly k=60 documents
+    drawn with Efraimidis–Spirakis probabilities from integer language
+    weights (en 5 / de 2 / es 1 / fr 0 / zh 3), via the min-of-w-hashes
+    key (min-stability makes it exactly E-S for integer weights, with
+    no logs or float comparisons): stages/pack.py:sample_weighted_k.
+    Distributed top-k — per-batch candidates capped at k, driver merges
+    ≤ k × #blocks pairs, zero shuffle."""
+    from validatelite_ray.stages.pack import sample_weighted_k
+
+    langs = pa.array(["en", "de", "es", "fr", "zh"], pa.string())
+    wts = pa.array([5, 2, 1, 0, 3], pa.int64())
+
+    def add_w(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b["lang"], value_set=langs)
+        return b.append_column("w", pc.take(wts, idx))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        add_w, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return sample_weighted_k(ds, "w", 60, id_col="doc_id", seed=7)
+
+
+_SAMPLE_WEIGHTED_K_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         CASE lang WHEN 'en' THEN 5 WHEN 'de' THEN 2 WHEN 'es' THEN 1
+                   WHEN 'fr' THEN 0 WHEN 'zh' THEN 3 ELSE 0 END AS wt
+  FROM documents
+),
+keys AS (
+  SELECT doc_id,
+         MIN(md5_number_lower(CAST(doc_id AS VARCHAR) || chr(31)
+             || CAST(j AS VARCHAR) || chr(31) || 'wk7')) AS key
+  FROM w, UNNEST(generate_series(1, wt)) AS t(j)
+  WHERE wt > 0
+  GROUP BY doc_id
+)
+SELECT doc_id FROM keys ORDER BY key, doc_id LIMIT 60
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2569,6 +2611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_fulfillment": _q_pagerank,
         "histogram_events": _q_histogram_events,
         "spearman_events": _q_spearman_events,
+        "sample_weighted_k_documents": _q_sample_weighted_k,
     }
 
 
@@ -3199,6 +3242,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_events": _FUNNEL_SQL,
         "histogram_events": _HISTOGRAM_SQL,
         "spearman_events": _SPEARMAN_SQL,
+        "sample_weighted_k_documents": _SAMPLE_WEIGHTED_K_SQL,
         "substring_dedup_documents": (
             "WITH toks AS ("
             "  SELECT doc_id, list_filter("

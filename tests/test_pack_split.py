@@ -330,3 +330,55 @@ def test_repeat_mixture_semantics_and_determinism(ray_session):
     # different seed → different extra-copy subset
     c = run(3, seed=10)
     assert not a.equals(c)
+
+
+def test_sample_weighted_k_determinism_and_proportions(ray_session):
+    """sample_weighted_k: exact-k selection, zero-weight exclusion,
+    layout independence, and weight-proportional inclusion across
+    seeds (min-of-w-hashes == integer-weight Efraimidis–Spirakis)."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.pack import sample_weighted_k
+
+    n = 600
+    w = np.ones(n, np.int64)
+    w[:200] = 4          # heavy ids 0..199
+    w[200:220] = 0       # ineligible
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "w": pa.array(w),
+        }
+    )
+
+    def run(par, seed):
+        out = sample_weighted_k(
+            rd.from_arrow(tbl).repartition(par), "w", 50, seed=seed
+        )
+        return list(out["doc_id"].to_pylist())
+
+    a, b = run(3, 1), run(7, 1)
+    assert sorted(a) == sorted(b)          # layout-independent
+    assert len(a) == 50 == len(set(a))     # exactly k distinct
+    assert not (set(a) & set(range(200, 220)))  # zero weights excluded
+
+    # inclusion tracks weight: heavy items are 4x likelier per draw;
+    # over seeds, heavy inclusion rate should clearly exceed light
+    heavy = light = 0
+    for seed in range(8):
+        got = set(run(3, seed))
+        heavy += len(got & set(range(200)))
+        light += len(got & set(range(220, 600)))
+    heavy_rate = heavy / (8 * 200)
+    light_rate = light / (8 * 380)
+    assert heavy_rate > 2.5 * light_rate
+
+    # k larger than the eligible population returns everyone eligible
+    small = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "w": pa.array([1, 0, 2], pa.int64()),
+        }
+    )
+    out = sample_weighted_k(rd.from_arrow(small), "w", 10)
+    assert sorted(out["doc_id"].to_pylist()) == [1, 3]

@@ -450,3 +450,101 @@ def sample_weighted(
         return b.filter(pa.array(h <= thr))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_weighted_k(
+    ds,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+):
+    """Weighted sampling WITHOUT replacement: exactly ``k`` rows (fewer
+    if the eligible population is smaller), drawn with
+    Efraimidis–Spirakis probabilities — at every draw, an item's chance
+    is its weight over the remaining total. Weights are non-negative
+    INTEGERS (cast from the column; NULL/0 → ineligible).
+
+    The trick that keeps it integer-exact and oracle-checkable: an
+    item's sort key is ``min over j=1..w of md5_u64(id ∥ 0x1f ∥ j ∥
+    0x1f ∥ 'wk<seed>')`` — the minimum of ``w`` iid uniforms is
+    min-stable, so taking the global k smallest keys reproduces E-S
+    u^(1/w) sampling EXACTLY for integer weights (P(item wins a draw)
+    = w_i/Σw), with no logarithms and no float comparisons anywhere.
+    DuckDB reproduces the same selection bit-for-bit via
+    ``MIN(md5_number_lower(...)) … QUALIFY ROW_NUMBER() ≤ k``.
+
+    Scale shape: the per-batch kernel expands each row into its ``w``
+    hash candidates VIRTUALLY (repeat + ``minimum.reduceat``, one pass,
+    no row blowup) and keeps only the batch-local k smallest keys, so
+    the driver merges ≤ k × #blocks (id, key) pairs — the classic
+    distributed top-k, zero shuffle. Total weight per row is capped by
+    ``max_weight`` (default 10⁴) to bound the per-batch hash count.
+    Deterministic: pure function of (id, seed), independent of layout.
+    """
+    max_weight = 10_000
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tag = f"wk{int(seed)}"
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        w = pc.fill_null(pc.cast(b[weight_col], pa.int64(), safe=False), 0)
+        wnp = np.clip(np.asarray(w), 0, max_weight)
+        keep = wnp > 0
+        if not keep.any():
+            return pa.table(
+                {
+                    id_col: pa.array([], ids.type),
+                    "__key": pa.array([], pa.uint64()),
+                }
+            )
+        ids_s = pc.cast(ids, pa.string())
+        ids_np = np.asarray(ids_s)[keep]
+        wv = wnp[keep]
+        reps = np.repeat(np.arange(ids_np.size), wv)
+        js = (
+            np.arange(int(wv.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(wv) - wv, wv)
+            + 1
+        )
+        salted = pa.array(
+            [f"{i}\x1f{j}\x1f{tag}" for i, j in zip(ids_np[reps], js)]
+        )
+        h = md5_u64(salted)
+        starts = np.concatenate(([0], np.cumsum(wv)[:-1]))
+        keys = np.minimum.reduceat(h, starts)
+        cand = pa.table(
+            {
+                id_col: pc.take(ids, pa.array(np.flatnonzero(keep))),
+                "__key": pa.array(keys, pa.uint64()),
+            }
+        )
+        # batch-local k smallest by (key, id) — the id tiebreak keeps
+        # the selection deterministic under hash collisions and matches
+        # the SQL ORDER BY key, id (numeric id order, hence Arrow sort)
+        order = pc.sort_indices(
+            cand,
+            sort_keys=[("__key", "ascending"), (id_col, "ascending")],
+        )
+        return cand.take(order.slice(0, min(k, cand.num_rows)))
+
+    parts = [
+        t
+        for t in ds.map_batches(
+            local_topk, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table({id_col: pa.array([], pa.int64())})
+    merged = pa.concat_tables(parts)
+    order = pc.sort_indices(
+        merged,
+        sort_keys=[("__key", "ascending"), (id_col, "ascending")],
+    )
+    return merged.take(order.slice(0, min(k, merged.num_rows))).select(
+        [id_col]
+    )
