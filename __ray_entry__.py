@@ -2440,6 +2440,32 @@ SELECT doc_id FROM keys ORDER BY key, doc_id LIMIT 60
 """
 
 
+def _q_bloom_decontaminate(sf_dir: str):
+    """Bloom-filter decontamination shape: build a compact bitset over
+    the 'benchmark' documents' texts (doc_id % 50 == 0), probe the
+    whole corpus against it — no false negatives by construction, so
+    every true benchmark doc flags; ~fp_rate innocents may flag
+    (rows-only driver check; tests/test_bloom.py pins zero-FN, the
+    measured FP rate, and bit-level determinism)."""
+    from validatelite_ray.stages.bloom import bloom_build, bloom_probe
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda b: b.filter(
+            pc.equal(pc.modulo(b["doc_id"], pa.scalar(50, pa.int64())), 0)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    bloom = bloom_build(bench, "text", n_items=2048, fp_rate=1e-4)
+    out = bloom_probe(docs, "text", bloom, out_col="maybe_benchmark")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "maybe_benchmark"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2612,6 +2638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_events": _q_histogram_events,
         "spearman_events": _q_spearman_events,
         "sample_weighted_k_documents": _q_sample_weighted_k,
+        "bloom_decontaminate_documents": _q_bloom_decontaminate,
     }
 
 

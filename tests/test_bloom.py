@@ -1,0 +1,75 @@
+"""Bloom filter (stages/bloom.py): zero false negatives, measured
+false-positive rate near theory, deterministic bits, blocklist-shaped
+drop mode, and parameter validation."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from validatelite_ray.stages.bloom import BloomFilter, bloom_build, bloom_probe
+
+
+def _docs(prefix: str, n: int) -> pa.Table:
+    return pa.table(
+        {"t": pa.array([f"{prefix}-{i}" for i in range(n)], pa.string())}
+    )
+
+
+def test_bloom_no_false_negatives_and_fp_rate(ray_session):
+    import ray.data as rd
+
+    members = _docs("in", 5000)
+    bloom = bloom_build(
+        rd.from_arrow(members).repartition(6), "t", n_items=5000, fp_rate=0.01
+    )
+    # every member hits
+    out = bloom_probe(rd.from_arrow(members), "t", bloom).to_pandas()
+    assert out["maybe_member"].all()
+    # non-members hit at ~the configured rate (generous bound)
+    others = _docs("out", 20000)
+    fp = bloom_probe(rd.from_arrow(others).repartition(4), "t", bloom).to_pandas()
+    rate = fp["maybe_member"].mean()
+    assert rate < 0.03
+
+    # determinism across layouts
+    bloom2 = bloom_build(
+        rd.from_arrow(members).repartition(2), "t", n_items=5000, fp_rate=0.01
+    )
+    assert np.array_equal(bloom.bits, bloom2.bits) and bloom.k == bloom2.k
+
+
+def test_bloom_drop_members_and_nulls(ray_session):
+    import ray.data as rd
+
+    block = _docs("bad", 200)
+    bloom = bloom_build(rd.from_arrow(block), "t", n_items=200, fp_rate=1e-4)
+    mixed = pa.table(
+        {
+            "t": pa.array(
+                ["bad-0", "bad-199", "good-1", None, "good-2"], pa.string()
+            )
+        }
+    )
+    kept = bloom_probe(
+        rd.from_arrow(mixed), "t", bloom, drop_members=True
+    ).to_pandas()
+    # members dropped; NULL never matches (definitely-not) and is kept
+    assert "bad-0" not in set(kept["t"].dropna())
+    assert "bad-199" not in set(kept["t"].dropna())
+    assert kept["t"].isna().sum() == 1
+    assert {"good-1", "good-2"} <= set(kept["t"].dropna())
+
+
+def test_bloom_merge_and_validation():
+    a = BloomFilter.for_capacity(100, 0.01)
+    b = BloomFilter.for_capacity(100, 0.01)
+    a.bits[0] = np.uint64(1)
+    b.bits[1] = np.uint64(2)
+    m = a.merge(b)
+    assert m.bits[0] == 1 and m.bits[1] == 2
+    with pytest.raises(ValueError, match="mismatched"):
+        a.merge(BloomFilter.for_capacity(10_000_000, 0.001))
+    with pytest.raises(ValueError, match="fp_rate"):
+        BloomFilter.for_capacity(10, 2.0)
+    with pytest.raises(ValueError, match="n_items"):
+        BloomFilter.for_capacity(0, 0.5)

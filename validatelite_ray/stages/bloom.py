@@ -1,0 +1,165 @@
+"""Bloom-filter membership: build a compact probabilistic set over a
+column and probe any dataset against it with ONE broadcast bitset —
+the scale path for blocklists, benchmark decontamination and
+crawl-frontier "seen" checks when the exact set (a hash index or a
+broadcast value set, cf. stages/incremental.py / decontaminate.py) no
+longer fits the task: a 10⁸-item set at 1 % false positives is a
+~120 MB bitset instead of ~800 MB of raw 64-bit hashes, and the probe
+stays a zero-shuffle ``map_batches``.
+
+Classic construction (Bloom 1970) with Kirsch–Mitzenmacher double
+hashing: bit positions are ``(h1 + i·h2) mod m`` for i < k, where
+(h1, h2) are the two independent 64-bit polynomial hashes the dedup
+stages already use (``_token_hashes`` with two bases). ``m`` is
+rounded to a power of two so the mod is a mask. No false negatives
+ever; the false-positive rate is ≈ (1 − e^(−kn/m))^k, and both build
+and probe are deterministic — the same inputs give the same filter
+bits on every run and layout.
+
+Scale shape: the BUILD is a per-batch local bitset (each batch sets
+its items' bits into its own m-bit array) merged on the driver with
+vectorized OR — #blocks × m/8 bytes stream through the driver, no
+shuffle. That holds to ~10⁸-item sets (m/8 ≈ 100–200 MB); beyond
+that, shard the key space and build one filter per shard (the same
+``hash(key) % NB`` partitioning every other operator here uses).
+The PROBE ships the bitset once via ``ray.put`` and tests every batch
+with two vectorized gathers.
+
+Reference parity: none (the reference's membership checks are SQL
+``IN`` subqueries); this is beyond-reference scale tooling like
+stages/incremental.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["BloomFilter", "bloom_build", "bloom_probe"]
+
+#: second polynomial base for the (h1, h2) pair — must differ from the
+#: dedup default; any odd 64-bit constant with good mixing works
+_BASE2 = np.uint64(0x9E3779B97F4A7C55)
+
+
+def _pair_hashes(col) -> tuple[np.ndarray, np.ndarray]:
+    from validatelite_ray.stages.dedup import _token_hashes
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = pc.cast(col, pa.string())
+    h1 = _token_hashes(s)
+    h2 = _token_hashes(s, base=_BASE2)
+    # force h2 odd so the double-hash stride never collapses to 0
+    return h1, h2 | np.uint64(1)
+
+
+class BloomFilter:
+    """Immutable bitset + parameters; construct via :func:`bloom_build`
+    or ``BloomFilter.for_capacity``."""
+
+    def __init__(self, bits: np.ndarray, k: int):
+        if bits.dtype != np.uint64 or (len(bits) & (len(bits) - 1)):
+            raise ValueError("bits must be uint64 with power-of-two length")
+        self.bits = bits
+        self.k = int(k)
+        self.m = len(bits) * 64  # power of two
+
+    @classmethod
+    def for_capacity(cls, n_items: int, fp_rate: float) -> "BloomFilter":
+        """Size m (rounded up to a power of two) and k for ``n_items``
+        at ``fp_rate`` — the textbook m = −n·ln p / ln²2, k = m/n·ln2."""
+        if n_items < 1:
+            raise ValueError("n_items must be >= 1")
+        if not 0.0 < fp_rate < 1.0:
+            raise ValueError("fp_rate must be in (0, 1)")
+        m_req = -n_items * np.log(fp_rate) / (np.log(2.0) ** 2)
+        words = 1 << max(0, int(np.ceil(np.log2(max(m_req, 64) / 64))))
+        m = words * 64
+        k = max(1, int(round(m / n_items * np.log(2.0))))
+        return cls(np.zeros(words, np.uint64), k)
+
+    def _positions(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        i = np.arange(self.k, dtype=np.uint64)
+        return (h1[:, None] + i[None, :] * h2[:, None]) & np.uint64(self.m - 1)
+
+    def add_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        pos = self._positions(h1, h2).ravel()
+        np.bitwise_or.at(
+            self.bits, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+
+    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        pos = self._positions(h1, h2)
+        words = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit = (words >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if self.m != other.m or self.k != other.k:
+            raise ValueError("mismatched bloom parameters")
+        return BloomFilter(self.bits | other.bits, self.k)
+
+
+def bloom_build(ds, col: str, n_items: int, fp_rate: float = 0.01) -> BloomFilter:
+    """Build a BloomFilter over ``col`` (values hashed as strings,
+    NULLs skipped). ``n_items`` sizes the filter — overshoot is safe
+    (lower fp), undershoot degrades fp gracefully. Per-batch local
+    bitsets, driver OR-merge; zero shuffle."""
+    proto = BloomFilter.for_capacity(n_items, fp_rate)
+    words, k = len(proto.bits), proto.k
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = BloomFilter(np.zeros(words, np.uint64), k)
+        v = b[col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        v = v.drop_null()
+        if len(v):
+            f.add_hashes(*_pair_hashes(v))
+        return pa.table({"bits": pa.array([f.bits.tobytes()], pa.binary())})
+
+    acc = np.zeros(words, np.uint64)
+    for t in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for row in range(t.num_rows):
+            acc |= np.frombuffer(t["bits"][row].as_py(), np.uint64)
+    return BloomFilter(acc, k)
+
+
+def bloom_probe(
+    ds,
+    col: str,
+    bloom: BloomFilter,
+    out_col: str = "maybe_member",
+    drop_members: bool = False,
+):
+    """Probe every row's ``col`` against the filter: append a boolean
+    ``out_col`` (True = possibly in the set, False = DEFINITELY not),
+    or with ``drop_members`` filter probable members out (the blocklist
+    shape — false positives drop a ~fp_rate sliver of innocents, never
+    the reverse). Bitset ships once via ``ray.put``; the probe is two
+    vectorized gathers per batch."""
+    import ray
+
+    bits_ref = ray.put(bloom.bits)
+    k, m = bloom.k, bloom.m
+
+    def probe(b: pa.Table) -> pa.Table:
+        f = BloomFilter(ray.get(bits_ref), k)
+        v = b[col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        hit = np.zeros(b.num_rows, bool)
+        valid = ~np.asarray(pc.is_null(v))
+        if valid.any():
+            h1, h2 = _pair_hashes(v.drop_null())
+            hit[valid] = f.contains_hashes(h1, h2)
+        if drop_members:
+            return b.filter(pa.array(~hit))
+        return b.append_column(out_col, pa.array(hit))
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
