@@ -2452,7 +2452,7 @@ def _q_bloom_decontaminate(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     bench = docs.map_batches(
         lambda b: b.filter(
-            pc.equal(pc.modulo(b["doc_id"], pa.scalar(50, pa.int64())), 0)
+            pa.array(np.asarray(b["doc_id"]) % 50 == 0)
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
