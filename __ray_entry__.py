@@ -2466,6 +2466,52 @@ def _q_bloom_decontaminate(sf_dir: str):
     )
 
 
+def _q_group_share_events(sf_dir: str):
+    """Per-row share of its group's total — cents / SUM(cents) OVER
+    (PARTITION BY user_id) — via keyed_windows' whole-partition total
+    (one segment reduceat per bucket); the share divides the same
+    int64s on both sides, so the doubles match bit-for-bit."""
+    from validatelite_ray.stages.rank import keyed_windows
+
+    ds = _with_cents(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    )
+    out = keyed_windows(
+        ds,
+        "user_id",
+        "ts",
+        "event_id",
+        partition_sum=("cents", "user_cents"),
+    )
+
+    def share(b: pa.Table) -> pa.Table:
+        c = np.asarray(pc.fill_null(b["cents"], 0), np.float64)
+        t = np.asarray(pc.fill_null(b["user_cents"], 0), np.float64)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_cents": b["user_cents"],
+                "share": pa.array(c / np.where(t == 0, np.inf, t)),
+            }
+        )
+
+    return out.map_batches(share, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_GROUP_SHARE_SQL = """
+WITH c AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id,
+       CAST(SUM(cents) OVER (PARTITION BY user_id) AS BIGINT)
+           AS user_cents,
+       cents / SUM(cents) OVER (PARTITION BY user_id) AS share
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2639,6 +2685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_events": _q_spearman_events,
         "sample_weighted_k_documents": _q_sample_weighted_k,
         "bloom_decontaminate_documents": _q_bloom_decontaminate,
+        "group_share_events": _q_group_share_events,
     }
 
 
@@ -3270,6 +3317,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram_events": _HISTOGRAM_SQL,
         "spearman_events": _SPEARMAN_SQL,
         "sample_weighted_k_documents": _SAMPLE_WEIGHTED_K_SQL,
+        "group_share_events": _GROUP_SHARE_SQL,
         "substring_dedup_documents": (
             "WITH toks AS ("
             "  SELECT doc_id, list_filter("

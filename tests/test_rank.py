@@ -508,3 +508,34 @@ def test_funnel_large_int64_ts_exact(ray_session):
             "st",
             ["a"],
         ).to_pandas()
+
+
+def test_partition_sum_matches_sql(ray_session):
+    """keyed_windows partition_sum == SUM(x) OVER (PARTITION BY k),
+    skip-NULL with NULL for all-null partitions."""
+    import ray.data as rd
+
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(8, dtype=np.int64)),
+            "k": pa.array([1, 1, 1, 2, 2, 3, 3, 3], pa.int64()),
+            "x": pa.array([1, None, 4, None, None, 2, 2, None], pa.int64()),
+        }
+    )
+    out = (
+        keyed_windows(
+            rd.from_arrow(tbl).repartition(3),
+            "k",
+            "id",
+            "id",
+            partition_sum=("x", "tot"),
+            nb=3,
+        )
+        .to_pandas()
+        .sort_values("id")["tot"]
+        .tolist()
+    )
+    expect = [5, 5, 5, None, None, 4, 4, 4]
+    assert all(
+        (pd.isna(a) and e is None) or a == e for a, e in zip(out, expect)
+    )

@@ -426,12 +426,16 @@ def keyed_windows(
     lag: tuple[str, str] | None = None,
     lead: tuple[str, str] | None = None,
     rolling: list[tuple[str, str, str, int]] | None = None,
+    partition_sum: tuple[str, str] | None = None,
     nb: int | None = None,
 ):
     """Per-key ordered window functions — SQL ``… OVER (PARTITION BY
     key ORDER BY order_col, tiebreak)`` for ROW_NUMBER
     (``row_number``), running skip-NULL SUM (``cum_sum=(src, out)``),
     LAG / LEAD of any column (``lag`` / ``lead`` = (src, out)``), and
+    whole-partition totals ``partition_sum=(src, out)`` = ``SUM(src)
+    OVER (PARTITION BY key)`` (no ORDER BY — e.g. per-group shares as
+    ``x / total``), and
     ROLLING FRAMES ``rolling=[(src, out, agg, window)]`` = ``agg(src)
     OVER (… ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)`` with
     agg ∈ sum/mean/count/min/max (skip-NULL; sum/mean are bit-exact
@@ -501,6 +505,23 @@ def keyed_windows(
             last = np.r_[boundary, True] if n else np.zeros(0, bool)
             idx = pa.array(np.arange(n, dtype=np.int64) + 1, mask=last)
             out = out.append_column(dst, pc.take(_combine(srt[src]), idx))
+        if partition_sum:
+            src, dst = partition_sum
+            v = _combine(srt[src])
+            valid = ~np.asarray(pc.is_null(v))
+            is_int = pa.types.is_integer(v.type)
+            filled = np.asarray(
+                pc.fill_null(pc.cast(v, pa.int64() if is_int else pa.float64()), 0)
+            )
+            if n:
+                seg_sum = np.add.reduceat(filled, starts)
+                seg_cnt = np.add.reduceat(valid.astype(np.int64), starts)
+                tot = np.repeat(seg_sum, seg_len)
+                cnt_r = np.repeat(seg_cnt, seg_len)
+            else:
+                tot = filled
+                cnt_r = np.zeros(0, np.int64)
+            out = out.append_column(dst, pa.array(tot, mask=(cnt_r == 0)))
         for src, dst, agg, w in rolling or ():
             pos = np.arange(n, dtype=np.int64)
             ws = np.maximum(pos - (int(w) - 1), start_rep)
