@@ -2512,6 +2512,30 @@ FROM c
 """
 
 
+def _q_winsorize_events(sf_dir: str):
+    """Quantile winsorization: clamp event values into the exact
+    [p05, p95] discrete-quantile range (stages/sample.py:winsorize —
+    one quantile pass + a vectorized clamp, no shuffle; clamping
+    selects among existing doubles so the DuckDB GREATEST/LEAST +
+    quantile_disc oracle matches bit-for-bit)."""
+    from validatelite_ray.stages.sample import winsorize
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return winsorize(ds, "value", 0.05, 0.95, out_col="value_w", eps=1e-7)
+
+
+_WINSORIZE_SQL = """
+WITH t AS (
+  SELECT quantile_disc(value, 0.05) AS lo,
+         quantile_disc(value, 0.95) AS hi
+  FROM events
+)
+SELECT event_id, value,
+       GREATEST(LEAST(value, t.hi), t.lo) AS value_w
+FROM events, t
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2686,6 +2710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_weighted_k_documents": _q_sample_weighted_k,
         "bloom_decontaminate_documents": _q_bloom_decontaminate,
         "group_share_events": _q_group_share_events,
+        "winsorize_events": _q_winsorize_events,
     }
 
 
@@ -3318,6 +3343,7 @@ def oracle_sql() -> dict[str, str]:
         "spearman_events": _SPEARMAN_SQL,
         "sample_weighted_k_documents": _SAMPLE_WEIGHTED_K_SQL,
         "group_share_events": _GROUP_SHARE_SQL,
+        "winsorize_events": _WINSORIZE_SQL,
         "substring_dedup_documents": (
             "WITH toks AS ("
             "  SELECT doc_id, list_filter("

@@ -445,3 +445,27 @@ class TestNormalize:
         for method in ("zscore", "minmax"):
             out = normalize_column(ds, "v", method=method).take_all()
             assert [r["v_norm"] for r in out] == [None, None, None]
+
+
+def test_winsorize_nulls_and_bounds(ray_session):
+    """winsorize: NULL stays NULL (skip_nulls=False clamp), values
+    clamp to the exact discrete quantiles, row count preserved,
+    in-place column replacement works."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from validatelite_ray.stages.sample import winsorize
+
+    vals = list(np.arange(100, dtype=np.float64)) + [None]
+    tbl = pa.table({"v": pa.array(vals, pa.float64())})
+    ds = rd.from_arrow(tbl).repartition(4)
+    out = winsorize(ds, "v", 0.10, 0.90, eps=1e-9).to_pandas()
+    got = out["v"]
+    assert len(got) == 101
+    assert got.isna().sum() == 1
+    clean = got.dropna()
+    # lower discrete quantiles of 0..99 at p10/p90
+    assert clean.min() == 9.0 and clean.max() == 89.0
+    assert (clean[(clean > 9) & (clean < 89)].to_numpy()
+            == np.arange(10, 89)).all()

@@ -1002,3 +1002,44 @@ def histogram(
             "n": pa.array(counts),
         }
     )
+
+
+def winsorize(
+    ds,
+    col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    out_col: str | None = None,
+    eps: float = 1e-7,
+):
+    """Quantile winsorization: clamp ``col`` into the corpus
+    [lo_q, hi_q] discrete-quantile range — the outlier-taming step of a
+    feature/metrics pipeline (keeps row count, unlike
+    :func:`filter_by_quantile`). NULLs stay NULL.
+
+    Two streaming passes, no shuffle: ONE ``approx_quantiles`` pass
+    yields both thresholds (eps → 0 = the exact lower discrete
+    quantiles, DuckDB ``quantile_disc`` parity), then a vectorized
+    min/max clamp with the scalars closed over. Clamping selects among
+    already-present values, so the output is bit-exact against the SQL
+    ``GREATEST(LEAST(col, hi), lo)`` oracle. ``ds`` is consumed twice —
+    pass a re-readable dataset."""
+    if not 0.0 <= lo_q <= hi_q <= 1.0:
+        raise ValueError("need 0 <= lo_q <= hi_q <= 1")
+    out_col = out_col or col
+    thr = approx_quantiles(ds, [col], [lo_q, hi_q], eps=eps)
+    lo_v, hi_v = thr["value"].to_pylist()
+
+    def clamp(b: pa.Table) -> pa.Table:
+        v = b[col]
+        if lo_v is not None:
+            # skip_nulls=False: NULL must stay NULL (the default would
+            # resurrect nulls as the clamp bound)
+            v = pc.max_element_wise(v, lo_v, skip_nulls=False)
+            v = pc.min_element_wise(v, hi_v, skip_nulls=False)
+        if out_col in b.column_names:
+            i = b.column_names.index(out_col)
+            return b.set_column(i, out_col, pc.cast(v, b.schema.field(i).type))
+        return b.append_column(out_col, v)
+
+    return ds.map_batches(clamp, batch_format="pyarrow", zero_copy_batch=True)
