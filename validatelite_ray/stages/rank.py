@@ -51,6 +51,7 @@ __all__ = [
     "select_token_budget",
     "shuffle_positions",
     "keyed_windows",
+    "spearman_corr",
 ]
 
 
