@@ -2536,6 +2536,95 @@ FROM events, t
 """
 
 
+def _q_top_types_per_user(sf_dir: str):
+    """Grouped heavy hitters — each user's top-2 event types by count
+    (ties broken alphabetically): the composition of the coarse-bucket
+    grouped count (stages/dedup.py:bucketed_group_agg) with the
+    bucketed top-n kernel (stages/sample.py:top_n_per_group); two
+    int32-keyed exchanges total, no per-key Python."""
+    from validatelite_ray.stages.dedup import add_key_bucket, bucketed_group_agg
+    from validatelite_ray.stages.sample import top_n_per_group
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    nb = 32
+
+    def pre(b: pa.Table) -> pa.Table:
+        t = b.append_column("n", pa.array(np.ones(b.num_rows, np.int64)))
+        p = t.group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+        p = pa.table(
+            {
+                "user_id": p["user_id"],
+                "event_type": p["event_type"],
+                "n": p["n_sum"],
+            }
+        )
+        return add_key_bucket(p, ["user_id", "event_type"], nb)
+
+    counts = bucketed_group_agg(
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "event_type"],
+        [("n", "sum")],
+        rename={"n_sum": "n"},
+    )
+    return top_n_per_group(
+        counts, "user_id", ["n", "event_type"], 2, ascending=[False, True]
+    ).map_batches(
+        lambda b: b.select(["user_id", "event_type", "n"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+_TOP_TYPES_SQL = """
+SELECT user_id, event_type, n FROM (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY user_id ORDER BY n DESC, event_type
+) <= 2
+"""
+
+
+def _q_fuzzy_part_names(sf_dir: str):
+    """Fuzzy self-join: all pairs of DISTINCT part names within
+    Levenshtein distance 2 (stages/fuzzy.py:edit_distance_join —
+    symmetric-delete blocking with rolling-hash deletion variants, one
+    coarse-bucket candidate exchange, vectorized Wagner–Fischer
+    verify). Dedup-to-distinct first is the scale-correct shape for
+    heavily duplicated name columns; ids are each name's min partkey so
+    the DuckDB cross-join oracle reproduces the exact pairs."""
+    from validatelite_ray.stages.dedup import add_key_bucket, bucketed_group_agg
+    from validatelite_ray.stages.fuzzy import edit_distance_join
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    nb = 16
+
+    def pre(b: pa.Table) -> pa.Table:
+        p = b.group_by("p_name").aggregate([("p_partkey", "min")])
+        p = pa.table({"p_name": p["p_name"], "id": p["p_partkey_min"]})
+        return add_key_bucket(p, "p_name", nb)
+
+    distinct = bucketed_group_agg(
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        "p_name",
+        [("id", "min")],
+        rename={"id_min": "id"},
+    )
+    return edit_distance_join(distinct, "id", "p_name", max_distance=2)
+
+
+_FUZZY_PARTS_SQL = """
+WITH d AS (
+  SELECT p_name, MIN(p_partkey) AS id FROM part GROUP BY p_name
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM d a, d b
+WHERE a.id < b.id AND levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2711,6 +2800,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_decontaminate_documents": _q_bloom_decontaminate,
         "group_share_events": _q_group_share_events,
         "winsorize_events": _q_winsorize_events,
+        "top_types_per_user": _q_top_types_per_user,
+        "fuzzy_join_part_names": _q_fuzzy_part_names,
     }
 
 
@@ -3344,6 +3435,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_weighted_k_documents": _SAMPLE_WEIGHTED_K_SQL,
         "group_share_events": _GROUP_SHARE_SQL,
         "winsorize_events": _WINSORIZE_SQL,
+        "top_types_per_user": _TOP_TYPES_SQL,
+        "fuzzy_join_part_names": _FUZZY_PARTS_SQL,
         "substring_dedup_documents": (
             "WITH toks AS ("
             "  SELECT doc_id, list_filter("

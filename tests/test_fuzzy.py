@@ -1,0 +1,92 @@
+"""Edit-distance join (stages/fuzzy.py): exact parity with a DuckDB
+levenshtein cross join, the vectorized DP kernel vs DuckDB on random
+pairs, symmetric-delete recall, duplicates, NULLs, and guards."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from validatelite_ray.stages.fuzzy import edit_distance_join, levenshtein_leq
+
+
+def test_levenshtein_kernel_matches_duckdb():
+    rng = np.random.default_rng(0)
+
+    def word():
+        return "".join(
+            chr(97 + c) for c in rng.integers(0, 4, rng.integers(0, 12))
+        )
+
+    a = [word() for _ in range(2000)]
+    b = [word() for _ in range(2000)]
+    got = levenshtein_leq(pa.array(a, pa.string()), pa.array(b, pa.string()), 2)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"a": a, "b": b}))
+    exp = np.array(
+        [r[0] for r in con.execute("SELECT levenshtein(a,b) FROM t").fetchall()]
+    )
+    assert (got == exp).all()
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_edit_distance_join_matches_cross_join(ray_session, d):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    words = ["ring", "bolt", "gear", "widget", "gizmo", "plate"]
+    adjs = ["red", "blue", "hot", "small", ""]
+    names = []
+    for _ in range(400):
+        s = (adjs[rng.integers(0, 5)] + " " + words[rng.integers(0, 6)]).strip()
+        if rng.random() < 0.4:
+            pos = rng.integers(0, len(s))
+            s = s[:pos] + s[pos + 1 :]
+        names.append(s)
+    names[7] = None  # NULL text joins nothing
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(400, dtype=np.int64)),
+            "t": pa.array(names, pa.string()),
+        }
+    )
+    out = (
+        edit_distance_join(
+            rd.from_arrow(tbl).repartition(4),
+            "id",
+            "t",
+            max_distance=d,
+            nb=7,
+            max_candidates_per_variant=10_000,
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    exp = con.execute(
+        f"""
+        SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.t, b.t) AS dist
+        FROM t a, t b
+        WHERE a.id < b.id AND a.t IS NOT NULL AND b.t IS NOT NULL
+          AND levenshtein(a.t, b.t) <= {d}
+        ORDER BY id_a, id_b
+        """
+    ).df()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_edit_distance_join_guards(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table(
+        {"id": pa.array([1], pa.int64()), "t": pa.array(["x" * 100], pa.string())}
+    )
+    with pytest.raises(ValueError, match="max_distance"):
+        edit_distance_join(rd.from_arrow(tbl), "id", "t", max_distance=3)
+    with pytest.raises(Exception, match="short strings"):
+        edit_distance_join(
+            rd.from_arrow(tbl), "id", "t", max_distance=2
+        ).to_pandas()

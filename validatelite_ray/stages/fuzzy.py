@@ -1,0 +1,281 @@
+"""Fuzzy string matching: edit-distance self-join over short text
+columns (names, titles, product labels) — all pairs within Levenshtein
+distance ``d``, the fuzzy-dedup step exact hashing can't do.
+
+Blocking is the symmetric-delete scheme (SymSpell, Garbe — public
+algorithm): if ``ed(s, t) ≤ d`` then deleting ≤ d characters from each
+side reaches a common string, so two strings can only match if they
+share a deletion variant. Every row emits its ≤ ``1 + L + L(L−1)/2``
+(d = 2) variant keys — computed as 64-bit POLYNOMIAL HASHES from
+prefix-hash arrays (one vectorized pass builds prefixes; each variant
+is two or three gathered multiply-adds), so no variant string is ever
+materialized. Hash collisions only ADD candidates (equal strings
+always hash equal); the exact verify removes them.
+
+Physical plan: variant keys → ONE ``hash % NB`` coarse-bucket
+exchange → per bucket, sorted runs over the variant hash expand to
+candidate pairs (``_pairs_within_runs`` with the hot-variant cap) →
+pair-level dedup on a second coarse bucket → a VECTORIZED
+Wagner–Fischer verify (DP rows advance over one string's characters;
+the left-neighbor dependency resolves with the classic
+``j + cummin(tmp − j)`` prefix-min trick, so the whole batch of pairs
+is one (pairs × L) matrix per character step). Length filter
+(|len(a) − len(b)| ≤ d) prunes before anything ships.
+
+Scale notes: shuffle volume is ~variants × (hash + id + text) — built
+for SHORT strings (``max_len`` guard, default 64; a document column
+belongs in minhash/simhash land, stages/dedup.py). Hot variants (a
+common short substring) are capped per run like every blocking scheme
+here. Reference parity: none (the reference's closest surface is
+LIKE/regex pushdown); beyond-reference fuzzy tooling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["edit_distance_join", "levenshtein_leq"]
+
+_B = np.uint64(1099511628211)  # FNV-ish odd multiplier for the poly hash
+
+
+def _pad_bytes(texts: pa.Array, max_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """(rows × max_len uint64 byte matrix, lengths) for a string array;
+    raises on strings longer than ``max_len``."""
+    from validatelite_ray.stages.text import _utf8_buffer
+
+    data, offsets = _utf8_buffer(texts)
+    lens = np.diff(offsets)
+    if lens.size and int(lens.max()) > max_len:
+        raise ValueError(
+            f"edit_distance_join is for short strings (≤ {max_len} bytes); "
+            "use minhash/simhash for documents"
+        )
+    n = lens.size
+    mat = np.zeros((n, max_len), np.uint64)
+    if n:
+        idx = np.arange(max_len)[None, :]
+        mask = idx < lens[:, None]
+        flat = np.zeros((n, max_len), np.uint8)
+        flat[mask] = data
+        mat[:] = flat
+    return mat, lens.astype(np.int64)
+
+
+def _variant_hashes(mat: np.ndarray, lens: np.ndarray, d: int):
+    """All ≤ d-deletion variant hashes per row → (row_idx, hash) flat
+    arrays. Poly hash H(s) = Σ s[i]·B^(L−1−i) mod 2⁶⁴; a deletion
+    variant is assembled from prefix hashes with two gathers."""
+    n, maxlen = mat.shape
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    # uint64 wraparound IS the mod-2^64 polynomial hash
+    with np.errstate(over="ignore"):
+        powers = np.empty(maxlen + 1, np.uint64)
+        powers[0] = np.uint64(1)
+        for k in range(1, maxlen + 1):
+            powers[k] = powers[k - 1] * _B
+        # pre[:, l] = hash of the first l bytes
+        pre = np.zeros((n, maxlen + 1), np.uint64)
+        for l in range(1, maxlen + 1):
+            pre[:, l] = pre[:, l - 1] * _B + mat[:, l - 1]
+    rows_i = np.arange(n, dtype=np.int64)
+    full = pre[rows_i, lens]
+    out_rows = [rows_i]
+    out_hash = [full]
+    if d >= 1:
+        for i in range(maxlen):
+            m = lens > i
+            if not m.any():
+                break
+            sel = rows_i[m]
+            ls = lens[m]
+            # delete position i: prefix s[0:i) shifted over the
+            # remaining suffix s[i+1:L)
+            suffix = pre[sel, ls] - pre[sel, i + 1] * powers[ls - i - 1]
+            out_rows.append(sel)
+            out_hash.append(pre[sel, i] * powers[ls - 1 - i] + suffix)
+    if d >= 2:
+        for i in range(maxlen):
+            for j in range(i + 1, maxlen):
+                m = lens > j
+                if not m.any():
+                    break
+                sel = rows_i[m]
+                lj = lens[m]
+                a = pre[sel, i] * powers[lj - 2 - i]
+                mid = pre[sel, j] - pre[sel, i + 1] * powers[j - i - 1]
+                b = mid * powers[lj - 1 - j]
+                c = pre[sel, lj] - pre[sel, j + 1] * powers[lj - j - 1]
+                out_rows.append(sel)
+                out_hash.append(a + b + c)
+    return np.concatenate(out_rows), np.concatenate(out_hash)
+
+
+def levenshtein_leq(
+    a: pa.Array, b: pa.Array, d: int, max_len: int = 64
+) -> np.ndarray:
+    """Vectorized exact Levenshtein distances for paired string arrays
+    (returns int64 distances; compare ≤ d yourself). One DP-row update
+    per character of ``a`` across ALL pairs at once; the in-row
+    dependency is the prefix-min identity new[j] = j + cummin(tmp − j).
+    O(max(len) × pairs × max(len)) word ops — built for short strings.
+    """
+    am, al = _pad_bytes(a, max_len)
+    bm, bl = _pad_bytes(b, max_len)
+    n = al.size
+    if n == 0:
+        return np.empty(0, np.int64)
+    L = int(max(al.max(initial=0), bl.max(initial=0)))
+    big = np.int64(1 << 30)
+    cols = np.arange(L + 1, dtype=np.int64)
+    prev = np.broadcast_to(cols, (n, L + 1)).copy()
+    for i in range(1, L + 1):
+        active = al >= i
+        if not active.any():
+            break
+        cost = (am[:, i - 1 : i] != bm[:, :L]).astype(np.int64)
+        tmp = np.empty((n, L + 1), np.int64)
+        tmp[:, 0] = i
+        tmp[:, 1:] = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost)
+        new = cols + np.minimum.accumulate(tmp - cols, axis=1)
+        prev[active] = new[active]
+    # positions beyond each b's real length were compared against the
+    # zero pad — gather the true answer at column len(b)
+    return prev[np.arange(n), bl]
+
+
+def edit_distance_join(
+    ds,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 2,
+    nb: int | None = None,
+    max_len: int = 64,
+    max_candidates_per_variant: int = 256,
+):
+    """Self-join: Dataset of (id_a, id_b, dist) with id_a < id_b and
+    ``levenshtein(text_a, text_b) ≤ max_distance`` (NULL texts join
+    nothing). ``max_distance`` ∈ {1, 2}."""
+    from validatelite_ray.stages.dedup import (
+        _pairs_within_runs,
+        _runs,
+        coarse_bucket_count,
+    )
+
+    if max_distance not in (1, 2):
+        raise ValueError("max_distance must be 1 or 2")
+    if nb is None:
+        nb = coarse_bucket_count(ds)
+
+    def variants(b: pa.Table) -> pa.Table:
+        t = b.select([id_col, text_col]).drop_null()
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        mat, lens = _pad_bytes(texts, max_len)
+        rows, hashes = _variant_hashes(mat, lens, max_distance)
+        ids = np.asarray(t[id_col])[rows]
+        return pa.table(
+            {
+                "h": pa.array(hashes),
+                "vid": pa.array(ids),
+                "vtext": pc.take(texts, pa.array(rows)),
+                "vlen": pa.array(lens[rows]),
+                "__fz": pa.array(
+                    (hashes % np.uint64(nb)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def expand(g: pa.Table) -> pa.Table:
+        h = np.asarray(g["h"])
+        order = np.argsort(h, kind="stable")
+        h = h[order]
+        ids = np.asarray(g["vid"])[order]
+        texts = pc.take(
+            g["vtext"].combine_chunks()
+            if isinstance(g["vtext"], pa.ChunkedArray)
+            else g["vtext"],
+            pa.array(order),
+        )
+        lens = np.asarray(g["vlen"])[order]
+        starts, rl = _runs(h)
+        iu, iv = _pairs_within_runs(starts, rl, all_pairs_max=max_candidates_per_variant)
+        if iu.size == 0:
+            return pa.table(
+                {
+                    "ida": pa.array([], pa.int64()),
+                    "idb": pa.array([], pa.int64()),
+                    "ta": pa.array([], pa.string()),
+                    "tb": pa.array([], pa.string()),
+                    "__pb": pa.array([], pa.int32()),
+                }
+            )
+        a_id, b_id = ids[iu], ids[iv]
+        swap = a_id > b_id
+        iu2 = np.where(swap, iv, iu)
+        iv2 = np.where(swap, iu, iv)
+        a_id, b_id = ids[iu2], ids[iv2]
+        keep = (a_id != b_id) & (np.abs(lens[iu2] - lens[iv2]) <= max_distance)
+        iu2, iv2, a_id, b_id = iu2[keep], iv2[keep], a_id[keep], b_id[keep]
+        # within-bucket pair dedupe (the same variant repeats)
+        o = np.lexsort((b_id, a_id))
+        a_id, b_id, iu2, iv2 = a_id[o], b_id[o], iu2[o], iv2[o]
+        first = np.r_[True, (a_id[1:] != a_id[:-1]) | (b_id[1:] != b_id[:-1])]
+        a_id, b_id, iu2, iv2 = a_id[first], b_id[first], iu2[first], iv2[first]
+        pb = (
+            (a_id.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             + b_id.astype(np.uint64)) % np.uint64(nb)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "ida": pa.array(a_id),
+                "idb": pa.array(b_id),
+                "ta": pc.take(texts, pa.array(iu2)),
+                "tb": pc.take(texts, pa.array(iv2)),
+                "__pb": pa.array(pb, pa.int32()),
+            }
+        )
+
+    def verify(g: pa.Table) -> pa.Table:
+        # global pair dedupe (same pair found in several hash buckets)
+        a_id = np.asarray(g["ida"])
+        b_id = np.asarray(g["idb"])
+        o = np.lexsort((b_id, a_id))
+        first = np.ones(o.size, bool)
+        if o.size > 1:
+            first[1:] = (a_id[o][1:] != a_id[o][:-1]) | (
+                b_id[o][1:] != b_id[o][:-1]
+            )
+        sel = pa.array(o[first])
+        ta = pc.take(
+            g["ta"].combine_chunks()
+            if isinstance(g["ta"], pa.ChunkedArray)
+            else g["ta"],
+            sel,
+        )
+        tb = pc.take(
+            g["tb"].combine_chunks()
+            if isinstance(g["tb"], pa.ChunkedArray)
+            else g["tb"],
+            sel,
+        )
+        dist = levenshtein_leq(ta, tb, max_distance, max_len)
+        ok = dist <= max_distance
+        return pa.table(
+            {
+                "id_a": pa.array(a_id[o][first][ok]),
+                "id_b": pa.array(b_id[o][first][ok]),
+                "dist": pa.array(dist[ok]),
+            }
+        )
+
+    cand = (
+        ds.map_batches(variants, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__fz")
+        .map_groups(expand, batch_format="pyarrow")
+    )
+    return cand.groupby("__pb").map_groups(verify, batch_format="pyarrow")
