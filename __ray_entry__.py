@@ -2625,6 +2625,67 @@ WHERE a.id < b.id AND levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
+def _q_grouped_ols_events(sf_dir: str):
+    """Per-user OLS trend of spend over time — slope/intercept of
+    cents ~ rebased epoch-seconds (stages/sample.py:grouped_ols): one
+    pass of integer partial sums (n, Σx, Σy, Σxy, Σx²) through the
+    coarse-bucket reduce; the closed forms evaluate identical float
+    expressions from identical exact integers on both sides."""
+    from validatelite_ray.stages.sample import grouped_ols
+
+    def pre(b: pa.Table) -> pa.Table:
+        x = np.asarray(pc.fill_null(pc.cast(b["ts"], pa.int64()), 0))
+        x = x // 1_000_000 - 1_700_000_000
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "x": pa.array(x, mask=np.asarray(pc.is_null(b["ts"]))),
+                "y": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        pre, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_ols(ds, "user_id", "x", "y")
+
+
+_GROUPED_OLS_SQL = """
+WITH c AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000000 - 1700000000 AS x,
+         CAST(round(value * 100) AS BIGINT)   AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+s AS (
+  SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM c GROUP BY user_id
+)
+SELECT user_id, n,
+       CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       END AS slope,
+       CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+            THEN (CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE)
+       END AS intercept
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2802,6 +2863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_events": _q_winsorize_events,
         "top_types_per_user": _q_top_types_per_user,
         "fuzzy_join_part_names": _q_fuzzy_part_names,
+        "grouped_ols_events": _q_grouped_ols_events,
     }
 
 
@@ -3437,6 +3499,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorize_events": _WINSORIZE_SQL,
         "top_types_per_user": _TOP_TYPES_SQL,
         "fuzzy_join_part_names": _FUZZY_PARTS_SQL,
+        "grouped_ols_events": _GROUPED_OLS_SQL,
         "substring_dedup_documents": (
             "WITH toks AS ("
             "  SELECT doc_id, list_filter("

@@ -469,3 +469,52 @@ def test_winsorize_nulls_and_bounds(ray_session):
     assert clean.min() == 9.0 and clean.max() == 89.0
     assert (clean[(clean > 9) & (clean < 89)].to_numpy()
             == np.arange(10, 89)).all()
+
+
+def test_grouped_ols_matches_numpy_polyfit(ray_session):
+    """grouped_ols vs numpy lstsq per group; NULL pairwise exclusion;
+    degenerate groups (n<2, zero variance) report NULL."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from validatelite_ray.stages.sample import grouped_ols
+
+    rng = np.random.default_rng(9)
+    n = 500
+    k = rng.integers(0, 10, n)
+    x = rng.integers(-100, 100, n)
+    y = 3 * x + rng.integers(-20, 20, n) + 10 * k
+    xs = x.astype(object); xs[::17] = None
+    tbl = pa.table(
+        {
+            "k": pa.array(k, pa.int64()),
+            "x": pa.array(list(xs), pa.int64()),
+            "y": pa.array(y, pa.int64()),
+        }
+    )
+    # degenerate groups: single point (k=98), zero x-variance (k=99)
+    extra = pa.table(
+        {
+            "k": pa.array([98, 99, 99], pa.int64()),
+            "x": pa.array([5, 7, 7], pa.int64()),
+            "y": pa.array([1, 2, 9], pa.int64()),
+        }
+    )
+    full = pa.concat_tables([tbl, extra])
+    out = (
+        grouped_ols(rd.from_arrow(full).repartition(4), "k", "x", "y")
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    import pandas as pd
+
+    assert pd.isna(out.loc[98, "slope"]) and pd.isna(out.loc[99, "slope"])
+    for g in range(10):
+        m = (k == g) & (xs != None)  # noqa: E711
+        X = np.stack([x[m], np.ones(m.sum())], axis=1).astype(float)
+        coef, *_ = np.linalg.lstsq(X, y[m].astype(float), rcond=None)
+        assert abs(out.loc[g, "slope"] - coef[0]) < 1e-9
+        assert abs(out.loc[g, "intercept"] - coef[1]) < 1e-7
+        assert out.loc[g, "n"] == m.sum()

@@ -1043,3 +1043,91 @@ def winsorize(
         return b.append_column(out_col, v)
 
     return ds.map_batches(clamp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_ols(
+    ds,
+    key: str,
+    x_col: str,
+    y_col: str,
+    slope: str = "slope",
+    intercept: str = "intercept",
+):
+    """Per-group ordinary-least-squares fit of ``y ~ x`` (both INTEGER
+    columns — the caller scales floats to a fixed-point grid first,
+    e.g. cents and epoch-seconds, which is what keeps the statistic
+    reproducible): one pass of per-batch partial sums (n, Σx, Σy, Σxy,
+    Σx²) through the coarse-bucket reduce, then the closed forms
+
+        slope     = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+
+    evaluated from the EXACT integer sums — a SQL oracle computing the
+    same expressions from CAST(SUM(...)) matches bit-for-bit (the only
+    float ops are the final divisions of identical integers). Rows
+    with a NULL in either column are excluded pairwise (SQL regr_*
+    semantics); groups with n < 2 or zero x-variance report NULL
+    slope/intercept. Caller must keep |Σx²| within int64 — e.g.
+    month-scale epoch-seconds and cent-scale values hold to ~10⁵ rows
+    per group; rebase x (subtract a constant) to win headroom."""
+    from validatelite_ray.stages.dedup import (
+        add_key_bucket,
+        bucketed_group_agg,
+        coarse_bucket_count,
+    )
+
+    nb = coarse_bucket_count(ds)
+
+    def pre(b: pa.Table) -> pa.Table:
+        both = pc.and_(pc.is_valid(b[x_col]), pc.is_valid(b[y_col]))
+        t = b.filter(both)
+        x = np.asarray(pc.cast(t[x_col], pa.int64()))
+        y = np.asarray(pc.cast(t[y_col], pa.int64()))
+        p = pa.table(
+            {
+                key: t[key],
+                "n": pa.array(np.ones(x.size, np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+            }
+        )
+        p = p.group_by(key).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx")]
+        )
+        p = pa.table(
+            {
+                key: p[key],
+                **{c: p[f"{c}_sum"] for c in ("n", "sx", "sy", "sxy", "sxx")},
+            }
+        )
+        return add_key_bucket(p, key, nb)
+
+    agg = bucketed_group_agg(
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        key,
+        [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx")],
+        rename={f"{c}_sum": c for c in ("n", "sx", "sy", "sxy", "sxx")},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n"], np.float64)
+        sx = np.asarray(b["sx"], np.float64)
+        sy = np.asarray(b["sy"], np.float64)
+        sxy = np.asarray(b["sxy"], np.float64)
+        sxx = np.asarray(b["sxx"], np.float64)
+        denom = n * sxx - sx * sx
+        ok = (n >= 2) & (denom != 0)
+        sl = np.where(ok, (n * sxy - sx * sy) / np.where(ok, denom, 1.0), 0.0)
+        ic = np.where(ok, (sy - sl * sx) / n, 0.0)
+        return pa.table(
+            {
+                key: b[key],
+                "n": b["n"],
+                slope: pa.array(sl, mask=~ok),
+                intercept: pa.array(ic, mask=~ok),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
