@@ -2686,6 +2686,44 @@ FROM s
 """
 
 
+def _q_ohlc_events(sf_dir: str):
+    """Hourly OHLC bars per event type (stages/windows.py:
+    resample_ohlc): window index joins the coarse-bucket key, each
+    bucket sorts once and resolves all bars with segment kernels
+    (firsts at run starts, closes at ends, min/max reduceat). Open and
+    close are SELECTIONS of existing doubles, so the DuckDB
+    FIRST/LAST(… ORDER BY ts, event_id) oracle matches exactly."""
+    from validatelite_ray.stages.windows import resample_ohlc
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+    return resample_ohlc(
+        ds,
+        "ts",
+        "value",
+        3_600_000_000,
+        "event_id",
+        key="event_type",
+    )
+
+
+_OHLC_SQL = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS win,
+         ts, event_id, value
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+    AND event_type IS NOT NULL AND event_id IS NOT NULL
+)
+SELECT event_type, win,
+       FIRST(value ORDER BY ts, event_id) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       LAST(value ORDER BY ts, event_id) AS close,
+       COUNT(*) AS n
+FROM c GROUP BY event_type, win
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2864,6 +2902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_types_per_user": _q_top_types_per_user,
         "fuzzy_join_part_names": _q_fuzzy_part_names,
         "grouped_ols_events": _q_grouped_ols_events,
+        "ohlc_events": _q_ohlc_events,
     }
 
 
@@ -3500,6 +3539,7 @@ def oracle_sql() -> dict[str, str]:
         "top_types_per_user": _TOP_TYPES_SQL,
         "fuzzy_join_part_names": _FUZZY_PARTS_SQL,
         "grouped_ols_events": _GROUPED_OLS_SQL,
+        "ohlc_events": _OHLC_SQL,
         "substring_dedup_documents": (
             "WITH toks AS ("
             "  SELECT doc_id, list_filter("

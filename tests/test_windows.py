@@ -286,3 +286,61 @@ def test_funnel_matches_duckdb_chain(ray_session):
     )
     exp.columns = ["k", "t1", "t2", "t3", "steps_completed"]
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_resample_ohlc_matches_duckdb(ray_session):
+    """resample_ohlc vs DuckDB FIRST/LAST ordered aggregates — keyed
+    and keyless, NULL exclusion, single-row windows."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from validatelite_ray.stages.windows import resample_ohlc
+
+    rng = np.random.default_rng(13)
+    n = 700
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "k": pa.array(
+                list(np.array(["a", "b", None], dtype=object)[
+                    rng.integers(0, 3, n)
+                ]),
+                pa.string(),
+            ),
+            "ts": pa.array(rng.integers(0, 10_000, n).astype(np.int64)),
+            "v": pa.array(
+                [None if i % 31 == 0 else float(x) for i, x in
+                 enumerate(rng.normal(size=n))],
+                pa.float64(),
+            ),
+        }
+    )
+    out = (
+        resample_ohlc(
+            rd.from_arrow(tbl).repartition(4), "ts", "v", 1000, "id", key="k"
+        )
+        .to_pandas()
+        .sort_values(["k", "win"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    exp = (
+        con.execute(
+            """
+            SELECT k, ts // 1000 AS win,
+                   FIRST(v ORDER BY ts, id) AS open,
+                   MAX(v) AS high, MIN(v) AS low,
+                   LAST(v ORDER BY ts, id) AS close,
+                   COUNT(*) AS n
+            FROM t WHERE k IS NOT NULL AND v IS NOT NULL
+            GROUP BY k, win ORDER BY k, win
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)

@@ -314,3 +314,92 @@ def funnel(
         zero_copy_batch=True,
     )
     return pre.groupby("__fb").map_groups(finish, batch_format="pyarrow")
+
+
+def resample_ohlc(
+    ds,
+    ts_col: str,
+    value_col: str,
+    width_us: int,
+    tiebreak: str,
+    key: str | None = None,
+):
+    """Time-series downsampling to OHLC bars: per tumbling window of
+    ``width_us`` microseconds (and per ``key``, if given) emit
+    open / high / low / close / n where open and close are the value
+    at the earliest / latest (ts, tiebreak) — selections, not sums, so
+    doubles pass through bit-exact and a DuckDB
+    ``FIRST(v ORDER BY ts, id)`` oracle matches.
+
+    Physical plan: the window index ``ts // width`` becomes part of
+    the coarse-bucket key (ONE int32 exchange); each bucket sorts once
+    by (key, window, ts, tiebreak) and resolves ALL of its bars with
+    segment kernels — firsts at run starts, closes at run ends,
+    min/max via ``reduceat``. NULL ts or value rows are excluded
+    (SQL GROUP BY + aggregate semantics)."""
+    from validatelite_ray.stages.dedup import add_key_bucket, coarse_bucket_count
+
+    if width_us < 1:
+        raise ValueError("width_us must be >= 1")
+    nb = coarse_bucket_count(ds)
+    keys = ([key] if key else []) + ["__win"]
+
+    def prep(b: pa.Table) -> pa.Table:
+        cols = [c for c in ([key] if key else []) + [ts_col, tiebreak, value_col]]
+        t = b.select(cols).drop_null()
+        ts = np.asarray(pc.cast(t[ts_col], pa.int64()))
+        t = t.append_column("__win", pa.array(ts // width_us))
+        return add_key_bucket(t, keys, nb, col="__ob")
+
+    order = [(k, "ascending") for k in keys] + [
+        (ts_col, "ascending"),
+        (tiebreak, "ascending"),
+    ]
+
+    def bars(g: pa.Table) -> pa.Table:
+        srt = g.sort_by(order)
+        n = srt.num_rows
+        if n == 0:
+            cols = {}
+            if key:
+                cols[key] = pa.array([], g.schema.field(key).type)
+            cols["win"] = pa.array([], pa.int64())
+            for c in ("open", "high", "low", "close"):
+                cols[c] = pa.array([], pa.float64())
+            cols["n"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        win = np.asarray(srt["__win"])
+        if key:
+            karr = srt[key]
+            if isinstance(karr, pa.ChunkedArray):
+                karr = karr.combine_chunks()
+            kb = np.asarray(
+                pc.fill_null(pc.cast(karr, pa.string()), "\x00")
+            )
+            boundary = (win[1:] != win[:-1]) | (kb[1:] != kb[:-1])
+        else:
+            boundary = win[1:] != win[:-1]
+        starts = np.flatnonzero(np.r_[True, boundary])
+        lens = np.diff(np.append(starts, n))
+        ends = starts + lens - 1
+        v = np.asarray(
+            pc.cast(
+                srt[value_col].combine_chunks()
+                if isinstance(srt[value_col], pa.ChunkedArray)
+                else srt[value_col],
+                pa.float64(),
+            )
+        )
+        cols = {}
+        if key:
+            cols[key] = pc.take(karr, pa.array(starts))
+        cols["win"] = pa.array(win[starts])
+        cols["open"] = pa.array(v[starts])
+        cols["high"] = pa.array(np.maximum.reduceat(v, starts))
+        cols["low"] = pa.array(np.minimum.reduceat(v, starts))
+        cols["close"] = pa.array(v[ends])
+        cols["n"] = pa.array(lens)
+        return pa.table(cols)
+
+    pre = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return pre.groupby("__ob").map_groups(bars, batch_format="pyarrow")
