@@ -687,7 +687,10 @@ import zlib
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: RGB-order BT.601 luma weights (the BMP path stores the BGR ordering)
-_LUMA_RGB = _LUMA_BGR[::-1]
+# contiguous copy, NOT a reversed view: a negative-stride vector makes
+# BLAS sum the dot product in reversed order, which rounds exact-.5
+# luma boundaries the other way (175,81,102 → 111.4999…, not 111.5)
+_LUMA_RGB = np.ascontiguousarray(_LUMA_BGR[::-1])
 #: spec validity table: color type -> allowed bit depths (PNG §11.2.2)
 _PNG_DEPTHS = {0: {1, 2, 4, 8, 16}, 2: {8, 16}, 3: {1, 2, 4, 8}, 4: {8, 16}, 6: {8, 16}}
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
