@@ -2706,6 +2706,46 @@ def _q_ohlc_events(sf_dir: str):
     )
 
 
+def _q_fuzzy_damerau_parts(sf_dir: str):
+    """TRUE Damerau-Levenshtein fuzzy join over distinct part names
+    (transpositions count one edit, and edits INSIDE a transposed pair
+    are handled — DuckDB damerau_levenshtein parity): same
+    symmetric-delete blocking (every DL op costs ≤ 1 deletion per
+    side), verify swapped to the vectorized last-occurrence DP
+    (stages/fuzzy.py:damerau_leq)."""
+    from validatelite_ray.stages.dedup import add_key_bucket, bucketed_group_agg
+    from validatelite_ray.stages.fuzzy import edit_distance_join
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    nb = 16
+
+    def pre(b: pa.Table) -> pa.Table:
+        p = b.group_by("p_name").aggregate([("p_partkey", "min")])
+        p = pa.table({"p_name": p["p_name"], "id": p["p_partkey_min"]})
+        return add_key_bucket(p, "p_name", nb)
+
+    distinct = bucketed_group_agg(
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        "p_name",
+        [("id", "min")],
+        rename={"id_min": "id"},
+    )
+    return edit_distance_join(
+        distinct, "id", "p_name", max_distance=2, metric="damerau"
+    )
+
+
+_FUZZY_DAMERAU_SQL = """
+WITH d AS (
+  SELECT p_name, MIN(p_partkey) AS id FROM part GROUP BY p_name
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       damerau_levenshtein(a.p_name, b.p_name) AS dist
+FROM d a, d b
+WHERE a.id < b.id AND damerau_levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 _OHLC_SQL = """
 WITH c AS (
   SELECT event_type, epoch_us(ts) // 3600000000 AS win,
@@ -2903,6 +2943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join_part_names": _q_fuzzy_part_names,
         "grouped_ols_events": _q_grouped_ols_events,
         "ohlc_events": _q_ohlc_events,
+        "fuzzy_damerau_part_names": _q_fuzzy_damerau_parts,
     }
 
 
@@ -3540,6 +3581,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_join_part_names": _FUZZY_PARTS_SQL,
         "grouped_ols_events": _GROUPED_OLS_SQL,
         "ohlc_events": _OHLC_SQL,
+        "fuzzy_damerau_part_names": _FUZZY_DAMERAU_SQL,
         "substring_dedup_documents": (
             "WITH toks AS ("
             "  SELECT doc_id, list_filter("

@@ -90,3 +90,86 @@ def test_edit_distance_join_guards(ray_session):
         edit_distance_join(
             rd.from_arrow(tbl), "id", "t", max_distance=2
         ).to_pandas()
+
+
+def test_damerau_kernel_matches_duckdb():
+    """damerau_leq vs DuckDB's TRUE Damerau-Levenshtein on a tiny
+    alphabet (maximizes transpositions and edits inside them)."""
+    rng = np.random.default_rng(3)
+
+    def word():
+        return "".join(
+            chr(97 + c) for c in rng.integers(0, 3, rng.integers(0, 10))
+        )
+
+    from validatelite_ray.stages.fuzzy import damerau_leq
+
+    a = [word() for _ in range(3000)]
+    b = [word() for _ in range(3000)]
+    got = damerau_leq(pa.array(a, pa.string()), pa.array(b, pa.string()))
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"a": a, "b": b}))
+    exp = np.array(
+        [
+            r[0]
+            for r in con.execute(
+                "SELECT damerau_levenshtein(a,b) FROM t"
+            ).fetchall()
+        ]
+    )
+    assert (got == exp).all()
+    # the canonical unrestricted case: transpose + insert inside
+    one = damerau_leq(pa.array(["ca"]), pa.array(["abc"]))
+    assert one[0] == 2
+
+
+def test_damerau_join_matches_cross_join(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.fuzzy import edit_distance_join
+
+    rng = np.random.default_rng(8)
+    base = ["red bolt", "blue gear", "hot plate", "tiny cog"]
+    names = []
+    for _ in range(300):
+        s = base[rng.integers(0, 4)]
+        r = rng.random()
+        if r < 0.3:  # transpose two adjacent chars
+            p = rng.integers(0, len(s) - 1)
+            s = s[:p] + s[p + 1] + s[p] + s[p + 2 :]
+        elif r < 0.5:  # delete
+            p = rng.integers(0, len(s))
+            s = s[:p] + s[p + 1 :]
+        names.append(s)
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(300, dtype=np.int64)),
+            "t": pa.array(names, pa.string()),
+        }
+    )
+    out = (
+        edit_distance_join(
+            rd.from_arrow(tbl).repartition(3),
+            "id",
+            "t",
+            max_distance=2,
+            metric="damerau",
+            nb=5,
+            max_candidates_per_variant=100_000,
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    exp = con.execute(
+        """
+        SELECT a.id AS id_a, b.id AS id_b,
+               damerau_levenshtein(a.t, b.t) AS dist
+        FROM t a, t b
+        WHERE a.id < b.id AND damerau_levenshtein(a.t, b.t) <= 2
+        ORDER BY id_a, id_b
+        """
+    ).df()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
