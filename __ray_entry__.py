@@ -2485,13 +2485,20 @@ def _q_group_share_events(sf_dir: str):
     )
 
     def share(b: pa.Table) -> pa.Table:
+        # SQL parity: NULL cents -> NULL share; zero/NULL total -> NULL
+        # (DuckDB division by zero yields NULL, verified)
+        cn = np.asarray(pc.is_null(b["cents"]))
+        tn = np.asarray(pc.is_null(b["user_cents"]))
         c = np.asarray(pc.fill_null(b["cents"], 0), np.float64)
         t = np.asarray(pc.fill_null(b["user_cents"], 0), np.float64)
+        bad = cn | tn | (t == 0)
         return pa.table(
             {
                 "event_id": b["event_id"],
                 "user_cents": b["user_cents"],
-                "share": pa.array(c / np.where(t == 0, np.inf, t)),
+                "share": pa.array(
+                    c / np.where(bad, 1.0, t), mask=bad
+                ),
             }
         )
 

@@ -21,7 +21,7 @@ def test_levenshtein_kernel_matches_duckdb():
 
     a = [word() for _ in range(2000)]
     b = [word() for _ in range(2000)]
-    got = levenshtein_leq(pa.array(a, pa.string()), pa.array(b, pa.string()), 2)
+    got = levenshtein_leq(pa.array(a, pa.string()), pa.array(b, pa.string()))
     con = duckdb.connect()
     con.register("t", pd.DataFrame({"a": a, "b": b}))
     exp = np.array(
@@ -173,3 +173,40 @@ def test_damerau_join_matches_cross_join(ray_session):
         """
     ).df()
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_duplicate_texts_over_cap_raise_loudly(ray_session):
+    """300 copies of one string must NOT silently produce zero pairs —
+    the over-cap variant run raises with the dedup-first remedy."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.fuzzy import edit_distance_join
+
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(300, dtype=np.int64)),
+            "t": pa.array(["same text"] * 300, pa.string()),
+        }
+    )
+    with pytest.raises(Exception, match="dedup identical texts"):
+        edit_distance_join(
+            rd.from_arrow(tbl), "id", "t", max_candidates_per_variant=100
+        ).to_pandas()
+    # raising the cap yields the full 300*299/2 zero-distance pairs
+    out = edit_distance_join(
+        rd.from_arrow(tbl), "id", "t", max_candidates_per_variant=100_000
+    ).to_pandas()
+    assert len(out) == 300 * 299 // 2
+    assert (out["dist"] == 0).all()
+
+
+def test_string_ids_rejected(ray_session):
+    import ray.data as rd
+
+    from validatelite_ray.stages.fuzzy import edit_distance_join
+
+    tbl = pa.table(
+        {"id": pa.array(["u1"], pa.string()), "t": pa.array(["x"], pa.string())}
+    )
+    with pytest.raises(ValueError, match="integer id"):
+        edit_distance_join(rd.from_arrow(tbl), "id", "t")

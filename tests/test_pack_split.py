@@ -382,3 +382,22 @@ def test_sample_weighted_k_determinism_and_proportions(ray_session):
     )
     out = sample_weighted_k(rd.from_arrow(small), "w", 10)
     assert sorted(out["doc_id"].to_pylist()) == [1, 3]
+
+
+def test_sample_weighted_k_overweight_raises(ray_session):
+    """Weights beyond max_weight raise (a silent clip would change the
+    documented w/Σw probabilities and break the SQL oracle)."""
+    import ray.data as rd
+
+    from validatelite_ray.stages.pack import sample_weighted_k
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "w": pa.array([1, 50_000], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="max_weight"):
+        sample_weighted_k(rd.from_arrow(tbl), "w", 1)
+    out = sample_weighted_k(rd.from_arrow(tbl), "w", 1, max_weight=50_000)
+    assert out.num_rows == 1

@@ -344,3 +344,24 @@ def test_resample_ohlc_matches_duckdb(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_ohlc_nan_matches_duckdb_semantics(ray_session):
+    """NaN values (not Arrow NULLs): MAX propagates NaN (NaN sorts
+    greatest in DuckDB), MIN skips it."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from validatelite_ray.stages.windows import resample_ohlc
+
+    tbl = pa.table(
+        {
+            "id": pa.array([0, 1, 2], pa.int64()),
+            "ts": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array([1.0, float("nan"), 3.0], pa.float64()),
+        }
+    )
+    out = resample_ohlc(rd.from_arrow(tbl), "ts", "v", 1000, "id").to_pandas()
+    assert out["low"][0] == 1.0
+    assert np.isnan(out["high"][0])

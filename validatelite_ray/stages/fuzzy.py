@@ -115,7 +115,7 @@ def _variant_hashes(mat: np.ndarray, lens: np.ndarray, d: int):
 
 
 def levenshtein_leq(
-    a: pa.Array, b: pa.Array, d: int, max_len: int = 64
+    a: pa.Array, b: pa.Array, max_len: int = 64
 ) -> np.ndarray:
     """Vectorized exact Levenshtein distances for paired string arrays
     (returns int64 distances; compare ≤ d yourself). One DP-row update
@@ -154,7 +154,7 @@ def edit_distance_join(
     max_distance: int = 2,
     nb: int | None = None,
     max_len: int = 64,
-    max_candidates_per_variant: int = 256,
+    max_candidates_per_variant: int = 4096,
     metric: str = "levenshtein",
 ):
     """Self-join: Dataset of (id_a, id_b, dist) with id_a < id_b and
@@ -178,9 +178,20 @@ def edit_distance_join(
         max_len = min(max_len, 32)
     if nb is None:
         nb = coarse_bucket_count(ds)
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    if not pa.types.is_integer(id_type):
+        raise ValueError(
+            "edit_distance_join needs an integer id column (the pair "
+            "bucket hashes ids numerically) — dictionary-encode or "
+            "hash string ids first"
+        )
 
     def variants(b: pa.Table) -> pa.Table:
         t = b.select([id_col, text_col]).drop_null()
+        t = t.set_column(
+            t.column_names.index(id_col), id_col,
+            pc.cast(t[id_col], pa.int64()),
+        )
         texts = t[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
@@ -212,7 +223,18 @@ def edit_distance_join(
         )
         lens = np.asarray(g["vlen"])[order]
         starts, rl = _runs(h)
-        iu, iv = _pairs_within_runs(starts, rl, all_pairs_max=max_candidates_per_variant)
+        if rl.size and int(rl.max()) > max_candidates_per_variant:
+            # silently dropping an over-cap run would LOSE true pairs
+            # (e.g. 300 copies of one string); fail loudly with the
+            # remedy instead — repo policy: no silent caps
+            raise ValueError(
+                f"a deletion variant has {int(rl.max())} candidates "
+                f"(> max_candidates_per_variant="
+                f"{max_candidates_per_variant}): dedup identical texts "
+                "first (join distinct values, expand matches back to "
+                "ids) or raise the cap"
+            )
+        iu, iv = _pairs_within_runs(starts, rl, all_pairs_max=None)
         if iu.size == 0:
             return pa.table(
                 {
@@ -275,7 +297,7 @@ def edit_distance_join(
         dist = (
             damerau_leq(ta, tb, max_len)
             if metric == "damerau"
-            else levenshtein_leq(ta, tb, max_distance, max_len)
+            else levenshtein_leq(ta, tb, max_len)
         )
         ok = dist <= max_distance
         return pa.table(

@@ -458,6 +458,7 @@ def sample_weighted_k(
     k: int,
     id_col: str = "doc_id",
     seed: int = 0,
+    max_weight: int = 10_000,
 ):
     """Weighted sampling WITHOUT replacement: exactly ``k`` rows (fewer
     if the eligible population is smaller), drawn with
@@ -475,14 +476,15 @@ def sample_weighted_k(
     ``MIN(md5_number_lower(...)) … QUALIFY ROW_NUMBER() ≤ k``.
 
     Scale shape: the per-batch kernel expands each row into its ``w``
-    hash candidates VIRTUALLY (repeat + ``minimum.reduceat``, one pass,
-    no row blowup) and keeps only the batch-local k smallest keys, so
-    the driver merges ≤ k × #blocks (id, key) pairs — the classic
-    distributed top-k, zero shuffle. Total weight per row is capped by
-    ``max_weight`` (default 10⁴) to bound the per-batch hash count.
+    hash candidates (repeat + ``minimum.reduceat``, one pass) and keeps
+    only the batch-local k smallest keys, so the driver merges ≤
+    k × #blocks (id, key) pairs — the classic distributed top-k, zero
+    shuffle. The per-batch hash count is Σw, so weights above
+    ``max_weight`` raise (a silent clip would change the documented
+    w_i/Σw inclusion probabilities and break the SQL oracle) — scale
+    weights down (they only matter relative to each other).
     Deterministic: pure function of (id, seed), independent of layout.
     """
-    max_weight = 10_000
     if k < 1:
         raise ValueError("k must be >= 1")
     tag = f"wk{int(seed)}"
@@ -492,7 +494,14 @@ def sample_weighted_k(
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         w = pc.fill_null(pc.cast(b[weight_col], pa.int64(), safe=False), 0)
-        wnp = np.clip(np.asarray(w), 0, max_weight)
+        wnp = np.asarray(w)
+        if wnp.size and int(wnp.max()) > max_weight:
+            raise ValueError(
+                f"weight {int(wnp.max())} exceeds max_weight="
+                f"{max_weight}: the key cost is one hash per weight "
+                "unit — rescale weights (only ratios matter)"
+            )
+        wnp = np.maximum(wnp, 0)
         keep = wnp > 0
         if not keep.any():
             return pa.table(
@@ -502,16 +511,22 @@ def sample_weighted_k(
                 }
             )
         ids_s = pc.cast(ids, pa.string())
-        ids_np = np.asarray(ids_s)[keep]
+        keep_idx = pa.array(np.flatnonzero(keep))
+        ids_kept = pc.take(ids_s, keep_idx)
         wv = wnp[keep]
-        reps = np.repeat(np.arange(ids_np.size), wv)
+        reps = np.repeat(np.arange(wv.size), wv)
         js = (
             np.arange(int(wv.sum()), dtype=np.int64)
             - np.repeat(np.cumsum(wv) - wv, wv)
             + 1
         )
-        salted = pa.array(
-            [f"{i}\x1f{j}\x1f{tag}" for i, j in zip(ids_np[reps], js)]
+        # vectorized salt assembly (id || 0x1f || j || 0x1f || tag) —
+        # the md5 seam itself is the only per-string work left
+        salted = pc.binary_join_element_wise(
+            pc.take(ids_kept, pa.array(reps)),
+            pc.cast(pa.array(js), pa.string()),
+            tag,
+            "\x1f",
         )
         h = md5_u64(salted)
         starts = np.concatenate(([0], np.cumsum(wv)[:-1]))

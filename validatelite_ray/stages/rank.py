@@ -324,14 +324,12 @@ def select_token_budget(
         keep = pc.fill_null(pc.less_equal(cum, budget), False)
         return project(srt.filter(keep))
 
-    exact_set = frozenset(int(b) for b in exact_ids)
+    exact_arr = np.sort(exact_ids.astype(np.int32))
     part = (
         assigned.map_batches(
             lambda b: b.filter(
                 pa.array(
-                    np.isin(
-                        np.asarray(_combine(b["__rb"])), list(exact_set)
-                    )
+                    np.isin(np.asarray(_combine(b["__rb"])), exact_arr)
                 )
             ),
             batch_format="pyarrow",

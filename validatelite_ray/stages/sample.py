@@ -1083,6 +1083,17 @@ def grouped_ols(
         t = b.filter(both)
         x = np.asarray(pc.cast(t[x_col], pa.int64()))
         y = np.asarray(pc.cast(t[y_col], pa.int64()))
+        if x.size:
+            # per-ELEMENT guard: x*x / x*y must stay exact in int64
+            # (numpy wraps silently; the SQL oracle sums in HUGEINT)
+            mx = max(int(np.abs(x).max()), 1)
+            my = max(int(np.abs(y).max()), 1)
+            if mx * mx > 1 << 62 or mx * my > 1 << 62:
+                raise ValueError(
+                    "grouped_ols element products overflow int64: "
+                    f"max|x|={mx}, max|y|={my} — rebase x (subtract a "
+                    "central constant) or scale the columns down"
+                )
         p = pa.table(
             {
                 key: t[key],
@@ -1096,6 +1107,20 @@ def grouped_ols(
         p = p.group_by(key).aggregate(
             [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx")]
         )
+        # per-GROUP partial guard: the global per-group sums are these
+        # partials x #batches; refusing at 2^57 leaves ~64 batches of
+        # headroom before the exact-HUGEINT oracle and the int64 sums
+        # could diverge silently
+        for c in ("sxy", "sxx"):
+            col = p[f"{c}_sum"]
+            if len(col):
+                worst = int(pc.max(pc.abs(col)).as_py() or 0)
+                if worst > 1 << 57:
+                    raise ValueError(
+                        f"grouped_ols per-group Σ{c} partial {worst} "
+                        "risks int64 overflow across batches — rebase "
+                        "or scale the inputs"
+                    )
         p = pa.table(
             {
                 key: p[key],

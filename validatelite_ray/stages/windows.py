@@ -395,8 +395,10 @@ def resample_ohlc(
             cols[key] = pc.take(karr, pa.array(starts))
         cols["win"] = pa.array(win[starts])
         cols["open"] = pa.array(v[starts])
+        # DuckDB NaN semantics (NaN sorts greatest): MAX propagates NaN
+        # (np.maximum), MIN skips it (np.fmin); all-NaN windows give NaN
         cols["high"] = pa.array(np.maximum.reduceat(v, starts))
-        cols["low"] = pa.array(np.minimum.reduceat(v, starts))
+        cols["low"] = pa.array(np.fmin.reduceat(v, starts))
         cols["close"] = pa.array(v[ends])
         cols["n"] = pa.array(lens)
         return pa.table(cols)
